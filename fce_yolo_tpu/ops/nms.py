@@ -1,0 +1,169 @@
+"""Static-shape batched NMS for TPU.
+
+The reference's NMS (utils/nms.py:13-166) filters candidates with boolean
+masks (data-dependent shapes) and calls torchvision NMS per image — neither
+maps to XLA. This re-design keeps every shape static:
+
+1. Multi-label candidate selection = one top-k over the *flattened*
+   (anchors x classes) score matrix (the same shape-static pattern as the
+   reference's end2end ``Detect.postprocess``, nn/modules/head.py:191-212),
+   giving K candidate (box, score, class) triples per image.
+2. Greedy suppression = a pick-argmax/suppress ``lax.scan`` of max_det
+   steps, each O(K) on the VPU (no K x K IoU matrix); identical keep-set
+   and order to sequential greedy NMS (torchvision semantics).
+3. Class separation uses the reference's coordinate-offset trick
+   (utils/nms.py:143-149): boxes are shifted by ``class_id * max_wh`` so one
+   IoU matrix handles class-aware suppression.
+
+Outputs are fixed (max_det, 6) per image with invalid rows zero-scored, so
+the whole predict path stays on device and jit-compiles once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fce_yolo_tpu.ops.boxes import xywh2xyxy
+
+
+def _pick_suppress(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thres: float,
+    max_det: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS as a pick-argmax / suppress scan — O(max_det * K), no K x K
+    matrix. Each step selects the highest remaining score and masks every
+    candidate overlapping it; exact torchvision keep-set and emit order.
+
+    Args:
+        boxes: (K, 4) xyxy with class offsets applied.
+        scores: (K,) candidate scores.
+        valid: (K,) candidates above the confidence threshold.
+
+    Returns:
+        (picked_idx (max_det,) int32, picked_ok (max_det,) bool) in
+        descending-score order.
+    """
+    k = boxes.shape[0]
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0, None) * jnp.clip(
+        boxes[:, 3] - boxes[:, 1], 0, None
+    )
+    neg_inf = jnp.float32(-jnp.inf)
+    live_scores = jnp.where(valid, scores, neg_inf)
+
+    def step(live, _):
+        i = jnp.argmax(live)
+        ok = live[i] > neg_inf
+        b = boxes[i]
+        lt = jnp.maximum(b[:2], boxes[:, :2])
+        rb = jnp.minimum(b[2:], boxes[:, 2:])
+        inter = jnp.clip(rb - lt, 0, None).prod(-1)
+        iou = inter / (area[i] + area - inter + 1e-7)
+        kill = (iou > iou_thres) | (jnp.arange(k) == i)
+        live = jnp.where(ok & kill, neg_inf, live)
+        return live, (i.astype(jnp.int32), ok)
+
+    _, (idx, ok) = jax.lax.scan(step, live_scores, None, length=max_det)
+    return idx, ok
+
+
+def single_image_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    *,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    multi_label: bool = True,
+    agnostic: bool = False,
+    max_wh: float = 7680.0,
+) -> dict[str, jnp.ndarray]:
+    """NMS for one image with fully static shapes.
+
+    Args:
+        boxes: (N, 4) xyxy in input-image pixels.
+        scores: (N, nc) per-class sigmoid scores.
+
+    Returns dict with ``boxes`` (max_det, 4), ``scores`` (max_det,),
+    ``classes`` (max_det,) int32 (-1 for empty slots), ``valid`` (max_det,) bool.
+    """
+    n, nc = scores.shape
+    k = min(pre_nms_topk, n * nc if multi_label else n)
+
+    if multi_label and nc > 1:
+        flat = scores.reshape(-1)  # (N * nc)
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        anchor_idx = top_idx // nc
+        cls_idx = top_idx % nc
+    else:
+        best_cls = jnp.argmax(scores, axis=-1)
+        best_score = jnp.max(scores, axis=-1)
+        top_scores, anchor_idx = jax.lax.top_k(best_score, k)
+        cls_idx = best_cls[anchor_idx]
+
+    cand_boxes = boxes[anchor_idx]  # (K, 4)
+    valid = top_scores > conf_thres
+
+    offset = jnp.where(agnostic, 0.0, cls_idx.astype(boxes.dtype) * max_wh)
+    idx, kept = _pick_suppress(
+        cand_boxes + offset[:, None], top_scores, valid, iou_thres, max_det
+    )
+    return {
+        "boxes": jnp.where(kept[:, None], cand_boxes[idx], 0.0),
+        "scores": jnp.where(kept, top_scores[idx], 0.0),
+        "classes": jnp.where(kept, cls_idx[idx], -1).astype(jnp.int32),
+        "valid": kept,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres",
+        "iou_thres",
+        "max_det",
+        "pre_nms_topk",
+        "multi_label",
+        "agnostic",
+        "in_fmt",
+    ),
+)
+def batched_nms(
+    prediction: jnp.ndarray,
+    *,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    multi_label: bool = True,
+    agnostic: bool = False,
+    in_fmt: str = "xywh",
+) -> dict[str, jnp.ndarray]:
+    """Batched NMS over decoded head output.
+
+    Args:
+        prediction: (B, N, 4 + nc) — boxes then per-class scores, matching the
+            decoded layout of the Detect head (boxes in ``in_fmt``).
+
+    Returns dict of (B, max_det, ...) arrays; see ``single_image_nms``.
+    """
+    boxes = prediction[..., :4]
+    if in_fmt == "xywh":
+        boxes = xywh2xyxy(boxes)
+    scores = prediction[..., 4:]
+    fn = partial(
+        single_image_nms,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        pre_nms_topk=pre_nms_topk,
+        multi_label=multi_label,
+        agnostic=agnostic,
+    )
+    return jax.vmap(fn)(boxes, scores)

@@ -1,0 +1,121 @@
+"""Numerical parity vs the torch reference (gated on /root/reference).
+
+Builds the reference DetectionModel in torch, imports its weights into our
+flax model via nn/import_torch.py, and compares raw head features + decoded
+predictions on random inputs. This is the strongest correctness evidence the
+rebuild has: identical graphs => activations agree to float tolerance.
+"""
+
+import contextlib
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.parity
+
+if not os.path.isdir(os.path.join(REF, "ultralytics")):
+    pytest.skip("reference repo unavailable", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_ultralytics():
+    """Import the reference package with a torchvision-metadata shim."""
+    import importlib.metadata as md
+
+    orig = md.version
+
+    def fake_version(name, *a, **k):
+        try:
+            return orig(name)
+        except Exception:
+            return "0.23.0"
+
+    md.version = fake_version
+    sys.path.insert(0, REF)
+    try:
+        from ultralytics.nn.tasks import DetectionModel as TorchDetectionModel
+
+        yield TorchDetectionModel
+    finally:
+        sys.path.remove(REF)
+
+
+def _build_pair(ref_cls, yaml_rel, our_yaml, scale):
+    import yaml as pyyaml
+
+    import jax
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+
+    d = pyyaml.safe_load(open(os.path.join(REF, "ultralytics/cfg/models/11", yaml_rel)))
+    d["scale"] = scale
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = ref_cls(d, verbose=False)
+    tm.eval().float()
+
+    model, spec, strides = build_model(our_yaml, scale=scale)
+    # abstract init (eval_shape): template shapes without RNG/compute cost
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True
+        )
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+    return tm, model, variables
+
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "fce_yolo_tpu", "cfg", "models")
+
+
+@pytest.mark.parametrize(
+    "yaml_rel,our_name,scale",
+    [
+        ("yolo11.yaml", "yolo11.yaml", "n"),
+        ("yolo11-fce.yaml", "yolo11-fce.yaml", "n"),
+        ("yolo11-bifpn.yaml", "yolo11-bifpn.yaml", "n"),
+    ],
+)
+def test_forward_parity(ref_ultralytics, yaml_rel, our_name, scale):
+    tm, model, variables = _build_pair(
+        ref_ultralytics, yaml_rel, os.path.join(CFG_DIR, our_name), scale
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    t_decoded, t_feats = ty  # eval mode: (decoded (B,no,N), feats list (B,no,H,W))
+
+    out = model.apply(variables, x, train=False)
+
+    # raw per-level head features
+    for lvl, tf in enumerate(t_feats):
+        ours = np.asarray(out["feats"][lvl]).transpose(0, 3, 1, 2)
+        ref = tf.numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
+
+    # decoded predictions: ours (B, N, 4+nc) vs reference (B, 4+nc, N)
+    ours_dec = np.asarray(out["preds"]).transpose(0, 2, 1)
+    np.testing.assert_allclose(ours_dec, t_decoded.numpy(), rtol=1e-3, atol=5e-4)
+
+
+def test_parity_batch_and_rect(ref_ultralytics):
+    """Parity holds for batch > 1 and non-square inputs."""
+    tm, model, variables = _build_pair(
+        ref_ultralytics, "yolo11.yaml", os.path.join(CFG_DIR, "yolo11.yaml"), "n"
+    )
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 96, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        t_decoded, _ = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["preds"]).transpose(0, 2, 1), t_decoded.numpy(), rtol=1e-3, atol=5e-4
+    )
