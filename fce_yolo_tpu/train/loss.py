@@ -1,0 +1,206 @@
+"""Detection training loss: BCE cls + IoU-family box loss + DFL, with
+task-aligned assignment and optional WIoU v3 dynamic focusing.
+
+Parity target: reference utils/loss.py:87-379 (DFLoss, BboxLoss incl.
+_wiouv3_focusing, v8DetectionLoss). TPU re-design decisions:
+
+- Ground truths use a padded (B, M) batch contract (cls, xywh-normalized
+  boxes, validity mask) instead of the reference's ragged (n, 6) target
+  tensor + per-image Python loop (loss.py:294-309). The reference pads
+  internally anyway; we make padding the API.
+- Foreground selection is masked arithmetic, not boolean gathers — every
+  term computes dense (B, A) and reduces under the fg mask. Static shapes,
+  single fusion domain.
+- The WIoU v3 EMA of the batch-mean IoU loss is *explicit functional state*
+  (carried in TrainState) instead of a hidden attribute on the loss module
+  (reference loss.py:155-174) — reproducible, checkpointable, jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fce_yolo_tpu.ops.anchors import bbox2dist, dfl_expectation, dist2bbox, make_anchors
+from fce_yolo_tpu.ops.iou import bbox_iou, bbox_wiou
+from fce_yolo_tpu.ops.boxes import xywh2xyxy
+from fce_yolo_tpu.train import tal
+
+
+class LossState(NamedTuple):
+    """Functional state carried across steps (WIoU v3 running mean)."""
+
+    wiou_loss_mean: jnp.ndarray  # scalar; < 0 means uninitialized
+
+    @staticmethod
+    def init() -> "LossState":
+        return LossState(wiou_loss_mean=jnp.float32(-1.0))
+
+
+def wiouv3_focusing(
+    loss_iou: jnp.ndarray,
+    fg: jnp.ndarray,
+    state: LossState,
+    delta: float = 3.0,
+    alpha: float = 1.9,
+    momentum: float = 0.9,
+    eps: float = 1e-7,
+) -> tuple[jnp.ndarray, LossState]:
+    """WIoU v3 non-monotonic focusing coefficient r = beta/(delta*alpha^(beta-delta)).
+
+    beta = L_i / EMA(mean L) (linear outlier degree, the 2026-07-07 fix;
+    reference loss.py:122-175). The EMA update weights the *new* batch mean
+    by ``momentum`` (0.9), matching the reference's unconventional formula.
+
+    Args:
+        loss_iou: (B, A) per-anchor WIoU-v1 loss (1 - metric), pre-masking.
+        fg: (B, A) bool foreground mask.
+        state: carries the running mean.
+
+    Returns:
+        (r, new_state): r is (B, A), 0 outside fg.
+    """
+    loss_iou = jax.lax.stop_gradient(jnp.clip(loss_iou, 0.0, 4.0))
+    n_fg = jnp.maximum(fg.sum(), 1)
+    batch_mean = jnp.maximum((loss_iou * fg).sum() / n_fg, eps)
+    mean = jnp.where(state.wiou_loss_mean < 0, batch_mean, state.wiou_loss_mean)
+
+    beta = loss_iou / (mean + eps)
+    r = beta / (delta * jnp.power(alpha, beta - delta))
+    r = jnp.clip(r, 0.0, 4.0)
+
+    new_mean = (1 - momentum) * mean + momentum * batch_mean
+    return jnp.where(fg, r, 0.0), LossState(wiou_loss_mean=new_mean)
+
+
+def _dfl_loss(pred_dist: jnp.ndarray, target: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """Distribution focal loss (reference loss.py:87-106).
+
+    pred_dist: (B, A, 4, reg_max) logits; target: (B, A, 4) continuous
+    distances in [0, reg_max-1]. Returns (B, A) per-anchor mean-over-sides.
+    """
+    target = jnp.clip(target, 0, reg_max - 1 - 0.01)
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)  # (B, A, 4, reg_max)
+    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
+    return (ce_l * wl + ce_r * wr).mean(axis=-1)  # (B, A)
+
+
+class DetectionLossCfg(NamedTuple):
+    nc: int = 80
+    reg_max: int = 16
+    strides: tuple[int, ...] = (8, 16, 32)
+    box_gain: float = 7.5
+    cls_gain: float = 0.5
+    dfl_gain: float = 1.5
+    iou_type: str = "CIoU"  # CIoU | DIoU | GIoU | WIoU
+    tal_topk: int = 10
+    tal_alpha: float = 0.5
+    tal_beta: float = 6.0
+
+
+def detection_loss(
+    feats: list[jnp.ndarray],
+    batch: dict[str, jnp.ndarray],
+    cfg: DetectionLossCfg,
+    state: LossState,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray], LossState]:
+    """Compute the summed detection loss for one batch.
+
+    Args:
+        feats: per-level raw head maps (B, H, W, 4*reg_max + nc) (train output).
+        batch: {"cls": (B, M), "bboxes": (B, M, 4) xywh normalized to [0,1],
+                "mask": (B, M) bool}.
+        cfg: static hyperparameters.
+        state: WIoU EMA state (pass through unchanged for non-WIoU).
+
+    Returns:
+        (total_loss, metrics dict with box/cls/dfl components, new_state).
+        total = (box*7.5 + cls*0.5 + dfl*1.5) * batch_size, matching the
+        reference's DDP-mean-compensated scaling (loss.py:375-379).
+    """
+    nc, reg_max = cfg.nc, cfg.reg_max
+    no = nc + reg_max * 4
+    b = feats[0].shape[0]
+    dtype = feats[0].dtype
+
+    flat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)  # (B, A, no)
+    pred_distri, pred_scores = flat[..., : reg_max * 4], flat[..., reg_max * 4 :]
+
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    anchor_points, stride_tensor = make_anchors(shapes, list(cfg.strides), 0.5, dtype=dtype)
+    imgsz_h = feats[0].shape[1] * cfg.strides[0]
+    imgsz_w = feats[0].shape[2] * cfg.strides[0]
+
+    # targets: normalized xywh -> pixel xyxy (reference loss.py:341-345)
+    scale = jnp.asarray([imgsz_w, imgsz_h, imgsz_w, imgsz_h], dtype=dtype)
+    gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)  # (B, M, 4)
+    gt_labels = batch["cls"].astype(jnp.int32)
+    mask_gt = batch["mask"] & (batch["bboxes"].sum(-1) > 0)
+
+    # decode predicted boxes (feature units, xyxy)
+    pred_dist4 = pred_distri.reshape(b, -1, 4, reg_max)
+    pred_ltrb = dfl_expectation(pred_distri, reg_max)  # (B, A, 4)
+    pred_bboxes = dist2bbox(pred_ltrb, anchor_points[None], xywh=False)
+
+    assign_out = jax.lax.stop_gradient(
+        tal.assign(
+            jax.nn.sigmoid(pred_scores),
+            pred_bboxes * stride_tensor[None],
+            anchor_points * stride_tensor,
+            gt_labels,
+            gt_bboxes,
+            mask_gt,
+            topk=cfg.tal_topk,
+            num_classes=nc,
+            alpha=cfg.tal_alpha,
+            beta=cfg.tal_beta,
+        )
+    )
+    target_bboxes, target_scores, fg_mask = (
+        assign_out.target_bboxes,
+        assign_out.target_scores,
+        assign_out.fg_mask,
+    )
+    target_scores_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+    # cls: BCE-with-logits against soft target scores (loss.py:361)
+    bce = _bce_with_logits(pred_scores, target_scores)
+    loss_cls = bce.sum() / target_scores_sum
+
+    # box + dfl on foreground anchors, in feature units (loss.py:364-374)
+    tb = target_bboxes / stride_tensor[None]
+    weight = target_scores.sum(-1) * fg_mask  # (B, A)
+
+    if cfg.iou_type == "WIoU":
+        w_iou = bbox_wiou(pred_bboxes, tb, xywh=False)
+        li = 1.0 - w_iou
+        r, state = wiouv3_focusing(li, fg_mask, state)
+        loss_box = (r * li * weight).sum() / target_scores_sum
+    else:
+        iou = bbox_iou(pred_bboxes, tb, xywh=False, mode=cfg.iou_type)
+        loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
+
+    target_ltrb = bbox2dist(anchor_points[None], tb, reg_max)
+    dfl = _dfl_loss(pred_dist4, target_ltrb, reg_max)  # (B, A)
+    loss_dfl = (dfl * weight).sum() / target_scores_sum
+
+    parts = {
+        "box": loss_box * cfg.box_gain,
+        "cls": loss_cls * cfg.cls_gain,
+        "dfl": loss_dfl * cfg.dfl_gain,
+        "fg_count": fg_mask.sum().astype(jnp.float32),
+    }
+    total = (parts["box"] + parts["cls"] + parts["dfl"]) * b
+    return total, parts, state
+
+
+def _bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable elementwise binary cross-entropy with logits."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))

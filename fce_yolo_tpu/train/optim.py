@@ -1,0 +1,179 @@
+"""Optimizer construction + LR/momentum schedules.
+
+Parity target: reference engine/trainer.py:915-974 (3 param groups:
+decayed weights / norm weights no-decay / biases no-decay with higher
+warmup LR), warmup interpolation (trainer.py:407-417), cosine & linear
+final-LR schedules (trainer.py lf), auto-optimizer pick (SGD if >10k
+iterations else AdamW with the lr-fit equation).
+
+Expressed as a single optax chain: parameter-group behavior comes from
+masked weight decay + a bias-specific warmup schedule, momentum warmup via
+``optax.inject_hyperparams``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class OptimCfg(NamedTuple):
+    optimizer: str = "auto"  # SGD | AdamW | Adam | RMSProp | auto
+    lr0: float = 0.01
+    lrf: float = 0.01
+    momentum: float = 0.937
+    weight_decay: float = 0.0005
+    warmup_epochs: float = 3.0
+    warmup_momentum: float = 0.8
+    warmup_bias_lr: float = 0.1
+    cos_lr: bool = False
+    nbs: int = 64  # nominal batch size for decay scaling
+    batch_size: int = 16
+    epochs: int = 100
+    steps_per_epoch: int = 100
+    nc: int = 80
+    grad_clip_norm: float = 10.0
+
+
+def resolve_auto(cfg: OptimCfg) -> OptimCfg:
+    """'auto' optimizer pick (trainer.py:933-941): SGD for long runs, AdamW
+    with lr = 0.002*5/(4+nc) for short ones; bias warmup LR zeroed for Adam."""
+    if cfg.optimizer != "auto":
+        return cfg
+    iterations = cfg.epochs * cfg.steps_per_epoch
+    if iterations > 10000:
+        return cfg._replace(optimizer="SGD", lr0=0.01, momentum=0.9)
+    lr_fit = round(0.002 * 5 / (4 + cfg.nc), 6)
+    return cfg._replace(optimizer="AdamW", lr0=lr_fit, momentum=0.9, warmup_bias_lr=0.0)
+
+
+def _final_lr_fraction(cfg: OptimCfg, epoch_frac: jnp.ndarray) -> jnp.ndarray:
+    """lf(epoch): linear 1->lrf, or cosine (trainer.py _setup_scheduler)."""
+    if cfg.cos_lr:
+        return cfg.lrf + (1 - cfg.lrf) * (1 + jnp.cos(math.pi * epoch_frac)) / 2
+    return (1 - epoch_frac) * (1 - cfg.lrf) + cfg.lrf
+
+
+def lr_schedule(cfg: OptimCfg, bias: bool = False) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Per-step LR: warmup interp from 0 (or warmup_bias_lr for biases) to
+    lr0 * lf(epoch), then the epoch-wise decay curve (trainer.py:407-417)."""
+    nb = cfg.steps_per_epoch
+    nw = max(round(cfg.warmup_epochs * nb), 100) if cfg.warmup_epochs > 0 else -1
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        epoch = jnp.floor(step / nb)
+        epoch_frac = jnp.clip(epoch / max(cfg.epochs - 1, 1), 0.0, 1.0)
+        base = cfg.lr0 * _final_lr_fraction(cfg, epoch_frac)
+        if nw <= 0:
+            return base
+        start = cfg.warmup_bias_lr if bias else 0.0
+        w = jnp.clip(step / nw, 0.0, 1.0)
+        return jnp.where(step < nw, start + w * (base - start), base)
+
+    return sched
+
+
+def momentum_schedule(cfg: OptimCfg) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    nb = cfg.steps_per_epoch
+    nw = max(round(cfg.warmup_epochs * nb), 100) if cfg.warmup_epochs > 0 else -1
+
+    def sched(step):
+        if nw <= 0:
+            return jnp.asarray(cfg.momentum)
+        w = jnp.clip(jnp.asarray(step, jnp.float32) / nw, 0.0, 1.0)
+        return cfg.warmup_momentum + w * (cfg.momentum - cfg.warmup_momentum)
+
+    return sched
+
+
+def _param_group_masks(params) -> tuple[Any, Any, Any]:
+    """(decay_mask, norm_mask, bias_mask) following trainer.py:943-953:
+    biases -> no decay, higher warmup lr; BN scales -> no decay; conv/dense
+    kernels -> decay."""
+
+    def classify(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name == "bias":  # conv/BN biases (reference g[2])
+            return "bias"
+        if name == "scale":  # BatchNorm scale (reference g[1])
+            return "norm"
+        return "decay"  # kernels + BiFPN fusion weights (reference g[0])
+
+    labels = jax.tree_util.tree_map_with_path(classify, params)
+    mk = lambda tag: jax.tree_util.tree_map(lambda l: l == tag, labels)
+    return mk("decay"), mk("norm"), mk("bias")
+
+
+def build_optimizer(cfg: OptimCfg, params) -> optax.GradientTransformation:
+    """One optax chain reproducing the reference's 3-group optimizer.
+
+    Weight decay is scaled by batch_size*accumulate/nbs (trainer.py:343) and
+    applied only to non-norm, non-bias weights; biases get the
+    warmup_bias_lr ramp.
+    """
+    cfg = resolve_auto(cfg)
+    accumulate = max(round(cfg.nbs / cfg.batch_size), 1)
+    decay = cfg.weight_decay * cfg.batch_size * accumulate / cfg.nbs
+    decay_mask, _, bias_mask = _param_group_masks(params)
+    nonbias_mask = jax.tree_util.tree_map(lambda b: not b, bias_mask)
+
+    lr_main = lr_schedule(cfg, bias=False)
+    lr_bias = lr_schedule(cfg, bias=True)
+    mom = momentum_schedule(cfg)
+    decay_tx = optax.masked(optax.add_decayed_weights(decay), decay_mask)
+
+    name = cfg.optimizer.lower()
+    if name in ("adamw", "adam", "nadam", "radam", "adamax"):
+        # torch-AdamW style: coupled grad transform then decoupled decay
+        pre = [optax.inject_hyperparams(lambda b1: optax.scale_by_adam(b1=b1, b2=0.999))(b1=mom)]
+        post = [decay_tx]
+    elif name == "sgd":
+        # torch-SGD: decay folds into the gradient before momentum
+        pre = [
+            decay_tx,
+            optax.inject_hyperparams(lambda decay_m: optax.trace(decay_m, nesterov=True))(
+                decay_m=mom
+            ),
+        ]
+        post = []
+    elif name == "rmsprop":
+        pre = [decay_tx, optax.scale_by_rms(), optax.inject_hyperparams(
+            lambda decay_m: optax.trace(decay_m)
+        )(decay_m=mom)]
+        post = []
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+
+    # updates stay in +gradient space until the final per-group -lr scaling
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        *pre,
+        *post,
+        optax.masked(optax.scale_by_schedule(lambda s: -lr_main(s)), nonbias_mask),
+        optax.masked(optax.scale_by_schedule(lambda s: -lr_bias(s)), bias_mask),
+    )
+
+
+class EMA(NamedTuple):
+    """Exponential moving average of params with ramped decay
+    (reference utils/torch_utils.py:606-650: d = decay*(1-exp(-updates/tau)))."""
+
+    params: Any
+    updates: jnp.ndarray
+
+    @staticmethod
+    def create(params) -> "EMA":
+        return EMA(params=jax.tree_util.tree_map(jnp.array, params), updates=jnp.int32(0))
+
+    def update(self, new_params, decay: float = 0.9999, tau: float = 2000.0) -> "EMA":
+        updates = self.updates + 1
+        d = decay * (1 - jnp.exp(-updates.astype(jnp.float32) / tau))
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1 - d), self.params, new_params
+        )
+        return EMA(params=ema, updates=updates)

@@ -1,0 +1,213 @@
+"""Functional training engine.
+
+The reference's BaseTrainer (engine/trainer.py:115-974) is an imperative
+epoch/batch loop with DDP subprocess relaunch, AMP GradScaler, EMA, NaN
+recovery and checkpointing. The TPU-native design:
+
+- **One jitted train_step** over a `jax.sharding.Mesh` — data parallelism is
+  batch-dim sharding (NamedSharding); XLA inserts the gradient all-reduce
+  over ICI. No process relaunch, no NCCL, no GradScaler (bf16 needs no loss
+  scaling).
+- **All mutable training state is one pytree** (params, batch_stats,
+  optimizer state, EMA, WIoU EMA scalar, step) — checkpointable with orbax
+  in one call, donate-able for in-place updates.
+- NaN recovery (trainer.py:856-886) becomes a pure `jnp.where` rollback:
+  if the new loss is non-finite the step returns the previous state.
+- Warmup/accumulate scheduling is folded into the optax schedules
+  (train/optim.py); mosaic-close and early-stop live in the host loop.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fce_yolo_tpu.train.loss import DetectionLossCfg, LossState, detection_loss
+from fce_yolo_tpu.train.optim import EMA, OptimCfg, build_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EMA
+    loss_state: LossState
+    step: jnp.ndarray  # int32
+
+    @property
+    def variables(self) -> dict:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def ema_variables(self) -> dict:
+        return {"params": self.ema.params, "batch_stats": self.batch_stats}
+
+
+def create_train_state(model, variables: dict, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        ema=EMA.create(params),
+        loss_state=LossState.init(),
+        step=jnp.int32(0),
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_cfg: DetectionLossCfg,
+    ema_decay: float = 0.9999,
+) -> Callable:
+    """Build the jittable train step: forward -> loss -> grad -> update ->
+    EMA, with NaN-rollback (reference _handle_nan_recovery analog)."""
+
+    def loss_fn(params, batch_stats, batch, loss_state):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, parts, new_loss_state = detection_loss(
+            out["feats"], batch, loss_cfg, loss_state
+        )
+        return total, (updates["batch_stats"], parts, new_loss_state)
+
+    def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:
+        (total, (new_bs, parts, new_ls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, state.loss_state)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema.update(new_params, decay=ema_decay)
+
+        # NaN/Inf rollback: keep the previous weights if the step exploded
+        finite = jnp.isfinite(total)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
+        new_state = TrainState(
+            params=keep(new_params, state.params),
+            batch_stats=keep(new_bs, state.batch_stats),
+            opt_state=keep(new_opt, state.opt_state),
+            ema=EMA(keep(new_ema.params, state.ema.params), new_ema.updates),
+            loss_state=keep(new_ls, state.loss_state),
+            step=state.step + 1,
+        )
+        metrics = {"loss": total, "finite": finite.astype(jnp.float32), **parts}
+        return new_state, metrics
+
+    return train_step
+
+
+@dataclass
+class TrainCfg:
+    epochs: int = 100
+    batch_size: int = 16
+    imgsz: int = 640
+    optim: OptimCfg = field(default_factory=OptimCfg)
+    loss: DetectionLossCfg = field(default_factory=DetectionLossCfg)
+    ema_decay: float = 0.9999
+    patience: int = 100  # early-stop epochs without fitness improvement
+    close_mosaic: int = 10
+
+
+class EarlyStopping:
+    """Fitness-plateau early stop (reference utils/torch_utils.py:857-907)."""
+
+    def __init__(self, patience: int = 100):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float | None) -> bool:
+        if fitness is None:
+            return False
+        if fitness >= self.best_fitness:
+            self.best_fitness = fitness
+            self.best_epoch = epoch
+        return (epoch - self.best_epoch) >= self.patience
+
+
+def fit(
+    model,
+    variables: dict,
+    data_iter_fn: Callable[[int], Iterable[dict]],
+    cfg: TrainCfg,
+    mesh=None,
+    eval_fn: Callable[[TrainState, int], float] | None = None,
+    callbacks: Any = None,
+    log_every: int = 50,
+) -> tuple[TrainState, list[dict]]:
+    """Host-side epoch loop around the jitted train step.
+
+    Args:
+        data_iter_fn: epoch -> iterable of batches {"img": (B,H,W,3) float,
+            "cls": (B,M), "bboxes": (B,M,4) norm-xywh, "mask": (B,M)}.
+            The epoch argument lets datasets implement mosaic-close.
+        mesh: optional jax.sharding.Mesh for data parallelism; batches are
+            sharded over the 'dp' axis, state is replicated.
+        eval_fn: optional (state, epoch) -> fitness for early stopping.
+
+    Returns:
+        (final TrainState, per-epoch history dicts).
+    """
+    from fce_yolo_tpu.utils.callbacks import CallbackList
+
+    cbs = callbacks or CallbackList()
+    tx = build_optimizer(cfg.optim, variables["params"])
+    state = create_train_state(model, variables, tx)
+    step_fn = make_train_step(model, tx, cfg.loss, cfg.ema_decay)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("dp"))
+        state = jax.device_put(state, repl)
+        batch_shardings = {"img": data_sh, "cls": data_sh, "bboxes": data_sh, "mask": data_sh}
+        step_fn = jax.jit(step_fn, donate_argnums=0, out_shardings=(repl, repl))
+    else:
+        batch_shardings = None
+        step_fn = jax.jit(step_fn, donate_argnums=0)
+
+    stopper = EarlyStopping(cfg.patience)
+    history: list[dict] = []
+    cbs.fire("on_train_start", trainer=None)
+    for epoch in range(cfg.epochs):
+        cbs.fire("on_train_epoch_start", trainer=None)
+        t0 = time.time()
+        agg: dict[str, float] = {}
+        n_batches = 0
+        for batch in data_iter_fn(epoch):
+            if batch_shardings is not None:
+                batch = {
+                    k: jax.device_put(v, batch_shardings.get(k, batch_shardings["img"]))
+                    for k, v in batch.items()
+                }
+            state, metrics = step_fn(state, batch)
+            n_batches += 1
+            if n_batches % log_every == 0:
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+        row = {k: v / max(n_batches // log_every, 1) for k, v in agg.items()}
+        row.update(epoch=epoch, time=time.time() - t0)
+        fitness = eval_fn(state, epoch) if eval_fn else None
+        if fitness is not None:
+            row["fitness"] = fitness
+        history.append(row)
+        cbs.fire("on_fit_epoch_end", trainer=None)
+        if stopper(epoch, fitness):
+            break
+    cbs.fire("on_train_end", trainer=None)
+    return state, history

@@ -8,22 +8,20 @@ force CPU so sharding tests see 8 devices without TPU hardware).
 
 import os
 
-# Force CPU: the ambient environment may pin JAX_PLATFORMS to the (single,
-# exclusive) TPU tunnel — tests must never contend for it.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Force CPU with 8 virtual devices. NOTE: the JAX_PLATFORMS *env var* is
+# ignored under the axon TPU plugin in this image — only the config API
+# works. Tests must never touch the (single, exclusive) TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent XLA compilation cache: first test session pays the compiles,
 # every later session (and the driver's pytest runs) reuses them.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax")
 os.makedirs(_cache_dir, exist_ok=True)
-import jax  # noqa: E402
-
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -1,0 +1,265 @@
+"""Loss-layer tests: unit behavior + full numerical parity vs the reference
+v8DetectionLoss / TaskAlignedAssigner (oracle gated on /root/reference).
+"""
+
+import contextlib
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fce_yolo_tpu.ops.anchors import make_anchors
+from fce_yolo_tpu.train import tal
+from fce_yolo_tpu.train.loss import DetectionLossCfg, LossState, detection_loss, wiouv3_focusing
+
+REF = "/root/reference"
+
+
+def synth_batch(b=2, m=8, nc=80, seed=0, empty_image=True):
+    rng = np.random.RandomState(seed)
+    cls = rng.randint(0, nc, (b, m)).astype(np.float32)
+    xy = rng.uniform(0.2, 0.8, (b, m, 2))
+    wh = rng.uniform(0.05, 0.3, (b, m, 2))
+    boxes = np.concatenate([xy, wh], -1).astype(np.float32)
+    mask = np.ones((b, m), bool)
+    mask[:, m // 2 :] = False  # padded tail
+    if empty_image and b > 1:
+        mask[-1, :] = False  # one image with no gts
+    boxes = boxes * mask[..., None]
+    cls = cls * mask
+    return {"cls": jnp.asarray(cls), "bboxes": jnp.asarray(boxes), "mask": jnp.asarray(mask)}
+
+
+def synth_feats(b=2, nc=80, imgsz=64, seed=1):
+    rng = np.random.RandomState(seed)
+    feats = []
+    for s in (8, 16, 32):
+        h = imgsz // s
+        feats.append(jnp.asarray(rng.randn(b, h, h, nc + 64).astype(np.float32) * 0.5))
+    return feats
+
+
+class TestUnit:
+    def test_loss_finite_and_positive(self):
+        batch = synth_batch()
+        feats = synth_feats()
+        total, parts, state = detection_loss(feats, batch, DetectionLossCfg(), LossState.init())
+        assert np.isfinite(float(total)) and float(total) > 0
+        for k in ("box", "cls", "dfl"):
+            assert np.isfinite(float(parts[k])) and float(parts[k]) >= 0
+
+    def test_loss_no_gt(self):
+        batch = synth_batch()
+        batch = {
+            "cls": batch["cls"] * 0,
+            "bboxes": batch["bboxes"] * 0,
+            "mask": batch["mask"] & False,
+        }
+        total, parts, _ = detection_loss(synth_feats(), batch, DetectionLossCfg(), LossState.init())
+        assert np.isfinite(float(total))
+        assert float(parts["box"]) == 0.0  # no foreground
+        assert float(parts["fg_count"]) == 0
+
+    def test_gradients_flow(self):
+        batch = synth_batch()
+        feats = synth_feats()
+
+        def f(feats):
+            total, _, _ = detection_loss(feats, batch, DetectionLossCfg(), LossState.init())
+            return total
+
+        grads = jax.grad(f)(feats)
+        gnorm = sum(float(jnp.abs(g).sum()) for g in grads)
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_wiou_state_updates(self):
+        batch = synth_batch()
+        feats = synth_feats()
+        cfg = DetectionLossCfg(iou_type="WIoU")
+        s0 = LossState.init()
+        total1, _, s1 = detection_loss(feats, batch, cfg, s0)
+        assert float(s1.wiou_loss_mean) > 0
+        total2, _, s2 = detection_loss(feats, batch, cfg, s1)
+        assert np.isfinite(float(total2))
+        # EMA: second state between batch mean and first state
+        assert float(s2.wiou_loss_mean) > 0
+
+    def test_wiou_focusing_curve(self):
+        """Focusing shape (reference script/test_wiou_focusing.py contract):
+        r(beta=delta)=1; non-zero at tails; peak between easy & hard."""
+        fg = jnp.ones((1, 7), bool)
+        mean = 1.0
+        state = LossState(wiou_loss_mean=jnp.float32(mean))
+        betas = jnp.asarray([[0.1, 0.5, 1.0, 2.0, 3.0, 3.5, 4.0]]) * mean
+        r, _ = wiouv3_focusing(betas, fg, state)
+        r = np.asarray(r)[0]
+        np.testing.assert_allclose(r[4], 1.0, atol=1e-5)  # beta == delta -> r == 1
+        assert r[0] > 0 and r[-1] > 0  # non-zero tails
+        assert r.max() <= 4.0
+        # monotonic rise toward peak near beta = 1/ln(alpha) ~ 1.56
+        assert r[1] > r[0] and r[2] > r[1]
+
+    def test_jit_compiles(self):
+        batch = synth_batch()
+        feats = synth_feats()
+        cfg = DetectionLossCfg(iou_type="WIoU")
+        f = jax.jit(lambda fe, ba, st: detection_loss(fe, ba, cfg, st))
+        total, parts, state = f(feats, batch, LossState.init())
+        assert np.isfinite(float(total))
+
+
+@pytest.mark.parity
+@pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "ultralytics")), reason="no reference")
+class TestParity:
+    @pytest.fixture(scope="class")
+    def ref_pkg(self):
+        import importlib.metadata as md
+
+        orig = md.version
+
+        def fake_version(name, *a, **k):
+            try:
+                return orig(name)
+            except Exception:
+                return "0.23.0"
+
+        md.version = fake_version
+        sys.path.insert(0, REF)
+        yield
+        sys.path.remove(REF)
+
+    def test_assigner_parity(self, ref_pkg):
+        import torch
+        from ultralytics.utils.tal import TaskAlignedAssigner
+        from ultralytics.utils.tal import make_anchors as t_make_anchors
+
+        b, m, nc, imgsz = 2, 8, 16, 64
+        rng = np.random.RandomState(3)
+        feats_t = [torch.zeros(b, 1, imgsz // s, imgsz // s) for s in (8, 16, 32)]
+        anc_t, stride_t = t_make_anchors(feats_t, torch.tensor([8.0, 16.0, 32.0]), 0.5)
+        a_n = anc_t.shape[0]
+
+        pd_scores = rng.rand(b, a_n, nc).astype(np.float32)
+        # plausible decoded boxes around anchors (pixels)
+        centers = (anc_t * stride_t).numpy()
+        wh = rng.uniform(4, 40, (b, a_n, 2)).astype(np.float32)
+        jitter = rng.uniform(-4, 4, (b, a_n, 2)).astype(np.float32)
+        c = centers[None] + jitter
+        pd_bboxes = np.concatenate([c - wh / 2, c + wh / 2], -1).astype(np.float32)
+
+        gt_cls = rng.randint(0, nc, (b, m)).astype(np.float32)
+        xy = rng.uniform(10, 50, (b, m, 2))
+        wh_g = rng.uniform(5, 20, (b, m, 2))
+        gt = np.concatenate([xy - wh_g / 2, xy + wh_g / 2], -1).astype(np.float32)
+        mask = np.zeros((b, m), bool)
+        mask[0, :5] = True
+        mask[1, :3] = True
+        gt = gt * mask[..., None]
+
+        t_assigner = TaskAlignedAssigner(topk=10, num_classes=nc, alpha=0.5, beta=6.0)
+        with torch.no_grad():
+            tl_, tb_, ts_, fg_, tgi_ = t_assigner(
+                torch.from_numpy(pd_scores),
+                torch.from_numpy(pd_bboxes),
+                anc_t * stride_t,
+                torch.from_numpy(gt_cls[..., None]).long().float(),
+                torch.from_numpy(gt),
+                torch.from_numpy(mask[..., None]).float(),
+            )
+
+        out = tal.assign(
+            jnp.asarray(pd_scores),
+            jnp.asarray(pd_bboxes),
+            jnp.asarray((anc_t * stride_t).numpy()),
+            jnp.asarray(gt_cls),
+            jnp.asarray(gt),
+            jnp.asarray(mask),
+            topk=10,
+            num_classes=nc,
+            alpha=0.5,
+            beta=6.0,
+        )
+        np.testing.assert_array_equal(np.asarray(out.fg_mask), fg_.numpy().astype(bool))
+        np.testing.assert_allclose(
+            np.asarray(out.target_bboxes) * np.asarray(out.fg_mask)[..., None],
+            tb_.numpy() * fg_.numpy().astype(np.float32)[..., None],
+            rtol=1e-4,
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.target_scores), ts_.numpy(), rtol=1e-3, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("iou_type", ["CIoU", "WIoU"])
+    def test_full_loss_parity(self, ref_pkg, iou_type):
+        """End-to-end: same weights, same batch -> same (box, cls, dfl) triple."""
+        import types
+
+        import torch
+        import yaml as pyyaml
+        from ultralytics.nn.tasks import DetectionModel as TorchDetectionModel
+
+        from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+        from fce_yolo_tpu.nn.model import build_model
+
+        d = pyyaml.safe_load(open(os.path.join(REF, "ultralytics/cfg/models/11/yolo11.yaml")))
+        d["scale"] = "n"
+        d["nc"] = 8
+        with contextlib.redirect_stdout(io.StringIO()):
+            tm = TorchDetectionModel(d, verbose=False)
+        tm.eval().float()
+        tm.args = types.SimpleNamespace(box=7.5, cls=0.5, dfl=1.5, iou_type=iou_type)
+
+        cfg_dir = os.path.join(os.path.dirname(__file__), "..", "fce_yolo_tpu", "cfg", "models")
+        model, spec, strides = build_model(os.path.join(cfg_dir, "yolo11.yaml"), scale="n", nc=8)
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
+        )
+        variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+        # batch: image 0 has 3 boxes, image 1 none
+        rng = np.random.RandomState(5)
+        img = rng.rand(2, 64, 64, 3).astype(np.float32)
+        n_gt = 3
+        cls_r = rng.randint(0, 8, (n_gt,)).astype(np.float32)
+        xy = rng.uniform(0.3, 0.7, (n_gt, 2))
+        wh = rng.uniform(0.1, 0.25, (n_gt, 2))
+        boxes_r = np.concatenate([xy, wh], -1).astype(np.float32)
+
+        t_batch = {
+            "batch_idx": torch.zeros(n_gt),
+            "cls": torch.from_numpy(cls_r).view(-1, 1),
+            "bboxes": torch.from_numpy(boxes_r),
+        }
+        with torch.no_grad():
+            # eval-mode forward (running BN stats, same as our imported-stats
+            # path) -> (decoded, feats); feed raw feats to the criterion
+            _, feats_t = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+            t_loss, t_items = tm.init_criterion()(feats_t, t_batch)
+
+        # ours: padded batch, feats from our forward with imported weights
+        m_pad = 4
+        cls_p = np.zeros((2, m_pad), np.float32)
+        boxes_p = np.zeros((2, m_pad, 4), np.float32)
+        mask_p = np.zeros((2, m_pad), bool)
+        cls_p[0, :n_gt] = cls_r
+        boxes_p[0, :n_gt] = boxes_r
+        mask_p[0, :n_gt] = True
+        batch = {
+            "cls": jnp.asarray(cls_p),
+            "bboxes": jnp.asarray(boxes_p),
+            "mask": jnp.asarray(mask_p),
+        }
+        out = model.apply(variables, jnp.asarray(img), train=False)
+        cfg = DetectionLossCfg(nc=8, strides=tuple(strides), iou_type=iou_type)
+        total, parts, state = detection_loss(out["feats"], batch, cfg, LossState.init())
+
+        # reference t_items = [box, cls, dfl] (already gain-scaled, pre-batch mult)
+        ours = np.array([float(parts["box"]), float(parts["cls"]), float(parts["dfl"])])
+        np.testing.assert_allclose(ours, t_items.numpy(), rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(float(total), float(t_loss.sum()), rtol=2e-3)
