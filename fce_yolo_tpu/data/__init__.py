@@ -1,0 +1,22 @@
+"""Data pipeline: datasets, host-side augmentation, prefetching loaders.
+
+TPU-native equivalent of the reference's ultralytics/data/ layer
+(BaseDataset/YOLODataset/v8_transforms/build_dataloader): cv2-thread
+augmentation on the host, static padded shapes on the device.
+"""
+
+from fce_yolo_tpu.data.augment import AugmentCfg, letterbox, train_augment, val_transform
+from fce_yolo_tpu.data.dataset import YOLODataset, check_det_dataset, collate
+from fce_yolo_tpu.data.loader import DataLoader, build_dataloader
+
+__all__ = [
+    "AugmentCfg",
+    "DataLoader",
+    "YOLODataset",
+    "build_dataloader",
+    "check_det_dataset",
+    "collate",
+    "letterbox",
+    "train_augment",
+    "val_transform",
+]

@@ -1,0 +1,348 @@
+"""Host-side training augmentations (numpy/cv2) with static-shape outputs.
+
+TPU-first split of the reference pipeline (ultralytics/data/augment.py:2372
+`v8_transforms`): everything random/raggedy (mosaic, affine, HSV, flips)
+runs on the host in loader workers and always emits a fixed (imgsz, imgsz, 3)
+uint8 image plus pixel-xyxy boxes; padding to a static max-label count and
+the /255 normalization happen at collate/device time so each train step is
+ONE fixed-shape host->device transfer feeding a single jit.
+
+Each transform is a pure function of (sample, rng) — no hidden `random`
+module state (the reference uses global random; we thread numpy Generators
+for reproducibility across worker threads).
+
+Sample contract: {"img": (H, W, 3) uint8 BGR-or-RGB (pipeline-agnostic),
+"cls": (n,) float, "bboxes": (n, 4) float pixel xyxy}.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import cv2
+import numpy as np
+
+__all__ = [
+    "AugmentCfg",
+    "letterbox",
+    "mosaic4",
+    "random_perspective",
+    "random_hsv",
+    "random_flip",
+    "mixup",
+    "cutmix",
+    "train_augment",
+    "val_transform",
+]
+
+
+@dataclass(frozen=True)
+class AugmentCfg:
+    """Hyperparameters, defaults matching reference cfg/default.yaml:108-125."""
+
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    degrees: float = 0.0
+    translate: float = 0.1
+    scale: float = 0.5
+    shear: float = 0.0
+    perspective: float = 0.0
+    flipud: float = 0.0
+    fliplr: float = 0.5
+    mosaic: float = 1.0
+    mixup: float = 0.0
+    cutmix: float = 0.0
+
+
+def letterbox(
+    img: np.ndarray,
+    new_shape: int | tuple[int, int] = 640,
+    color: int = 114,
+    scaleup: bool = True,
+    center: bool = True,
+    stride: int = 32,
+    rect: bool = False,
+) -> tuple[np.ndarray, float, tuple[float, float]]:
+    """Aspect-preserving resize + pad to ``new_shape`` (reference augment.py:1509-1675).
+
+    Returns (padded image, scale ratio, (padw, padh)). Boxes map as
+    ``new = old * ratio + pad``.
+    """
+    if isinstance(new_shape, int):
+        new_shape = (new_shape, new_shape)
+    h0, w0 = img.shape[:2]
+    r = min(new_shape[0] / h0, new_shape[1] / w0)
+    if not scaleup:
+        r = min(r, 1.0)
+    new_unpad = (round(w0 * r), round(h0 * r))
+    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
+    if rect:  # minimal stride-aligned padding instead of full square
+        dw, dh = dw % stride, dh % stride
+    if center:
+        dw /= 2
+        dh /= 2
+    if (w0, h0) != new_unpad:
+        img = cv2.resize(img, new_unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom = round(dh - 0.1), round(dh + 0.1)
+    left, right = round(dw - 0.1), round(dw + 0.1)
+    img = cv2.copyMakeBorder(img, top, bottom, left, right, cv2.BORDER_CONSTANT, value=(color,) * 3)
+    return img, r, (left, top)
+
+
+def _apply_letterbox_boxes(bboxes: np.ndarray, r: float, pad: tuple[float, float]) -> np.ndarray:
+    if bboxes.size == 0:
+        return bboxes
+    out = bboxes * r
+    out[:, [0, 2]] += pad[0]
+    out[:, [1, 3]] += pad[1]
+    return out
+
+
+def box_candidates(
+    before: np.ndarray,
+    after: np.ndarray,
+    wh_thr: float = 2.0,
+    ar_thr: float = 100.0,
+    area_thr: float = 0.1,
+    eps: float = 1e-16,
+) -> np.ndarray:
+    """Keep boxes that survive an affine warp (reference augment.py box_candidates)."""
+    w1, h1 = before[:, 2] - before[:, 0], before[:, 3] - before[:, 1]
+    w2, h2 = after[:, 2] - after[:, 0], after[:, 3] - after[:, 1]
+    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+
+
+def random_perspective(
+    sample: dict,
+    rng: np.random.Generator,
+    cfg: AugmentCfg,
+    border: tuple[int, int] = (0, 0),
+    pre_letterbox: int | None = None,
+) -> dict:
+    """Random affine (rotate/scale/shear/translate/perspective) on image + boxes.
+
+    Geometry matches reference augment.py:1080-1160: M = T@S@R@P@C about the
+    image center, warp to size = input + 2*border, borderValue 114.
+    """
+    img, cls, bboxes = sample["img"], sample["cls"], sample["bboxes"]
+    if pre_letterbox is not None:
+        img, r, pad = letterbox(img, pre_letterbox)
+        bboxes = _apply_letterbox_boxes(bboxes, r, pad)
+    h, w = img.shape[:2]
+    out_w, out_h = w + border[0] * 2, h + border[1] * 2
+
+    C = np.eye(3, dtype=np.float32)
+    C[0, 2], C[1, 2] = -w / 2, -h / 2
+    P = np.eye(3, dtype=np.float32)
+    P[2, 0] = rng.uniform(-cfg.perspective, cfg.perspective)
+    P[2, 1] = rng.uniform(-cfg.perspective, cfg.perspective)
+    R = np.eye(3, dtype=np.float32)
+    a = rng.uniform(-cfg.degrees, cfg.degrees)
+    s = rng.uniform(1 - cfg.scale, 1 + cfg.scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3, dtype=np.float32)
+    S[0, 1] = math.tan(rng.uniform(-cfg.shear, cfg.shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-cfg.shear, cfg.shear) * math.pi / 180)
+    T = np.eye(3, dtype=np.float32)
+    T[0, 2] = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * out_w
+    T[1, 2] = rng.uniform(0.5 - cfg.translate, 0.5 + cfg.translate) * out_h
+    M = T @ S @ R @ P @ C
+
+    if cfg.perspective:
+        img = cv2.warpPerspective(img, M, dsize=(out_w, out_h), borderValue=(114, 114, 114))
+    else:
+        img = cv2.warpAffine(img, M[:2], dsize=(out_w, out_h), borderValue=(114, 114, 114))
+
+    if len(bboxes):
+        n = len(bboxes)
+        pts = np.ones((n * 4, 3), np.float32)
+        pts[:, :2] = bboxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+        pts = pts @ M.T
+        xy = (pts[:, :2] / pts[:, 2:3] if cfg.perspective else pts[:, :2]).reshape(n, 8)
+        x, y = xy[:, 0::2], xy[:, 1::2]
+        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], 1)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, out_w)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, out_h)
+        keep = box_candidates(bboxes * s, new, area_thr=0.1)
+        bboxes, cls = new[keep], cls[keep]
+    return {"img": img, "cls": cls, "bboxes": bboxes}
+
+
+def mosaic4(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
+    """Combine 4 samples into a (2*imgsz)^2 canvas around a random center.
+
+    Matches reference augment.py:458-646 _mosaic4: center in
+    [imgsz/2, 3*imgsz/2), quadrant placement with 114 fill. The caller
+    follows with random_perspective(border=(-imgsz//2,)*2) to crop back.
+    """
+    s = imgsz
+    yc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    xc = int(rng.uniform(s // 2, 2 * s - s // 2))
+    canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+    all_cls, all_boxes = [], []
+    for i, sample in enumerate(samples[:4]):
+        img = sample["img"]
+        # pre-scale long side to imgsz (reference load_image does this)
+        h0, w0 = img.shape[:2]
+        r = s / max(h0, w0)
+        if r != 1:
+            img = cv2.resize(img, (min(round(w0 * r), s), min(round(h0 * r), s)), interpolation=cv2.INTER_LINEAR)
+        h, w = img.shape[:2]
+        if i == 0:  # top-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top-right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, 2 * s), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(2 * s, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom-right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, 2 * s), min(2 * s, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+        if len(sample["bboxes"]):
+            b = sample["bboxes"] * r
+            b[:, [0, 2]] += padw
+            b[:, [1, 3]] += padh
+            all_boxes.append(b)
+            all_cls.append(sample["cls"])
+    if all_boxes:
+        boxes = np.concatenate(all_boxes, 0)
+        cls = np.concatenate(all_cls, 0)
+        boxes = boxes.clip(0, 2 * s)
+        wh_ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        boxes, cls = boxes[wh_ok], cls[wh_ok]
+    else:
+        boxes, cls = np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+    return {"img": canvas, "cls": cls, "bboxes": boxes}
+
+
+def random_hsv(img: np.ndarray, rng: np.random.Generator, cfg: AugmentCfg) -> np.ndarray:
+    """LUT-based random HSV jitter (reference augment.py:1346-1421)."""
+    if not (cfg.hsv_h or cfg.hsv_s or cfg.hsv_v):
+        return img
+    r = rng.uniform(-1, 1, 3) * [cfg.hsv_h, cfg.hsv_s, cfg.hsv_v] + 1
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+    x = np.arange(256, dtype=r.dtype)
+    lut_h = ((x * r[0]) % 180).astype(img.dtype)
+    lut_s = np.clip(x * r[1], 0, 255).astype(img.dtype)
+    lut_v = np.clip(x * r[2], 0, 255).astype(img.dtype)
+    hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s), cv2.LUT(val, lut_v)))
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+
+def random_flip(sample: dict, rng: np.random.Generator, cfg: AugmentCfg) -> dict:
+    """Horizontal/vertical flips with box updates (reference augment.py:1422-1508)."""
+    img, bboxes = sample["img"], sample["bboxes"]
+    h, w = img.shape[:2]
+    if cfg.flipud and rng.random() < cfg.flipud:
+        img = np.flipud(img)
+        if len(bboxes):
+            bboxes = bboxes.copy()
+            bboxes[:, [1, 3]] = h - bboxes[:, [3, 1]]
+    if cfg.fliplr and rng.random() < cfg.fliplr:
+        img = np.fliplr(img)
+        if len(bboxes):
+            bboxes = bboxes.copy()
+            bboxes[:, [0, 2]] = w - bboxes[:, [2, 0]]
+    return {"img": np.ascontiguousarray(img), "cls": sample["cls"], "bboxes": bboxes}
+
+
+def mixup(a: dict, b: dict, rng: np.random.Generator) -> dict:
+    """Beta(32, 32) image blend, label union (reference augment.py:820-877)."""
+    lam = rng.beta(32.0, 32.0)
+    img = (a["img"].astype(np.float32) * lam + b["img"].astype(np.float32) * (1 - lam)).astype(np.uint8)
+    return {
+        "img": img,
+        "cls": np.concatenate([a["cls"], b["cls"]], 0),
+        "bboxes": np.concatenate([a["bboxes"], b["bboxes"]], 0),
+    }
+
+
+def cutmix(a: dict, b: dict, rng: np.random.Generator, beta: float = 1.0) -> dict:
+    """Paste a random rectangle of b into a; keep b labels inside it
+    (reference augment.py:878-991, simplified box-overlap filter)."""
+    h, w = a["img"].shape[:2]
+    lam = rng.beta(beta, beta)
+    cut = math.sqrt(1 - lam)
+    cw, ch = int(w * cut), int(h * cut)
+    cx, cy = rng.integers(0, max(w - cw, 1)), rng.integers(0, max(h - ch, 1))
+    img = a["img"].copy()
+    bh, bw = b["img"].shape[:2]
+    patch = cv2.resize(b["img"], (w, h)) if (bh, bw) != (h, w) else b["img"]
+    img[cy : cy + ch, cx : cx + cw] = patch[cy : cy + ch, cx : cx + cw]
+    # b labels whose centers fall inside the pasted window
+    sx, sy = w / bw, h / bh
+    bb = b["bboxes"] * np.array([sx, sy, sx, sy]) if len(b["bboxes"]) else b["bboxes"]
+    if len(bb):
+        cx_c = (bb[:, 0] + bb[:, 2]) / 2
+        cy_c = (bb[:, 1] + bb[:, 3]) / 2
+        inside = (cx_c >= cx) & (cx_c < cx + cw) & (cy_c >= cy) & (cy_c < cy + ch)
+        bb, bcls = bb[inside], b["cls"][inside]
+    else:
+        bcls = b["cls"]
+    return {
+        "img": img,
+        "cls": np.concatenate([a["cls"], bcls], 0),
+        "bboxes": np.concatenate([a["bboxes"], bb], 0) if len(bb) else a["bboxes"],
+    }
+
+
+def train_augment(
+    get_sample,
+    index: int,
+    n_total: int,
+    imgsz: int,
+    cfg: AugmentCfg,
+    rng: np.random.Generator,
+    mosaic_enabled: bool = True,
+) -> dict:
+    """Full train-time pipeline for one output sample (reference v8_transforms).
+
+    get_sample(i) must return a fresh {"img", "cls", "bboxes"} dict.
+    """
+    use_mosaic = mosaic_enabled and cfg.mosaic > 0 and rng.random() < cfg.mosaic
+    if use_mosaic:
+        idxs = [index] + [int(rng.integers(0, n_total)) for _ in range(3)]
+        sample = mosaic4([get_sample(i) for i in idxs], imgsz, rng)
+        border = (-imgsz // 2, -imgsz // 2)
+        sample = random_perspective(sample, rng, cfg, border=border)
+    else:
+        sample = random_perspective(get_sample(index), rng, cfg, pre_letterbox=imgsz)
+    if cfg.mixup > 0 and rng.random() < cfg.mixup:
+        other = train_augment(
+            get_sample, int(rng.integers(0, n_total)), n_total, imgsz, _no_mix(cfg), rng, mosaic_enabled
+        )
+        sample = mixup(sample, other, rng)
+    if cfg.cutmix > 0 and rng.random() < cfg.cutmix:
+        other = train_augment(
+            get_sample, int(rng.integers(0, n_total)), n_total, imgsz, _no_mix(cfg), rng, mosaic_enabled
+        )
+        sample = cutmix(sample, other, rng)
+    sample["img"] = random_hsv(sample["img"], rng, cfg)
+    sample = random_flip(sample, rng, cfg)
+    return sample
+
+
+def _no_mix(cfg: AugmentCfg) -> AugmentCfg:
+    from dataclasses import replace
+
+    return replace(cfg, mixup=0.0, cutmix=0.0)
+
+
+def val_transform(sample: dict, imgsz: int) -> dict:
+    """Val/predict path: letterbox only; records ratio/pad for box scale-back."""
+    img, r, pad = letterbox(sample["img"], imgsz, scaleup=False)
+    return {
+        "img": img,
+        "cls": sample["cls"],
+        "bboxes": _apply_letterbox_boxes(sample["bboxes"].copy(), r, pad),
+        "ratio": r,
+        "pad": pad,
+        "orig_shape": sample["img"].shape[:2],
+    }

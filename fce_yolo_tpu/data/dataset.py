@@ -1,0 +1,217 @@
+"""YOLO-format detection dataset: file scan, label parse/cache, collate.
+
+Behavioral contract follows the reference data layer (data/base.py:23
+BaseDataset scan + data/dataset.py:49 YOLODataset label cache +
+data/utils.py check_det_dataset) but re-designed for the TPU input
+pipeline: __getitem__ returns raw numpy samples; `collate` pads labels to
+a static per-batch capacity so the downstream jitted train step never
+recompiles (static shapes, SURVEY.md §7).
+
+Dataset YAML schema (same as reference cfg/datasets/*.yaml):
+    path: <root>            # dataset root
+    train: images/train     # dir, file list .txt, or list thereof
+    val: images/val
+    names: {0: person, ...} # or list
+Labels live in the sibling `labels/` tree as one .txt per image:
+`cls cx cy w h` normalized xywh per line (converted to pixel xyxy here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import cv2
+import numpy as np
+import yaml
+
+from fce_yolo_tpu.data.augment import AugmentCfg, train_augment, val_transform
+
+IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
+
+__all__ = ["check_det_dataset", "YOLODataset", "collate"]
+
+
+def check_det_dataset(dataset: str | dict) -> dict:
+    """Load + normalize a dataset YAML (reference data/utils.py check_det_dataset).
+
+    Returns {"path", "train", "val", "names", "nc"} with absolute paths.
+    No auto-download (zero-egress environment) — missing paths raise.
+    """
+    if isinstance(dataset, (str, Path)):
+        with open(dataset) as f:
+            d = yaml.safe_load(f)
+        yaml_dir = Path(dataset).resolve().parent
+    else:
+        d, yaml_dir = dict(dataset), Path.cwd()
+
+    names = d.get("names")
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    elif names is None and "nc" in d:
+        names = {i: f"class_{i}" for i in range(d["nc"])}
+    d["names"] = {int(k): str(v) for k, v in names.items()}
+    d["nc"] = len(d["names"])
+
+    root = Path(d.get("path", ".")).expanduser()
+    if not root.is_absolute():
+        root = (yaml_dir / root).resolve()
+    d["path"] = str(root)
+    for split in ("train", "val", "test"):
+        if d.get(split):
+            v = d[split]
+            vv = [v] if isinstance(v, str) else list(v)
+            resolved = [str(p if os.path.isabs(p) else root / p) for p in vv]
+            d[split] = resolved[0] if isinstance(v, str) else resolved
+            for p in resolved:
+                if not os.path.exists(p):
+                    raise FileNotFoundError(f"dataset {split} path not found: {p}")
+    return d
+
+
+def img2label_path(img_path: str) -> str:
+    """images/.../x.jpg -> labels/.../x.txt (reference data/utils.py img2label_paths)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return sb.join(img_path.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
+
+
+def _scan_images(src: str | list) -> list[str]:
+    files: list[str] = []
+    for p in [src] if isinstance(src, str) else src:
+        p = Path(p)
+        if p.is_dir():
+            files += [str(f) for f in sorted(p.rglob("*")) if f.suffix[1:].lower() in IMG_FORMATS]
+        elif p.is_file() and p.suffix == ".txt":
+            base = p.parent
+            for line in p.read_text().splitlines():
+                line = line.strip()
+                if line:
+                    files.append(str((base / line).resolve()) if not os.path.isabs(line) else line)
+        elif p.is_file():
+            files.append(str(p))
+        else:
+            raise FileNotFoundError(f"image source not found: {p}")
+    return files
+
+
+class YOLODataset:
+    """Detection dataset over YOLO-format image/label trees.
+
+    Args:
+        img_path: dir / txt-list / list of them (a split from the data YAML).
+        imgsz: output size (square letterbox or mosaic target).
+        mode: "train" (full augment pipeline) or "val" (letterbox only).
+        hyp: augmentation hyperparameters.
+        cache_labels: persist a parsed-label .npz next to the label tree,
+            keyed by the file-list hash (reference's .cache analog).
+    """
+
+    def __init__(
+        self,
+        img_path: str | list,
+        imgsz: int = 640,
+        mode: str = "train",
+        hyp: AugmentCfg | None = None,
+        nc: int | None = None,
+        cache_labels: bool = True,
+        seed: int = 0,
+    ):
+        self.imgsz = imgsz
+        self.mode = mode
+        self.hyp = hyp or AugmentCfg()
+        self.mosaic_enabled = mode == "train"
+        self.im_files = _scan_images(img_path)
+        if not self.im_files:
+            raise FileNotFoundError(f"no images found in {img_path}")
+        self.labels = self._load_labels(cache_labels)
+        self.nc = nc if nc is not None else int(max((l["cls"].max() for l in self.labels if l["cls"].size), default=0) + 1)
+        self._rng = np.random.default_rng(seed)
+
+    def _load_labels(self, use_cache: bool) -> list[dict]:
+        key = hashlib.sha1("".join(self.im_files).encode()).hexdigest()[:16]
+        cache_path = Path(self.im_files[0]).parent / f".labels_{key}.npz"
+        if use_cache and cache_path.exists():
+            z = np.load(cache_path, allow_pickle=True)
+            return list(z["labels"])
+        labels = []
+        for f in self.im_files:
+            lp = img2label_path(f)
+            if os.path.exists(lp):
+                rows = [l.split() for l in Path(lp).read_text().splitlines() if l.strip()]
+                arr = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+            else:
+                arr = np.zeros((0, 5), np.float32)
+            labels.append({"cls": arr[:, 0], "xywhn": arr[:, 1:5]})
+        if use_cache:
+            try:
+                np.savez_compressed(cache_path, labels=np.array(labels, dtype=object))
+            except OSError:
+                pass
+        return labels
+
+    def __len__(self) -> int:
+        return len(self.im_files)
+
+    def set_epoch(self, epoch: int, close_mosaic_at: int | None = None, total_epochs: int | None = None):
+        """Reseed and handle mosaic-close (reference trainer.py:396-398)."""
+        self._rng = np.random.default_rng(hash((epoch, len(self))) & 0x7FFFFFFF)
+        if close_mosaic_at and total_epochs and epoch >= total_epochs - close_mosaic_at:
+            self.mosaic_enabled = False
+
+    def load_raw(self, i: int) -> dict:
+        """Decode image i and return pixel-xyxy labels."""
+        img = cv2.imread(self.im_files[i])  # BGR HWC uint8
+        if img is None:
+            raise FileNotFoundError(f"failed to read image {self.im_files[i]}")
+        h, w = img.shape[:2]
+        lab = self.labels[i]
+        xywh = lab["xywhn"] * np.array([w, h, w, h], np.float32)
+        boxes = np.empty_like(xywh)
+        if len(xywh):
+            boxes[:, 0] = xywh[:, 0] - xywh[:, 2] / 2
+            boxes[:, 1] = xywh[:, 1] - xywh[:, 3] / 2
+            boxes[:, 2] = xywh[:, 0] + xywh[:, 2] / 2
+            boxes[:, 3] = xywh[:, 1] + xywh[:, 3] / 2
+        return {"img": img, "cls": lab["cls"].copy(), "bboxes": boxes}
+
+    def __getitem__(self, i: int) -> dict:
+        if self.mode == "train":
+            return train_augment(
+                self.load_raw, i, len(self), self.imgsz, self.hyp, self._rng, self.mosaic_enabled
+            )
+        return val_transform(self.load_raw(i), self.imgsz)
+
+
+def collate(samples: list[dict], max_labels: int = 128) -> dict:
+    """Pad a list of samples into one static-shape batch.
+
+    Output: img (B, S, S, 3) uint8 NHWC; cls (B, M); bboxes (B, M, 4)
+    normalized xywh; mask (B, M) bool — the train-step batch contract
+    (train/loss.py detection_loss). Images stay uint8; /255 happens inside
+    the jit so the host->device copy is 4x smaller.
+    """
+    b = len(samples)
+    s = samples[0]["img"].shape[0]
+    img = np.stack([x["img"] for x in samples], 0)
+    cls = np.zeros((b, max_labels), np.float32)
+    bboxes = np.zeros((b, max_labels, 4), np.float32)
+    mask = np.zeros((b, max_labels), bool)
+    for i, x in enumerate(samples):
+        n = min(len(x["cls"]), max_labels)
+        if n:
+            cls[i, :n] = x["cls"][:n]
+            xyxy = x["bboxes"][:n]
+            h, w = x["img"].shape[:2]
+            cx = (xyxy[:, 0] + xyxy[:, 2]) / 2 / w
+            cy = (xyxy[:, 1] + xyxy[:, 3]) / 2 / h
+            bw = (xyxy[:, 2] - xyxy[:, 0]) / w
+            bh = (xyxy[:, 3] - xyxy[:, 1]) / h
+            bboxes[i, :n] = np.stack([cx, cy, bw, bh], 1)
+            mask[i, :n] = True
+    out = {"img": img, "cls": cls, "bboxes": bboxes, "mask": mask}
+    if "ratio" in samples[0]:  # val extras for box scale-back (host-side)
+        out["ratio"] = np.array([x["ratio"] for x in samples], np.float32)
+        out["pad"] = np.array([x["pad"] for x in samples], np.float32)
+        out["orig_shape"] = np.array([x["orig_shape"] for x in samples], np.int32)
+    return out

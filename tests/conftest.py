@@ -41,3 +41,45 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture(autouse=True)
 def _seed():
     np.random.seed(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset(tmp_path_factory):
+    """Synthesize an 8-image, 3-class YOLO-format detection dataset.
+
+    Stands in for the reference's coco8 fixture (their tests download it;
+    this environment has no egress). Images contain solid rectangles at the
+    labeled positions so a trained model has real signal to fit.
+    """
+    import cv2
+
+    root = tmp_path_factory.mktemp("tinydet")
+    rng = np.random.RandomState(3)
+    names = {0: "circle", 1: "square", 2: "tri"}
+    for split, n in (("train", 8), ("val", 4)):
+        img_dir = root / "images" / split
+        lbl_dir = root / "labels" / split
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        for i in range(n):
+            h, w = int(rng.randint(96, 161)), int(rng.randint(96, 161))
+            img = np.full((h, w, 3), 60, np.uint8)
+            lines = []
+            for _ in range(rng.randint(1, 4)):
+                c = rng.randint(0, 3)
+                bw, bh = rng.uniform(0.2, 0.4), rng.uniform(0.2, 0.4)
+                cx = rng.uniform(bw / 2, 1 - bw / 2)
+                cy = rng.uniform(bh / 2, 1 - bh / 2)
+                x1, y1 = int((cx - bw / 2) * w), int((cy - bh / 2) * h)
+                x2, y2 = int((cx + bw / 2) * w), int((cy + bh / 2) * h)
+                color = [(255, 80, 80), (80, 255, 80), (80, 80, 255)][c]
+                cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+                lines.append(f"{c} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+            cv2.imwrite(str(img_dir / f"{i:03d}.jpg"), img)
+            (lbl_dir / f"{i:03d}.txt").write_text("\n".join(lines) + "\n")
+    yaml_path = root / "data.yaml"
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\n"
+        "names:\n  0: circle\n  1: square\n  2: tri\n"
+    )
+    return str(yaml_path)
