@@ -1,0 +1,334 @@
+"""`YOLO` user facade: load / train / val / predict / save.
+
+Mirrors the reference's engine/model.py Model API (train:711, val:580,
+predict:477, task_map:1061) for the detect task, on the functional JAX
+core: the facade owns the (model, variables) pair and wires the data
+pipeline, jitted train step, validator and checkpoints together.
+
+Model sources accepted:
+- "yolo11n.yaml" / "yolo11s-fce.yaml"... -> built from the packaged cfg
+  (scale letter parsed from the stem, reference nn/tasks.py:1769).
+- a checkpoint directory produced by .save()/.train() -> weights + meta.
+- a torch .pt file -> imported via nn/import_torch (reference-weight interop).
+"""
+
+from __future__ import annotations
+
+import csv
+import math
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from fce_yolo_tpu.nn.model import build_model, init_variables, param_count
+from fce_yolo_tpu.nn.parser import guess_scale
+from fce_yolo_tpu.utils.checkpoint import is_checkpoint, load_checkpoint, save_checkpoint
+
+__all__ = ["YOLO"]
+
+CFG_DIR = Path(__file__).parent / "cfg" / "models"
+
+
+def _resolve_yaml(name: str) -> tuple[str, str | None]:
+    """'yolo11n-fce.yaml' -> (packaged yolo11-fce.yaml path, 'n')."""
+    p = Path(name)
+    if p.exists():
+        return str(p), guess_scale(p.stem)
+    stem = p.stem
+    scale = guess_scale(stem)
+    if scale:
+        # strip the scale letter after the version digits: yolo11n-fce -> yolo11-fce
+        stem = stem.replace(scale, "", 1) if f"11{scale}" in stem else stem
+    cand = CFG_DIR / f"{stem}.yaml"
+    if cand.exists():
+        return str(cand), scale
+    raise FileNotFoundError(f"model yaml not found: {name} (looked in {CFG_DIR})")
+
+
+class YOLO:
+    """Detection model facade over the functional core."""
+
+    def __init__(self, model: str = "yolo11n.yaml", nc: int | None = None, names: dict | None = None):
+        import jax
+
+        self.ckpt_meta: dict[str, Any] = {}
+        self.names: dict[int, str] = names or {}
+        if isinstance(model, str) and is_checkpoint(model):
+            tree, meta = load_checkpoint(model)
+            self.model, self.spec, self.strides = build_model(
+                meta["cfg_yaml"], scale=meta.get("scale"), nc=meta.get("nc")
+            )
+            self.variables = {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}
+            self.names = {int(k): v for k, v in meta.get("names", {}).items()}
+            self.ckpt_meta = meta
+            self.cfg_yaml, self.scale = meta["cfg_yaml"], meta.get("scale")
+        elif isinstance(model, str) and model.endswith(".pt"):
+            from fce_yolo_tpu.nn.import_torch import import_torch_checkpoint, load_pt_state_dict
+
+            # derive architecture from the filename (e.g. yolo11n.pt)
+            yaml_path, scale = _resolve_yaml(model.rsplit("/", 1)[-1].replace(".pt", ".yaml"))
+            self.model, self.spec, self.strides = build_model(yaml_path, scale=scale, nc=nc)
+            self.variables = import_torch_checkpoint(load_pt_state_dict(model), self.model)
+            self.cfg_yaml, self.scale = yaml_path, scale
+        else:
+            yaml_path, scale = _resolve_yaml(model)
+            self.model, self.spec, self.strides = build_model(yaml_path, scale=scale, nc=nc)
+            self.variables = None  # lazy init (first predict/train)
+            self.cfg_yaml, self.scale = yaml_path, scale
+        if not self.names:
+            self.names = {i: f"class_{i}" for i in range(self.spec.nc)}
+        self._rng = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------- helpers
+    @property
+    def nc(self) -> int:
+        return self.spec.nc
+
+    def _ensure_variables(self, imgsz: int = 640):
+        if self.variables is None:
+            import jax
+
+            with jax.default_device(jax.local_devices()[0]):
+                self.variables = jax.jit(
+                    lambda k: init_variables(self.model, k, imgsz=64)
+                )(self._rng)
+        return self.variables
+
+    def info(self) -> dict:
+        v = self._ensure_variables()
+        return {"params": param_count(v), "nc": self.nc, "strides": self.strides, "yaml": self.cfg_yaml}
+
+    def save(self, path: str, extra_meta: dict | None = None) -> str:
+        v = self._ensure_variables()
+        meta = {
+            "cfg_yaml": self.cfg_yaml,
+            "scale": self.scale,
+            "nc": self.nc,
+            "names": self.names,
+            **(extra_meta or {}),
+        }
+        return save_checkpoint(path, {"params": v["params"], "batch_stats": v.get("batch_stats", {})}, meta)
+
+    # ------------------------------------------------------------- predict
+    def predict(self, source, conf: float = 0.25, iou: float = 0.7, imgsz: int = 640,
+                max_det: int = 300, batch: int = 1, stream: bool = False):
+        from fce_yolo_tpu.engine.predictor import DetectionPredictor
+
+        predictor = DetectionPredictor(
+            self.model, self.names, imgsz=imgsz, conf=conf, iou=iou, max_det=max_det, batch_size=batch
+        )
+        v = self._ensure_variables(imgsz)
+        gen = predictor.stream(v, source)
+        return gen if stream else list(gen)
+
+    def __call__(self, source, **kw):
+        return self.predict(source, **kw)
+
+    # ----------------------------------------------------------------- val
+    def val(self, data: str, imgsz: int = 640, batch: int = 16, conf: float = 0.001,
+            iou: float = 0.7, max_det: int = 300, workers: int = 8, verbose: bool = True) -> dict:
+        from fce_yolo_tpu.data import check_det_dataset
+        from fce_yolo_tpu.engine.validator import DetectionValidator
+
+        d = check_det_dataset(data)
+        if not self.names or all(v.startswith("class_") for v in self.names.values()):
+            self.names = d["names"]
+        validator = DetectionValidator(
+            self.model, self.names, imgsz=imgsz, conf=conf, iou=iou,
+            max_det=max_det, batch_size=batch, workers=workers,
+        )
+        return validator(self._ensure_variables(imgsz), data=data, verbose=verbose)
+
+    # --------------------------------------------------------------- train
+    def train(
+        self,
+        data: str,
+        epochs: int = 100,
+        batch: int = 16,
+        imgsz: int = 640,
+        optimizer: str = "auto",
+        lr0: float | None = None,
+        lrf: float = 0.01,
+        cos_lr: bool = False,
+        iou_type: str = "CIoU",
+        close_mosaic: int = 10,
+        patience: int = 100,
+        workers: int = 8,
+        max_labels: int = 128,
+        project: str = "runs/detect",
+        name: str = "train",
+        val: bool = True,
+        save_period: int = -1,
+        seed: int = 0,
+        device_mesh=None,
+        verbose: bool = True,
+        **hyp_overrides,
+    ) -> dict:
+        """Full training run: per-epoch val on EMA weights, results.csv,
+        last/best checkpoints, early stop, mosaic-close.
+
+        Reproduces the reference BaseTrainer._do_train contract
+        (engine/trainer.py:384-516) in a host loop around one jitted step.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from fce_yolo_tpu.data import AugmentCfg, DataLoader, YOLODataset, check_det_dataset
+        from fce_yolo_tpu.engine.validator import DetectionValidator
+        from fce_yolo_tpu.train.loss import DetectionLossCfg
+        from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
+        from fce_yolo_tpu.train.trainer import EarlyStopping, TrainState, create_train_state, make_train_step
+
+        d = check_det_dataset(data)
+        self.names = d["names"]
+        if d["nc"] != self.nc:
+            self.model, self.spec, self.strides = build_model(self.cfg_yaml, scale=self.scale, nc=d["nc"])
+            self.variables = None
+
+        aug_kw = {k: v for k, v in hyp_overrides.items() if k in AugmentCfg.__dataclass_fields__}
+        hyp = AugmentCfg(**aug_kw)
+        train_ds = YOLODataset(d["train"], imgsz=imgsz, mode="train", hyp=hyp, nc=d["nc"], seed=seed)
+        loader = DataLoader(train_ds, batch_size=batch, workers=workers, max_labels=max_labels, seed=seed)
+        steps_per_epoch = len(loader)
+
+        save_dir = Path(project) / name
+        save_dir.mkdir(parents=True, exist_ok=True)
+
+        v = self._ensure_variables(imgsz)
+        optim_kw = {
+            k: v
+            for k, v in hyp_overrides.items()
+            if k in ("momentum", "weight_decay", "warmup_epochs", "warmup_momentum", "warmup_bias_lr", "nbs")
+        }
+        optim_cfg = OptimCfg(
+            optimizer=optimizer,
+            lr0=lr0 if lr0 is not None else 0.01,
+            lrf=lrf,
+            cos_lr=cos_lr,
+            batch_size=batch,
+            epochs=epochs,
+            steps_per_epoch=max(steps_per_epoch, 1),
+            nc=d["nc"],
+            **optim_kw,
+        )
+        if lr0 is not None and optimizer == "auto":
+            optim_cfg = optim_cfg._replace(optimizer="AdamW" if epochs * steps_per_epoch <= 10000 else "SGD")
+        loss_cfg = DetectionLossCfg(nc=d["nc"], strides=tuple(self.strides), iou_type=iou_type)
+        tx = build_optimizer(optim_cfg, v["params"])
+        state = create_train_state(self.model, v, tx)
+        step_fn = make_train_step(self.model, tx, loss_cfg)
+
+        if device_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(device_mesh, P())
+            data_sh = NamedSharding(device_mesh, P("dp"))
+            state = jax.device_put(state, repl)
+            step_fn = jax.jit(step_fn, donate_argnums=0, out_shardings=(repl, repl))
+            put = lambda b: {k: jax.device_put(np.asarray(val), data_sh) for k, val in b.items()}
+        else:
+            step_fn = jax.jit(step_fn, donate_argnums=0)
+            put = lambda b: b
+
+        validator = (
+            DetectionValidator(self.model, self.names, imgsz=imgsz, batch_size=batch, workers=workers)
+            if val
+            else None
+        )
+        val_loader = validator.get_dataloader(d, "val") if validator else None
+
+        stopper = EarlyStopping(patience)
+        best_fitness = -1.0
+        csv_path = save_dir / "results.csv"
+        csv_rows: list[dict] = []
+        t_start = time.time()
+
+        if verbose:
+            info = self.info()
+            print(f"train: {self.cfg_yaml} scale={self.scale} params={info['params']:,} "
+                  f"nc={d['nc']} imgsz={imgsz} batch={batch} epochs={epochs} "
+                  f"steps/epoch={steps_per_epoch} optimizer={optim_cfg.optimizer}")
+
+        for epoch in range(epochs):
+            loader.set_epoch(epoch, close_mosaic_at=close_mosaic, total_epochs=epochs)
+            t0 = time.time()
+            sums: dict[str, float] = {}
+            nb = 0
+            for b in loader:
+                bdev = put({k: b[k] for k in ("img", "cls", "bboxes", "mask")})
+                state, m = step_fn(state, bdev)
+                nb += 1
+                if nb == 1 or nb % 10 == 0 or nb == steps_per_epoch:
+                    for k in ("loss", "box", "cls", "dfl"):
+                        sums[k] = sums.get(k, 0.0) + float(m[k])
+                        sums.setdefault("_n", 0)
+                    sums["_n"] = sums.get("_n", 0) + 1
+
+            n_logged = max(sums.pop("_n", 1), 1)
+            row = {
+                "epoch": epoch,
+                "time": round(time.time() - t_start, 2),
+                "train/box_loss": sums.get("box", 0.0) / n_logged,
+                "train/cls_loss": sums.get("cls", 0.0) / n_logged,
+                "train/dfl_loss": sums.get("dfl", 0.0) / n_logged,
+            }
+
+            fitness = None
+            if validator is not None:
+                ema_vars = {"params": state.ema.params, "batch_stats": state.batch_stats}
+                res = validator(ema_vars, dataloader=val_loader, verbose=False)
+                fitness = res["fitness"]
+                row.update({k: v for k, v in res.items() if k.startswith("metrics/")})
+                row["fitness"] = fitness
+            csv_rows.append(row)
+            self._write_csv(csv_path, csv_rows)
+
+            # checkpoints: last + best (+ periodic), EMA weights as the model
+            self.variables = {"params": jax.device_get(state.ema.params),
+                              "batch_stats": jax.device_get(state.batch_stats)}
+            meta = {"cfg_yaml": self.cfg_yaml, "scale": self.scale, "nc": self.nc,
+                    "names": self.names, "epoch": epoch, "fitness": fitness,
+                    "train_args": {"data": str(data), "epochs": epochs, "batch": batch,
+                                   "imgsz": imgsz, "iou_type": iou_type}}
+            self.save(str(save_dir / "weights" / "last"), meta)
+            if fitness is not None and fitness > best_fitness:
+                best_fitness = fitness
+                self.save(str(save_dir / "weights" / "best"), meta)
+            if save_period > 0 and (epoch + 1) % save_period == 0:
+                self.save(str(save_dir / "weights" / f"epoch{epoch}"), meta)
+
+            if verbose:
+                fit_s = f" fitness={fitness:.4f}" if fitness is not None else ""
+                print(f"epoch {epoch + 1}/{epochs} loss(box/cls/dfl)="
+                      f"{row['train/box_loss']:.3f}/{row['train/cls_loss']:.3f}/{row['train/dfl_loss']:.3f}"
+                      f"{fit_s} ({time.time() - t0:.1f}s)")
+            if stopper(epoch, fitness):
+                if verbose:
+                    print(f"early stop at epoch {epoch + 1} (patience {patience})")
+                break
+
+        # final: keep best weights loaded if we tracked fitness (reference final_eval)
+        best_dir = save_dir / "weights" / "best"
+        if best_fitness >= 0 and is_checkpoint(best_dir):
+            tree, _ = load_checkpoint(best_dir)
+            self.variables = {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}
+        return {
+            "save_dir": str(save_dir),
+            "best_fitness": best_fitness,
+            "epochs_run": len(csv_rows),
+            "results": csv_rows,
+        }
+
+    @staticmethod
+    def _write_csv(path: Path, rows: list[dict]):
+        keys: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)

@@ -1,0 +1,201 @@
+"""Run configuration: default merge, type checking, CLI entrypoint.
+
+Analog of the reference's cfg/__init__.py (get_cfg:279, entrypoint:824):
+a flat typed namespace from cfg/default.yaml, `k=v` CLI grammar with
+fuzzy-mismatch suggestions (check_dict_alignment:463).
+"""
+
+from __future__ import annotations
+
+import difflib
+import sys
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Any
+
+import yaml
+
+DEFAULT_CFG_PATH = Path(__file__).parent / "default.yaml"
+
+# flags typed by constraint (reference cfg/__init__.py:81-118)
+CFG_FLOAT_KEYS = {"warmup_epochs", "box", "cls", "dfl", "degrees", "shear", "time", "workspace", "batch"}
+CFG_FRACTION_KEYS = {
+    "dropout", "lr0", "lrf", "momentum", "weight_decay", "warmup_momentum", "warmup_bias_lr",
+    "hsv_h", "hsv_s", "hsv_v", "translate", "scale", "perspective", "flipud", "fliplr",
+    "mosaic", "mixup", "cutmix", "copy_paste", "conf", "iou", "fraction",
+}
+CFG_INT_KEYS = {
+    "epochs", "patience", "workers", "seed", "close_mosaic", "max_det", "vid_stride",
+    "line_width", "nbs", "save_period", "max_labels",
+}
+CFG_BOOL_KEYS = {
+    "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",
+    "resume", "profile", "multi_scale", "bf16", "val", "save_json", "plots", "visualize",
+    "augment", "agnostic_nms", "show", "save_frames", "save_txt", "save_conf", "save_crop",
+    "show_labels", "show_conf", "show_boxes", "int8", "dynamic", "nms", "pretrained",
+}
+
+TASKS = ("detect", "segment", "classify", "pose", "obb")
+MODES = ("train", "val", "predict", "export", "track", "benchmark")
+
+__all__ = ["get_cfg", "entrypoint", "DEFAULT_CFG_PATH", "load_default_cfg", "check_cfg"]
+
+
+def load_default_cfg() -> dict[str, Any]:
+    with open(DEFAULT_CFG_PATH) as f:
+        return yaml.safe_load(f)
+
+
+def _coerce(k: str, v: Any) -> Any:
+    """Parse CLI string values into their typed form."""
+    if not isinstance(v, str):
+        return v
+    low = v.lower()
+    if low == "none":
+        return None
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if "," in v:
+        return [_coerce(k, s) for s in v.split(",") if s]
+    return v
+
+
+def check_cfg(cfg: dict[str, Any]) -> dict[str, Any]:
+    """Type-check known keys, raising readable errors (get_cfg:323-387)."""
+    for k, v in cfg.items():
+        if v is None:
+            continue
+        if k in CFG_FLOAT_KEYS | CFG_FRACTION_KEYS and not isinstance(v, (int, float)):
+            raise TypeError(f"'{k}={v}' must be a number, got {type(v).__name__}")
+        if k in CFG_FRACTION_KEYS and not (0.0 <= float(v) <= 1.0):
+            raise ValueError(f"'{k}={v}' must be in [0, 1]")
+        if k in CFG_INT_KEYS and not isinstance(v, int):
+            if isinstance(v, float) and v.is_integer():
+                cfg[k] = int(v)
+            else:
+                raise TypeError(f"'{k}={v}' must be an int, got {type(v).__name__}")
+        if k in CFG_BOOL_KEYS and not isinstance(v, bool):
+            raise TypeError(f"'{k}={v}' must be a bool, got {type(v).__name__}")
+    return cfg
+
+
+def check_dict_alignment(base: dict, custom: dict):
+    """Reject unknown keys with did-you-mean suggestions (cfg/__init__.py:463)."""
+    unknown = [k for k in custom if k not in base]
+    if unknown:
+        msgs = []
+        for k in unknown:
+            sim = difflib.get_close_matches(k, base.keys(), n=3, cutoff=0.5)
+            hint = f" — did you mean {', '.join(repr(s) for s in sim)}?" if sim else ""
+            msgs.append(f"'{k}' is not a valid argument{hint}")
+        raise SyntaxError("\n".join(msgs))
+
+
+def get_cfg(overrides: dict[str, Any] | None = None, cfg: dict | str | None = None) -> SimpleNamespace:
+    """Merge default.yaml <- optional cfg file <- overrides, typed + validated."""
+    base = load_default_cfg()
+    if cfg:
+        extra = yaml.safe_load(open(cfg)) if isinstance(cfg, str) else dict(cfg)
+        check_dict_alignment(base, extra)
+        base.update(extra)
+    if overrides:
+        overrides = {k: _coerce(k, v) for k, v in overrides.items()}
+        check_dict_alignment(base, overrides)
+        base.update(overrides)
+    return SimpleNamespace(**check_cfg(base))
+
+
+HELP_MSG = """FCE-YOLO-TPU CLI — usage:  yolo-tpu TASK MODE [k=v ...]
+
+  TASK: detect (default)
+  MODE: train | val | predict | export | benchmark
+
+examples:
+  yolo-tpu detect train data=coco_custom.yaml model=yolo11n-fce.yaml epochs=100 iou_type=WIoU
+  yolo-tpu detect val model=runs/detect/train/weights/best data=coco_custom.yaml
+  yolo-tpu detect predict model=runs/detect/train/weights/best source=images/
+"""
+
+
+def entrypoint(argv: list[str] | None = None) -> Any:
+    """CLI: `yolo-tpu [task] [mode] k=v ...` (reference entrypoint:824-995)."""
+    args = list(argv if argv is not None else sys.argv[1:])
+    if not args or args[0] in ("help", "-h", "--help"):
+        print(HELP_MSG)
+        return None
+
+    task, mode, kv = "detect", None, {}
+    for a in args:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            kv[k] = v
+        elif a in TASKS:
+            task = a
+        elif a in MODES:
+            mode = a
+        else:
+            raise SyntaxError(f"unrecognized argument {a!r}\n{HELP_MSG}")
+    if mode is None:
+        raise SyntaxError(f"no mode given (one of {MODES})\n{HELP_MSG}")
+    if task != "detect":
+        raise NotImplementedError(f"task {task!r} CLI not wired yet (detect only)")
+
+    model_src = kv.pop("model", None) or "yolo11n.yaml"
+    source = kv.pop("source", None)
+    data = kv.pop("data", None)
+    cfg = get_cfg(overrides={**kv, "task": task, "mode": mode, "model": model_src})
+
+    from fce_yolo_tpu.api import YOLO
+
+    model = YOLO(model_src)
+    if mode == "train":
+        assert data, "train requires data=<dataset.yaml>"
+        return model.train(
+            data=data, epochs=cfg.epochs, batch=int(cfg.batch), imgsz=cfg.imgsz,
+            optimizer=cfg.optimizer, lr0=kv.get("lr0") and float(kv["lr0"]), lrf=cfg.lrf,
+            cos_lr=cfg.cos_lr, iou_type=cfg.iou_type, close_mosaic=cfg.close_mosaic,
+            patience=cfg.patience, workers=cfg.workers, max_labels=cfg.max_labels,
+            project=cfg.project or "runs/detect", name=cfg.name or "train",
+            val=cfg.val, save_period=cfg.save_period, seed=cfg.seed, verbose=cfg.verbose,
+            hsv_h=cfg.hsv_h, hsv_s=cfg.hsv_s, hsv_v=cfg.hsv_v, degrees=cfg.degrees,
+            translate=cfg.translate, scale=cfg.scale, shear=cfg.shear,
+            perspective=cfg.perspective, flipud=cfg.flipud, fliplr=cfg.fliplr,
+            mosaic=cfg.mosaic, mixup=cfg.mixup, cutmix=cfg.cutmix,
+        )
+    if mode == "val":
+        assert data, "val requires data=<dataset.yaml>"
+        res = model.val(data=data, imgsz=cfg.imgsz, batch=int(cfg.batch),
+                        conf=cfg.conf or 0.001, iou=cfg.iou, max_det=cfg.max_det,
+                        workers=cfg.workers, verbose=cfg.verbose)
+        return {k: v for k, v in res.items() if isinstance(v, float)}
+    if mode == "predict":
+        assert source, "predict requires source=<path>"
+        results = model.predict(source, conf=cfg.conf or 0.25, iou=cfg.iou,
+                                imgsz=cfg.imgsz, max_det=cfg.max_det)
+        if cfg.save or cfg.save_txt:
+            out_dir = Path(cfg.project or "runs/detect") / (cfg.name or "predict")
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for i, r in enumerate(results):
+                stem = Path(r.path).stem if r.path not in ("array", "pil") else f"im{i}"
+                if cfg.save:
+                    r.save(str(out_dir / f"{stem}.jpg"))
+                if cfg.save_txt:
+                    r.save_txt(str(out_dir / "labels" / f"{stem}.txt"), save_conf=cfg.save_conf)
+        return results
+    if mode == "export":
+        from fce_yolo_tpu.engine.exporter import export_model
+
+        return export_model(model, fmt=cfg.format, imgsz=cfg.imgsz, nms=cfg.nms, int8=cfg.int8)
+    if mode == "benchmark":
+        from fce_yolo_tpu.utils.benchmarks import benchmark
+
+        return benchmark(model, imgsz=cfg.imgsz, data=data)
+    raise NotImplementedError(f"mode {mode!r}")

@@ -1,0 +1,167 @@
+"""Streaming detection predictor.
+
+Analog of the reference BasePredictor/DetectionPredictor
+(engine/predictor.py:277 stream_inference, models/yolo/detect/predict.py).
+TPU design: sources are normalized to fixed-size letterboxed uint8 batches
+on the host; ONE jit covers normalize -> forward -> decode -> NMS; results
+stream back as host-side Results objects. Batch shape is padded to the
+predictor's fixed batch size so the jit compiles once.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from fce_yolo_tpu.data.augment import letterbox
+from fce_yolo_tpu.data.dataset import IMG_FORMATS
+from fce_yolo_tpu.engine.results import Results
+from fce_yolo_tpu.ops import batched_nms
+
+__all__ = ["DetectionPredictor", "load_source"]
+
+VID_FORMATS = {"asf", "avi", "gif", "m4v", "mkv", "mov", "mp4", "mpeg", "mpg", "ts", "webm", "wmv"}
+
+
+def load_source(source) -> Iterator[tuple[np.ndarray, str]]:
+    """Yield (BGR image, path-or-id) from any supported source type.
+
+    Supported: ndarray, PIL.Image, file path, dir path, glob list, video file
+    (reference data/build.py:391 load_inference_source, simplified: no
+    webcams/streams in this environment).
+    """
+    import cv2
+
+    if isinstance(source, (list, tuple)):
+        for s in source:
+            yield from load_source(s)
+        return
+    if isinstance(source, np.ndarray):
+        yield source, "array"
+        return
+    if source.__class__.__module__.startswith("PIL"):
+        arr = np.asarray(source)[..., ::-1]  # RGB -> BGR
+        yield np.ascontiguousarray(arr), "pil"
+        return
+    p = Path(source)
+    if p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.suffix[1:].lower() in IMG_FORMATS:
+                img = cv2.imread(str(f))
+                if img is not None:
+                    yield img, str(f)
+        return
+    if p.is_file():
+        if p.suffix[1:].lower() in VID_FORMATS:
+            cap = cv2.VideoCapture(str(p))
+            i = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield frame, f"{p}#frame{i}"
+                i += 1
+            cap.release()
+            return
+        img = cv2.imread(str(p))
+        if img is None:
+            raise FileNotFoundError(f"failed to read {p}")
+        yield img, str(p)
+        return
+    raise FileNotFoundError(f"source not found: {source}")
+
+
+class DetectionPredictor:
+    """Fixed-shape batched predictor over arbitrary sources."""
+
+    def __init__(
+        self,
+        model,
+        names: dict[int, str],
+        imgsz: int = 640,
+        conf: float = 0.25,
+        iou: float = 0.7,
+        max_det: int = 300,
+        batch_size: int = 1,
+    ):
+        self.model = model
+        self.names = names
+        self.imgsz = imgsz
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.batch_size = batch_size
+        self._predict = None
+
+    def _build_predict(self):
+        import jax
+        import jax.numpy as jnp
+
+        model, conf, iou, max_det = self.model, self.conf, self.iou, self.max_det
+
+        @jax.jit
+        def predict(variables, img_u8):
+            x = img_u8.astype(jnp.float32) / 255.0
+            preds = model.apply(variables, x, train=False)["preds"]
+            return batched_nms(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+
+        return predict
+
+    def stream(self, variables: dict, source) -> Iterator[Results]:
+        """Generator over Results, batching the source internally."""
+        import jax
+
+        if self._predict is None:
+            self._predict = self._build_predict()
+
+        pending: list[tuple[np.ndarray, str, float, tuple[float, float]]] = []
+        imgs: list[np.ndarray] = []
+
+        def flush() -> Iterable[Results]:
+            if not pending:
+                return
+            n = len(pending)
+            while len(imgs) < self.batch_size:  # pad to static shape
+                imgs.append(imgs[-1])
+            t0 = time.perf_counter()
+            batch = np.stack(imgs, 0)
+            t_pre = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = jax.device_get(self._predict(variables, batch))
+            t_inf = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for i in range(n):
+                orig, path, r, (pw, ph) = pending[i]
+                valid = out["valid"][i]
+                boxes = out["boxes"][i][valid]
+                oh, ow = orig.shape[:2]
+                boxes = (boxes - np.array([pw, ph, pw, ph])) / r
+                boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, ow)
+                boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, oh)
+                data = np.concatenate(
+                    [boxes, out["scores"][i][valid, None], out["classes"][i][valid, None]], 1
+                )
+                yield Results(
+                    orig, path, self.names, boxes=data,
+                    speed={
+                        "preprocess": t_pre * 1000 / n,
+                        "inference": t_inf * 1000 / n,
+                        "postprocess": (time.perf_counter() - t0) * 1000 / n,
+                    },
+                )
+            pending.clear()
+            imgs.clear()
+
+        for img, path in load_source(source):
+            lb, r, pad = letterbox(img, self.imgsz, scaleup=False)
+            pending.append((img, path, r, pad))
+            imgs.append(lb)
+            if len(pending) == self.batch_size:
+                yield from flush()
+        yield from flush()
+
+    def __call__(self, variables: dict, source) -> list[Results]:
+        return list(self.stream(variables, source))

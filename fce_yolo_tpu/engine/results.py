@@ -1,0 +1,148 @@
+"""Inference result containers (host-side numpy).
+
+Analog of the reference's engine/results.py Results/Boxes (results.py:176,
+:815) without the device-chaining machinery — in this framework everything
+that reaches a Results object has already left the TPU as one fixed-shape
+NMS dict, so the container is plain numpy with plotting/saving helpers.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["Boxes", "Results"]
+
+
+class Boxes:
+    """Final detection boxes for one image.
+
+    Wraps (n, 6) [x1, y1, x2, y2, conf, cls] in original-image pixels.
+    """
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data, np.float32).reshape(-1, 6)
+        self.orig_shape = orig_shape
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, i) -> "Boxes":
+        return Boxes(self.data[i], self.orig_shape)
+
+    @property
+    def xyxy(self) -> np.ndarray:
+        return self.data[:, :4]
+
+    @property
+    def conf(self) -> np.ndarray:
+        return self.data[:, 4]
+
+    @property
+    def cls(self) -> np.ndarray:
+        return self.data[:, 5]
+
+    @property
+    def xywh(self) -> np.ndarray:
+        b = self.data[:, :4]
+        return np.stack(
+            [(b[:, 0] + b[:, 2]) / 2, (b[:, 1] + b[:, 3]) / 2, b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]], 1
+        )
+
+    @property
+    def xyxyn(self) -> np.ndarray:
+        h, w = self.orig_shape
+        return self.data[:, :4] / np.array([w, h, w, h], np.float32)
+
+    @property
+    def xywhn(self) -> np.ndarray:
+        h, w = self.orig_shape
+        return self.xywh / np.array([w, h, w, h], np.float32)
+
+
+class Results:
+    """One image's predictions + helpers (plot/save_txt/to-dict)."""
+
+    def __init__(
+        self,
+        orig_img: np.ndarray,
+        path: str,
+        names: dict[int, str],
+        boxes: np.ndarray | None = None,
+        speed: dict | None = None,
+    ):
+        self.orig_img = orig_img
+        self.orig_shape = orig_img.shape[:2]
+        self.path = path
+        self.names = names
+        self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)), self.orig_shape)
+        self.speed = speed or {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
+
+    def __len__(self) -> int:
+        return len(self.boxes)
+
+    def __repr__(self) -> str:
+        return f"Results(path={self.path!r}, n={len(self)}, shape={self.orig_shape})"
+
+    def summary(self) -> list[dict]:
+        out = []
+        for row in self.boxes.data:
+            c = int(row[5])
+            out.append(
+                {
+                    "name": self.names.get(c, str(c)),
+                    "class": c,
+                    "confidence": round(float(row[4]), 5),
+                    "box": {k: round(float(v), 2) for k, v in zip(("x1", "y1", "x2", "y2"), row[:4])},
+                }
+            )
+        return out
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(self.summary(), indent=2)
+
+    def plot(self, line_width: int | None = None, font_scale: float = 0.5) -> np.ndarray:
+        """Draw boxes + labels on a copy of the original image."""
+        import cv2
+
+        img = self.orig_img.copy()
+        lw = line_width or max(round(sum(self.orig_shape) / 2 * 0.003), 2)
+        for row in self.boxes.data:
+            x1, y1, x2, y2, conf, c = row
+            c = int(c)
+            color = _class_color(c)
+            cv2.rectangle(img, (int(x1), int(y1)), (int(x2), int(y2)), color, lw)
+            label = f"{self.names.get(c, c)} {conf:.2f}"
+            (tw, th), _ = cv2.getTextSize(label, cv2.FONT_HERSHEY_SIMPLEX, font_scale, 1)
+            cv2.rectangle(img, (int(x1), int(y1) - th - 4), (int(x1) + tw, int(y1)), color, -1)
+            cv2.putText(
+                img, label, (int(x1), int(y1) - 2), cv2.FONT_HERSHEY_SIMPLEX, font_scale, (255, 255, 255), 1
+            )
+        return img
+
+    def save(self, filename: str) -> str:
+        import cv2
+
+        cv2.imwrite(filename, self.plot())
+        return filename
+
+    def save_txt(self, txt_file: str, save_conf: bool = False) -> str:
+        """One `cls cx cy w h [conf]` normalized row per detection."""
+        lines = []
+        for xywhn, row in zip(self.boxes.xywhn, self.boxes.data):
+            vals = [int(row[5]), *xywhn]
+            if save_conf:
+                vals.append(row[4])
+            lines.append(" ".join(f"{v:.6g}" if i else str(v) for i, v in enumerate(vals)))
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
+        return txt_file
+
+
+def _class_color(c: int) -> tuple[int, int, int]:
+    """Deterministic per-class BGR color."""
+    rng = np.random.RandomState(c + 7)
+    return tuple(int(v) for v in rng.randint(64, 255, 3))

@@ -1,0 +1,164 @@
+"""Detection validator: device batch-inference, host mAP bookkeeping.
+
+Analog of the reference BaseValidator/DetectionValidator pair
+(engine/validator.py:131, models/yolo/detect/val.py:21), re-split for TPU:
+ONE jitted (forward + decode + NMS) per static batch shape; everything
+ragged (box scale-back, greedy GT matching, AP accumulation) on the host in
+numpy. The fitness contract (0.1*mAP50 + 0.9*mAP50-95) and the val NMS
+hyperparameters (conf 0.001, IoU 0.7, max_det 300; cfg/default.yaml) match
+the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import numpy as np
+
+from fce_yolo_tpu.data import DataLoader, YOLODataset, check_det_dataset
+from fce_yolo_tpu.ops import batched_nms
+from fce_yolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou_np, match_predictions
+
+__all__ = ["DetectionValidator"]
+
+
+class DetectionValidator:
+    """Runs a val epoch and returns the reference-shaped results dict.
+
+    Args:
+        model: flax module from build_model (apply -> {"preds": (B, A, 4+nc)}).
+        names: class-id -> name map.
+        imgsz: square eval resolution.
+        conf / iou / max_det: NMS settings (val defaults match reference).
+    """
+
+    def __init__(
+        self,
+        model,
+        names: dict[int, str],
+        imgsz: int = 640,
+        conf: float = 0.001,
+        iou: float = 0.7,
+        max_det: int = 300,
+        batch_size: int = 16,
+        workers: int = 8,
+    ):
+        self.model = model
+        self.names = names
+        self.nc = len(names)
+        self.imgsz = imgsz
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.batch_size = batch_size
+        self.workers = workers
+        self._predict = None  # built lazily (jit)
+
+    def _build_predict(self):
+        import jax
+        import jax.numpy as jnp
+
+        conf, iou, max_det = self.conf, self.iou, self.max_det
+        model = self.model
+
+        @jax.jit
+        def predict(variables, img_u8):
+            x = img_u8.astype(jnp.float32) / 255.0
+            preds = model.apply(variables, x, train=False)["preds"]
+            return batched_nms(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+
+        return predict
+
+    def get_dataloader(self, data: str | dict, split: str = "val") -> DataLoader:
+        d = check_det_dataset(data)
+        ds = YOLODataset(d[split], imgsz=self.imgsz, mode="val", nc=d["nc"])
+        return DataLoader(
+            ds, batch_size=self.batch_size, shuffle=False, workers=self.workers, drop_last=False
+        )
+
+    def __call__(
+        self,
+        variables: dict,
+        data: str | dict | None = None,
+        dataloader: DataLoader | None = None,
+        verbose: bool = True,
+    ) -> dict[str, Any]:
+        """Validate ``variables`` on ``data`` (dataset YAML) or a prebuilt loader."""
+        import jax
+
+        assert data is not None or dataloader is not None, "need data yaml or dataloader"
+        loader = dataloader or self.get_dataloader(data)
+        if self._predict is None:
+            self._predict = self._build_predict()
+
+        metrics = DetMetrics(names=self.names)
+        cm = ConfusionMatrix(names=self.names)
+        t_infer = t_post = 0.0
+        n_images = 0
+
+        for batch in loader:
+            t0 = time.perf_counter()
+            out = self._predict(variables, batch["img"])
+            out = jax.device_get(out)
+            t_infer += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            self._update_metrics(out, batch, metrics, cm)
+            t_post += time.perf_counter() - t0
+            n_images += batch["n_valid"]
+
+        metrics.process(nc=self.nc)
+        ms = 1000.0 / max(n_images, 1)
+        metrics.speed = {"preprocess": 0.0, "inference": t_infer * ms, "loss": 0.0, "postprocess": t_post * ms}
+        results = metrics.results_dict
+        if verbose:
+            mp, mr, map50, map5095 = metrics.mean_results()
+            print(
+                f"{'all':>10} {n_images:>8} {int(metrics.nt_per_class.sum()):>8} "
+                f"{mp:>8.3g} {mr:>8.3g} {map50:>8.3g} {map5095:>8.3g}"
+            )
+        results["confusion_matrix"] = cm
+        results["metrics"] = metrics
+        return results
+
+    def _update_metrics(self, out: dict, batch: dict, metrics: DetMetrics, cm: ConfusionMatrix):
+        """Scale predictions + GT back to original image space and match."""
+        s = self.imgsz
+        for i in range(batch["n_valid"]):
+            valid = np.asarray(out["valid"][i])
+            pboxes = np.asarray(out["boxes"][i])[valid]
+            pconf = np.asarray(out["scores"][i])[valid]
+            pcls = np.asarray(out["classes"][i])[valid].astype(float)
+
+            r = float(batch["ratio"][i])
+            pw, ph = batch["pad"][i]
+            oh, ow = batch["orig_shape"][i]
+            # letterbox frame -> original image space, clipped (reference scale_boxes)
+            pboxes = (pboxes - np.array([pw, ph, pw, ph])) / r
+            pboxes[:, [0, 2]] = pboxes[:, [0, 2]].clip(0, ow)
+            pboxes[:, [1, 3]] = pboxes[:, [1, 3]].clip(0, oh)
+
+            m = batch["mask"][i]
+            gxywh = batch["bboxes"][i][m] * s  # letterbox-pixel xywh
+            gcls = batch["cls"][i][m].astype(float)
+            gboxes = np.empty_like(gxywh)
+            if len(gxywh):
+                gboxes[:, 0] = gxywh[:, 0] - gxywh[:, 2] / 2
+                gboxes[:, 1] = gxywh[:, 1] - gxywh[:, 3] / 2
+                gboxes[:, 2] = gxywh[:, 0] + gxywh[:, 2] / 2
+                gboxes[:, 3] = gxywh[:, 1] + gxywh[:, 3] / 2
+                gboxes = (gboxes - np.array([pw, ph, pw, ph])) / r
+
+            if len(pcls) and len(gcls):
+                iou = box_iou_np(gboxes, pboxes)
+                tp = match_predictions(pcls, gcls, iou)
+            else:
+                tp = np.zeros((len(pcls), 10), bool)
+            metrics.update_stats(
+                dict(tp=tp, conf=pconf, pred_cls=pcls, target_cls=gcls, target_img=np.unique(gcls))
+            )
+            cm.process_batch(
+                dict(bboxes=pboxes, conf=pconf, cls=pcls),
+                dict(bboxes=gboxes, cls=gcls),
+            )

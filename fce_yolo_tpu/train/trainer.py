@@ -71,9 +71,12 @@ def make_train_step(
     EMA, with NaN-rollback (reference _handle_nan_recovery analog)."""
 
     def loss_fn(params, batch_stats, batch, loss_state):
+        img = batch["img"]
+        if img.dtype == jnp.uint8:  # normalize on device: 4x smaller host->device copy
+            img = img.astype(jnp.float32) / 255.0
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["img"],
+            img,
             train=True,
             mutable=["batch_stats"],
         )

@@ -1,0 +1,94 @@
+"""Engine + facade tests: the reference-style tiny-dataset integration tier
+(SURVEY.md §4: no mocks — run the real engine on an 8-image dataset).
+"""
+
+import numpy as np
+import pytest
+
+from fce_yolo_tpu.api import YOLO
+from fce_yolo_tpu.engine.results import Boxes, Results
+
+
+def test_results_container():
+    img = np.zeros((100, 200, 3), np.uint8)
+    data = np.array([[10, 20, 50, 60, 0.9, 1]], np.float32)
+    r = Results(img, "x.jpg", {0: "a", 1: "b"}, boxes=data)
+    assert len(r) == 1
+    assert r.boxes.cls[0] == 1
+    np.testing.assert_allclose(r.boxes.xywh, [[30, 40, 40, 40]])
+    np.testing.assert_allclose(r.boxes.xyxyn, [[0.05, 0.2, 0.25, 0.6]])
+    s = r.summary()
+    assert s[0]["name"] == "b" and s[0]["confidence"] == 0.9
+    plotted = r.plot()
+    assert plotted.shape == img.shape and plotted.sum() > 0
+
+
+def test_results_save_txt(tmp_path):
+    img = np.zeros((100, 100, 3), np.uint8)
+    data = np.array([[10, 10, 50, 50, 0.8, 0]], np.float32)
+    r = Results(img, "x.jpg", {0: "a"}, boxes=data)
+    f = tmp_path / "out.txt"
+    r.save_txt(str(f), save_conf=True)
+    vals = f.read_text().split()
+    assert vals[0] == "0" and len(vals) == 6
+
+
+@pytest.fixture(scope="module")
+def tiny_yolo(tiny_dataset):
+    """A yolo11n built at nc=3 for the synthetic dataset."""
+    return YOLO("yolo11n.yaml", nc=3)
+
+
+def test_facade_build_and_info(tiny_yolo):
+    info = tiny_yolo.info()
+    assert info["params"] > 1e6
+    assert info["strides"] == (8, 16, 32)
+
+
+def test_facade_predict_ndarray(tiny_yolo):
+    img = np.random.randint(0, 255, (120, 160, 3), np.uint8)
+    results = tiny_yolo.predict(img, imgsz=128)
+    assert len(results) == 1
+    assert results[0].orig_shape == (120, 160)
+    assert results[0].boxes.data.shape[1] == 6
+
+
+def test_facade_val_untrained(tiny_yolo, tiny_dataset):
+    res = tiny_yolo.val(data=tiny_dataset, imgsz=128, batch=4, verbose=False)
+    assert "metrics/mAP50-95(B)" in res
+    assert 0.0 <= res["fitness"] <= 1.0
+
+
+@pytest.mark.slow
+def test_train_learns_tiny_dataset(tiny_dataset, tmp_path):
+    """End-to-end: training on the rectangle dataset must lift mAP well above
+    the untrained model (reference test_train_scratch analog)."""
+    m = YOLO("yolo11n.yaml", nc=3)
+    out = m.train(
+        data=tiny_dataset,
+        epochs=60,
+        batch=4,
+        imgsz=96,
+        workers=4,
+        max_labels=16,
+        close_mosaic=0,
+        mosaic=0.0,
+        scale=0.2,
+        translate=0.05,
+        optimizer="AdamW",
+        lr0=0.005,
+        warmup_epochs=0.0,
+        patience=100,
+        project=str(tmp_path),
+        name="t",
+        verbose=False,
+    )
+    assert out["epochs_run"] >= 1
+    assert (tmp_path / "t" / "results.csv").exists()
+    assert (tmp_path / "t" / "weights" / "best" / "meta.json").exists()
+    assert out["best_fitness"] > 0.05, f"model failed to learn: {out['best_fitness']}"
+
+    # reload best checkpoint and predict
+    m2 = YOLO(str(tmp_path / "t" / "weights" / "best"))
+    res = m2.val(data=tiny_dataset, imgsz=96, batch=4, verbose=False)
+    assert res["fitness"] > 0.04
