@@ -126,6 +126,18 @@ class YOLO:
     def __call__(self, source, **kw):
         return self.predict(source, **kw)
 
+    # ----------------------------------------------------------------- track
+    def track(self, source, tracker: str = "bytetrack.yaml", stream: bool = False, **predict_kw):
+        """Detection + multi-object tracking over a (video) source.
+
+        Yields/returns (Results, tracks (M, 7) [x1,y1,x2,y2,id,conf,cls]) per
+        frame (reference Model.track, engine/model.py:537).
+        """
+        from fce_yolo_tpu.trackers.track import track_stream
+
+        gen = track_stream(self, source, tracker=tracker, **predict_kw)
+        return gen if stream else list(gen)
+
     # ----------------------------------------------------------------- val
     def val(self, data: str, imgsz: int = 640, batch: int = 16, conf: float = 0.001,
             iou: float = 0.7, max_det: int = 300, workers: int = 8, verbose: bool = True) -> dict:

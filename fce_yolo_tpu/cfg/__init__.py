@@ -190,6 +190,10 @@ def entrypoint(argv: list[str] | None = None) -> Any:
                 if cfg.save_txt:
                     r.save_txt(str(out_dir / "labels" / f"{stem}.txt"), save_conf=cfg.save_conf)
         return results
+    if mode == "track":
+        assert source, "track requires source=<path>"
+        return model.track(source, tracker=cfg.tracker, conf=cfg.conf or 0.25,
+                           iou=cfg.iou, imgsz=cfg.imgsz)
     if mode == "export":
         from fce_yolo_tpu.engine.exporter import export_model
 

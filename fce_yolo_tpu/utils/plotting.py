@@ -1,0 +1,138 @@
+"""Result plotting: training curves, PR curves, confusion matrix.
+
+Analog of the reference's utils/plotting.py plot_results + the curve
+figures in utils/metrics.py:698-784, using matplotlib (Agg backend; this
+is offline reporting, not a GUI path).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["plot_results", "plot_pr_curve", "plot_confusion_matrix", "plot_labels"]
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_results(run_dir: str | Path, save: bool = True) -> str | None:
+    """Training-curve grid from a run's results.csv (plot_results analog)."""
+    from fce_yolo_tpu.experiments.analysis import load_results
+
+    plt = _plt()
+    rows = load_results(run_dir)
+    if not rows:
+        return None
+    keys = [k for k in rows[0] if k not in ("epoch", "time") and isinstance(rows[0][k], (int, float))]
+    epochs = [r["epoch"] for r in rows]
+    n = len(keys)
+    ncols = min(4, max(1, n))
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(4 * ncols, 3 * nrows), squeeze=False)
+    for i, k in enumerate(keys):
+        ax = axes[i // ncols][i % ncols]
+        ys = [r.get(k) for r in rows]
+        ax.plot(epochs, ys, marker=".", lw=1)
+        ax.set_title(k, fontsize=9)
+        ax.set_xlabel("epoch", fontsize=8)
+    for j in range(n, nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    fig.tight_layout()
+    out = str(Path(run_dir) / "results.png")
+    if save:
+        fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
+def plot_pr_curve(
+    px: np.ndarray,
+    py: np.ndarray,
+    ap: np.ndarray,
+    names: dict[int, str],
+    save_path: str | Path = "PR_curve.png",
+) -> str:
+    """PR curves per class + thick mean curve (reference plot_pr_curve)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(9, 6))
+    py = np.atleast_2d(py)
+    if 0 < len(names) <= 20:
+        for i, y in enumerate(py):
+            label = f"{names.get(i, i)} {ap[i, 0]:.3f}" if i < len(ap) else str(i)
+            ax.plot(px, y, lw=1, label=label)
+    else:
+        ax.plot(px, py.T, lw=1, color="grey", alpha=0.4)
+    ax.plot(px, py.mean(0), lw=3, color="blue", label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return str(save_path)
+
+
+def plot_confusion_matrix(
+    matrix: np.ndarray,
+    names: dict[int, str],
+    save_path: str | Path = "confusion_matrix.png",
+    normalize: bool = True,
+) -> str:
+    """(nc+1)x(nc+1) heatmap with background row/col (reference ConfusionMatrix.plot)."""
+    plt = _plt()
+    m = matrix.astype(float)
+    if normalize:
+        m = m / (m.sum(0, keepdims=True) + 1e-9)
+    labels = [names.get(i, str(i)) for i in range(len(names))] + ["background"]
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(m, cmap="Blues", vmin=0.0)
+    fig.colorbar(im, ax=ax)
+    n = len(labels)
+    ax.set_xticks(range(n))
+    ax.set_yticks(range(n))
+    ax.set_xticklabels(labels, rotation=90, fontsize=7)
+    ax.set_yticklabels(labels, fontsize=7)
+    if n <= 30:
+        for i in range(n):
+            for j in range(n):
+                if m[i, j] > 0.005:
+                    ax.text(j, i, f"{m[i, j]:.2f}", ha="center", va="center", fontsize=6,
+                            color="white" if m[i, j] > 0.5 * m.max() else "black")
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return str(save_path)
+
+
+def plot_labels(
+    cls: np.ndarray, bboxes_xywhn: np.ndarray, names: dict[int, str], save_path: str | Path = "labels.png"
+) -> str:
+    """Dataset label statistics figure (class histogram + box w/h scatter)."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    nc = len(names) or int(cls.max()) + 1
+    axes[0].hist(cls, bins=np.arange(nc + 1) - 0.5, rwidth=0.8)
+    axes[0].set_xlabel("class")
+    axes[0].set_ylabel("instances")
+    if len(bboxes_xywhn):
+        axes[1].scatter(bboxes_xywhn[:, 2], bboxes_xywhn[:, 3], s=4, alpha=0.4)
+    axes[1].set_xlabel("width")
+    axes[1].set_ylabel("height")
+    axes[1].set_xlim(0, 1)
+    axes[1].set_ylim(0, 1)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return str(save_path)
