@@ -76,6 +76,28 @@ def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = Fa
         return M.Concat(name=name)
     if n == "Detect":
         return M.Detect(nc=a[0], ch=tuple(a[-1]), strides=strides, export=export, name=name)
+    if n == "Segment":
+        from fce_yolo_tpu.nn import heads as H
+
+        return H.Segment(
+            nc=a[0], nm=a[1] if len(a) > 2 else 32, npr=a[2] if len(a) > 3 else 256,
+            ch=tuple(a[-1]), strides=strides, export=export, name=name,
+        )
+    if n == "Pose":
+        from fce_yolo_tpu.nn import heads as H
+
+        return H.Pose(nc=a[0], kpt_shape=tuple(a[1]), ch=tuple(a[-1]),
+                      strides=strides, export=export, name=name)
+    if n == "OBB":
+        from fce_yolo_tpu.nn import heads as H
+
+        return H.OBB(nc=a[0], ne=a[1] if len(a) > 2 else 1, ch=tuple(a[-1]),
+                     strides=strides, export=export, name=name)
+    if n == "Classify":
+        from fce_yolo_tpu.nn import heads as H
+
+        return H.Classify(c2=a[1], k=a[2] if len(a) > 2 else 1,
+                          s=a[3] if len(a) > 3 else 1, name=name)
     if n == "BiFPN_Concat":
         return fce.BiFPN_Concat(c1=tuple(a[0]), c2=a[1], name=name)
     if n == "CoordAtt":
@@ -117,6 +139,8 @@ class DetectionModel(nn.Module):
 
 def resolve_strides(spec: ModelSpec, probe: int = 256) -> tuple[int, ...]:
     """Infer per-level strides with an abstract (eval_shape) forward."""
+    if spec.task == "classify":
+        return ()
     model = DetectionModel(spec=spec, strides=None)
 
     def run(x):
@@ -159,12 +183,12 @@ def init_variables(
     """Initialize variables and apply the Detect bias priors (head.py:169-188)."""
     x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     variables = unfreeze(model.init(rng, x, train=True))
-    if bias_prior:
-        detect_ls = model.spec.layers[-1]
-        assert detect_ls.name == "Detect"
-        variables = M.Detect.bias_init_fn(
-            variables, model.spec.nc, model.strides, f"layers_{detect_ls.i}"
-        )
+    head_ls = model.spec.layers[-1]
+    if bias_prior and head_ls.name in ("Detect", "Segment", "Pose", "OBB"):
+        prefix = f"layers_{head_ls.i}"
+        if head_ls.name != "Detect":  # nested Detect submodule in task heads
+            prefix += "/detect"
+        variables = M.Detect.bias_init_fn(variables, model.spec.nc, model.strides, prefix)
     return variables
 
 

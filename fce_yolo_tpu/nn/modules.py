@@ -407,10 +407,15 @@ MODULE_REGISTRY: dict[str, Any] = {}
 
 def register_modules() -> dict[str, Any]:
     """Name -> constructor registry used by the YAML parser."""
-    from fce_yolo_tpu.nn import fce
+    from fce_yolo_tpu.nn import fce, heads
 
     MODULE_REGISTRY.update(
         {
+            "Segment": heads.Segment,
+            "Pose": heads.Pose,
+            "OBB": heads.OBB,
+            "Classify": heads.Classify,
+            "Proto": heads.Proto,
             "Conv": ConvBNAct,
             "DWConv": DWConvBNAct,
             "Bottleneck": Bottleneck,

@@ -47,6 +47,13 @@ class ModelSpec:
     scale: str
     yaml_dict: dict = field(default_factory=dict)
 
+    @property
+    def task(self) -> str:
+        """Infer task from the head module (reference guess_model_task, tasks.py:1784)."""
+        head = self.layers[-1].name
+        return {"Detect": "detect", "Segment": "segment", "Pose": "pose",
+                "OBB": "obb", "Classify": "classify"}.get(head, "detect")
+
 
 def _adaptive_reduction(inp: int) -> int:
     """Default reduction = sqrt(inp) clamped to [8, 32] (tasks.py:1646-1652)."""
@@ -131,9 +138,19 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
                 heads = args[2] if len(args) > 2 else _adaptive_heads(inp, reduction)
                 args = [inp, oup, reduction, heads]
             c2 = oup
-        elif name == "Detect":
+        elif name in ("Detect", "Segment", "Pose", "OBB"):
+            # head args per reference tasks.py head dispatch:
+            # Detect [nc]; Segment [nc, nm, npr]; Pose [nc, kpt_shape]; OBB [nc, ne]
+            if name == "Segment" and len(args) > 2:
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)  # npr scales
+            if name == "Pose" and len(args) < 2:
+                args.append(d.get("kpt_shape", [17, 3]))
             args = [*args, [ch_list[x] for x in f]]
             c2 = ch_list[f[-1]]
+        elif name == "Classify":
+            c1 = ch_list[f] if isinstance(f, int) else ch_list[f[-1]]
+            c2 = args[0]
+            args = [c1, c2, *args[1:]]
         elif name in ("nn.Upsample", "Upsample"):
             c2 = ch_list[f]
         else:
@@ -167,14 +184,13 @@ def load_model_yaml(path: str | Path, scale: str | None = None) -> ModelSpec:
     """
     path = Path(path)
     if not path.exists() and scale is None:
-        # e.g. "yolo11n.yaml" -> "yolo11.yaml" with scale "n"
-        stem = path.stem
-        for s in "nsmlx":
-            for base in (f"yolo11{s}", f"yolo11{s}-fce", f"yolo11{s}-bifpn"):
-                if stem == base:
-                    scale = s
-                    path = path.with_name(stem.replace(s, "", 1) + path.suffix)
-                    break
+        # e.g. "yolo11n-seg.yaml" -> "yolo11-seg.yaml" with scale "n"
+        import re
+
+        m = re.fullmatch(r"(yolo\d+)([nslmx])(-[\w-]+)?", path.stem)
+        if m:
+            scale = m.group(2)
+            path = path.with_name(m.group(1) + (m.group(3) or "") + path.suffix)
     if not path.exists():
         builtin = Path(__file__).resolve().parent.parent / "cfg" / "models" / path.name
         if builtin.exists():

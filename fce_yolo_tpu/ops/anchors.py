@@ -60,6 +60,24 @@ def bbox2dist(anchor_points: jnp.ndarray, bbox: jnp.ndarray, reg_max: int) -> jn
     return jnp.clip(dist, 0, reg_max - 0.01)
 
 
+def dist2rbox(
+    distance: jnp.ndarray, angle: jnp.ndarray, anchor_points: jnp.ndarray
+) -> jnp.ndarray:
+    """(l, t, r, b) + rotation angle -> rotated box (cx, cy, w, h).
+
+    Matches reference utils/tal.py:385-403 dist2rbox: the lt/rb midpoint
+    offset is rotated by the predicted angle around the anchor.
+    ``distance``: (..., 4); ``angle``: (..., 1); anchor_points (..., 2).
+    """
+    lt, rb = distance[..., :2], distance[..., 2:4]
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    xf, yf = jnp.split((rb - lt) / 2, 2, axis=-1)
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], axis=-1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis=-1)
+
+
 def dfl_expectation(pred_dist: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     """Distribution Focal Loss decode: softmax expectation over reg_max bins.
 

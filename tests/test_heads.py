@@ -1,0 +1,80 @@
+"""Task-head tests: build every model YAML (reference test_all_model_yamls
+analog, tests/test_python.py:237) and check forward shapes per task."""
+
+import glob
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def jaxmods():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def _build_and_run(yaml_name, scale="n", nc=None, imgsz=64):
+    import jax
+    import jax.numpy as jnp
+
+    from fce_yolo_tpu.nn.model import build_model
+
+    model, spec, strides = build_model(f"fce_yolo_tpu/cfg/models/{yaml_name}", scale=scale, nc=nc)
+    x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    v = jax.jit(lambda k: model.init(k, x, train=True))(jax.random.PRNGKey(0))
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(dict(v), x)
+    return model, spec, strides, out
+
+
+def test_all_model_yamls_build():
+    """Every packaged YAML must parse, init, and run eval forward."""
+    yamls = sorted(glob.glob("fce_yolo_tpu/cfg/models/*.yaml"))
+    assert len(yamls) >= 7
+    for y in yamls:
+        name = y.split("/")[-1]
+        _build_and_run(name, scale="n", imgsz=64)
+
+
+def test_segment_head_shapes():
+    _, spec, strides, out = _build_and_run("yolo11-seg.yaml", nc=3, imgsz=64)
+    assert spec.task == "segment"
+    a = sum((64 // s) ** 2 for s in strides)
+    assert out["preds"].shape == (1, a, 4 + 3 + 32)
+    # proto at 2x P3 resolution: 64/8*2 = 16
+    assert out["proto"].shape == (1, 16, 16, 32)
+
+
+def test_pose_head_shapes():
+    _, spec, strides, out = _build_and_run("yolo11-pose.yaml", imgsz=64)
+    assert spec.task == "pose"
+    a = sum((64 // s) ** 2 for s in strides)
+    assert out["preds"].shape == (1, a, 4 + 1 + 17 * 3)
+    # decoded keypoint visibilities are sigmoided into [0, 1]
+    kpts = np.asarray(out["preds"][0, :, 5:]).reshape(a, 17, 3)
+    assert (kpts[..., 2] >= 0).all() and (kpts[..., 2] <= 1).all()
+
+
+def test_obb_head_shapes():
+    _, spec, strides, out = _build_and_run("yolo11-obb.yaml", nc=5, imgsz=64)
+    assert spec.task == "obb"
+    a = sum((64 // s) ** 2 for s in strides)
+    assert out["preds"].shape == (1, a, 4 + 5 + 1)
+    ang = np.asarray(out["preds"][..., -1])
+    assert (ang >= -np.pi / 4 - 1e-5).all() and (ang <= 3 * np.pi / 4 + 1e-5).all()
+
+
+def test_classify_head_shapes():
+    _, spec, strides, out = _build_and_run("yolo11-cls.yaml", nc=10, imgsz=64)
+    assert spec.task == "classify"
+    assert strides == ()
+    assert out["probs"].shape == (1, 10)
+    np.testing.assert_allclose(np.asarray(out["probs"]).sum(), 1.0, atol=1e-5)
+
+
+def test_scale_letter_resolution():
+    from fce_yolo_tpu.nn.parser import load_model_yaml
+
+    spec = load_model_yaml("yolo11s-seg.yaml")
+    assert spec.scale == "s" and spec.task == "segment"
