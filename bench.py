@@ -1,11 +1,20 @@
-"""Benchmark: batched 640px inference throughput on one chip.
+"""Benchmark: batched 640px e2e inference throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline (BASELINE.md): torch-CPU ONNX yolo11n = 56.1 ms/img => 17.8
-images/sec. North star: >= 3x that per chip. The pipeline measured here is
-the full device-side predict path: normalize -> forward -> DFL decode ->
-sigmoid -> NMS (top-k + pick/suppress scan), i.e. images in, boxes out.
+images/sec. North star: >= 3x that per chip. Measured pipeline: normalize ->
+forward -> DFL decode -> sigmoid -> NMS (top-k + pick/suppress scan), i.e.
+images in, boxes out, all inside one jit.
+
+Measurement notes (this environment): the axon TPU tunnel's
+``block_until_ready`` returns immediately, and a synchronous result fetch
+costs a ~25-30 ms round trip. So we measure PIPELINED throughput: dispatch N
+batches back-to-back (each jit returns a scalar checksum so the full
+computation, NMS included, is on the critical path), force one sync at the
+end, and subtract a separately-measured single round-trip. Inputs are
+pre-staged on device (distinct buffers, cycled) so no host->device transfer
+pollutes the timing and no constant-folding can cheat.
 """
 
 from __future__ import annotations
@@ -18,11 +27,11 @@ import numpy as np
 TORCH_CPU_BASELINE_IMG_S = 1000.0 / 56.1  # yolo11n CPU ONNX (README_Ultralytics.md:135)
 
 
-def main(batch: int = 32, iters: int = 10, scale: str = "n", imgsz: int = 640) -> dict:
+def main(batch: int = 32, iters: int = 32, scale: str = "n", imgsz: int = 640) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.nn.model import build_model
     from fce_yolo_tpu.ops.nms import batched_nms
 
     model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale=scale)
@@ -39,18 +48,30 @@ def main(batch: int = 32, iters: int = 10, scale: str = "n", imgsz: int = 640) -
     def predict(variables, images_u8):
         x = images_u8.astype(bf16) / 255.0
         preds = model.apply(variables, x, train=False)["preds"]
-        return batched_nms(preds, conf_thres=0.25, iou_thres=0.45, max_det=300)
+        out = batched_nms(preds, conf_thres=0.25, iou_thres=0.45, max_det=300)
+        # scalar checksum keeps every output on the critical path
+        return out["boxes"].sum() + out["scores"].sum() + out["valid"].sum()
+
+    # measure the tunnel round trip to subtract it from the pipelined total
+    tiny = jax.jit(lambda x: x + 1.0)
+    _ = float(tiny(jnp.zeros(())))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = float(tiny(jnp.zeros(())))
+    rt = (time.perf_counter() - t0) / 10
 
     rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+    imgs = [
+        jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    _ = float(predict(variables, imgs[0]))  # compile + warmup
 
-    out = predict(variables, imgs)
-    jax.block_until_ready(out["boxes"])  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = predict(variables, imgs)
-        jax.block_until_ready(out["boxes"])
-    dt = (time.perf_counter() - t0) / iters
+    outs = [predict(variables, imgs[i % 4]) for i in range(iters)]
+    _ = float(sum(outs))  # single sync
+    total = time.perf_counter() - t0
+    dt = max(total - rt, 1e-9) / iters
     img_s = batch / dt
 
     result = {

@@ -131,3 +131,39 @@ def box_iou_pairwise(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-7) ->
     area1 = jnp.clip(box1[:, 2:] - box1[:, :2], 0, None).prod(-1)
     area2 = jnp.clip(box2[:, 2:] - box2[:, :2], 0, None).prod(-1)
     return inter / (area1[:, None] + area2[None, :] - inter + eps)
+
+
+def _obb_covariance(obb: jnp.ndarray, eps: float = 1e-7) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gaussian covariance terms (a, b, c) of an xywhr box
+    (reference metrics.py _get_covariance_matrix)."""
+    w, h, r = obb[..., 2], obb[..., 3], obb[..., 4]
+    a = w * w / 12.0
+    b = h * h / 12.0
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    return (
+        a * cos * cos + b * sin * sin,
+        a * sin * sin + b * cos * cos,
+        (a - b) * cos * sin,
+    )
+
+
+def probiou(obb1: jnp.ndarray, obb2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Probabilistic IoU between broadcastable (..., 5) xywhr boxes.
+
+    Hellinger-distance Gaussian similarity (reference metrics.py:283-325,
+    arXiv:2106.06072). Fully elementwise -> broadcast (B, M, 1, 5) against
+    (B, 1, A, 5) for the rotated assigner's (B, M, A) overlap tensor.
+    """
+    x1, y1 = obb1[..., 0], obb1[..., 1]
+    x2, y2 = obb2[..., 0], obb2[..., 1]
+    a1, b1, c1 = _obb_covariance(obb1)
+    a2, b2, c2 = _obb_covariance(obb2)
+    den = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / den * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / den * 0.5
+    det1 = jnp.clip(a1 * b1 - c1**2, 0.0, None)
+    det2 = jnp.clip(a2 * b2 - c2**2, 0.0, None)
+    t3 = jnp.log((den - eps + eps) / (4.0 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    return 1.0 - hd

@@ -110,7 +110,8 @@ def detection_loss(
     batch: dict[str, jnp.ndarray],
     cfg: DetectionLossCfg,
     state: LossState,
-) -> tuple[jnp.ndarray, dict[str, jnp.ndarray], LossState]:
+    return_aux: bool = False,
+):
     """Compute the summed detection loss for one batch.
 
     Args:
@@ -198,6 +199,16 @@ def detection_loss(
         "fg_count": fg_mask.sum().astype(jnp.float32),
     }
     total = (parts["box"] + parts["cls"] + parts["dfl"]) * b
+    if return_aux:
+        # internals the task losses (segment/pose) build on
+        aux = {
+            "assign": assign_out,
+            "target_scores_sum": target_scores_sum,
+            "stride_tensor": stride_tensor,
+            "anchor_points": anchor_points,
+            "imgsz": (imgsz_h, imgsz_w),
+        }
+        return total, parts, state, aux
     return total, parts, state
 
 

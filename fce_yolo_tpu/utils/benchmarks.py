@@ -37,18 +37,29 @@ def profile_inference(
     def predict(v, img_u8):
         x = img_u8.astype(in_dtype) / 255.0
         preds = model.apply(v, x, train=False)["preds"]
-        return batched_nms(preds, conf_thres=0.25, iou_thres=0.7, max_det=300)
+        out = batched_nms(preds, conf_thres=0.25, iou_thres=0.7, max_det=300)
+        # scalar checksum: forces full computation even where block_until_ready
+        # is a no-op (remote-tunnel plugins); see bench.py measurement notes
+        return out["boxes"].sum() + out["scores"].sum()
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    _ = float(tiny(jnp.zeros(())))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = float(tiny(jnp.zeros(())))
+    rt = (time.perf_counter() - t0) / 10
 
     rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
-    for _ in range(warmup):
-        out = predict(variables, imgs)
-    jax.block_until_ready(out["boxes"])
+    imgs = [
+        jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    for i in range(warmup):
+        _ = float(predict(variables, imgs[i % 4]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = predict(variables, imgs)
-        jax.block_until_ready(out["boxes"])
-    dt = (time.perf_counter() - t0) / iters
+    outs = [predict(variables, imgs[i % 4]) for i in range(iters)]
+    _ = float(sum(outs))
+    dt = max(time.perf_counter() - t0 - rt, 1e-9) / iters
     return {
         "images_per_sec": batch / dt,
         "ms_per_image": dt / batch * 1000,
