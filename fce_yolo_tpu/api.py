@@ -202,7 +202,17 @@ class YOLO:
         aug_kw = {k: v for k, v in hyp_overrides.items() if k in AugmentCfg.__dataclass_fields__}
         hyp = AugmentCfg(**aug_kw)
         train_ds = YOLODataset(d["train"], imgsz=imgsz, mode="train", hyp=hyp, nc=d["nc"], seed=seed)
-        loader = DataLoader(train_ds, batch_size=batch, workers=workers, max_labels=max_labels, seed=seed)
+        use_native = hyp_overrides.get("native_loader")
+        if use_native is None:  # prefer the C++ engine when built
+            from fce_yolo_tpu.data import native_loader as _nl
+
+            use_native = _nl.available() and hyp.perspective == 0 and hyp.mixup == 0 and hyp.cutmix == 0
+        if use_native:
+            from fce_yolo_tpu.data.native_loader import NativeDataLoader
+
+            loader = NativeDataLoader(train_ds, batch_size=batch, workers=workers, max_labels=max_labels, seed=seed)
+        else:
+            loader = DataLoader(train_ds, batch_size=batch, workers=workers, max_labels=max_labels, seed=seed)
         steps_per_epoch = len(loader)
 
         save_dir = Path(project) / name
