@@ -83,8 +83,16 @@ class DetectionValidator:
         data: str | dict | None = None,
         dataloader: DataLoader | None = None,
         verbose: bool = True,
+        save_json: str | None = None,
+        plots_dir: str | None = None,
     ) -> dict[str, Any]:
-        """Validate ``variables`` on ``data`` (dataset YAML) or a prebuilt loader."""
+        """Validate ``variables`` on ``data`` (dataset YAML) or a prebuilt loader.
+
+        Args:
+            save_json: path to write COCO-format predictions (reference
+                detect/val.py pred_to_json / save_json flag).
+            plots_dir: directory for PR-curve + confusion-matrix figures.
+        """
         import jax
 
         assert data is not None or dataloader is not None, "need data yaml or dataloader"
@@ -94,6 +102,7 @@ class DetectionValidator:
 
         metrics = DetMetrics(names=self.names)
         cm = ConfusionMatrix(names=self.names)
+        json_dets: list[dict] = []
         t_infer = t_post = 0.0
         n_images = 0
 
@@ -104,7 +113,7 @@ class DetectionValidator:
             t_infer += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            self._update_metrics(out, batch, metrics, cm)
+            self._update_metrics(out, batch, metrics, cm, json_dets if save_json else None, n_images)
             t_post += time.perf_counter() - t0
             n_images += batch["n_valid"]
 
@@ -113,16 +122,46 @@ class DetectionValidator:
         metrics.speed = {"preprocess": 0.0, "inference": t_infer * ms, "loss": 0.0, "postprocess": t_post * ms}
         results = metrics.results_dict
         if verbose:
+            hdr = f"{'Class':>12} {'Images':>8} {'Instances':>10} {'P':>8} {'R':>8} {'mAP50':>8} {'mAP50-95':>9}"
+            print(hdr)
             mp, mr, map50, map5095 = metrics.mean_results()
             print(
-                f"{'all':>10} {n_images:>8} {int(metrics.nt_per_class.sum()):>8} "
-                f"{mp:>8.3g} {mr:>8.3g} {map50:>8.3g} {map5095:>8.3g}"
+                f"{'all':>12} {n_images:>8} {int(metrics.nt_per_class.sum()):>10} "
+                f"{mp:>8.3g} {mr:>8.3g} {map50:>8.3g} {map5095:>9.3g}"
             )
+            if self.nc > 1 and metrics.ap_class_index.size:
+                for i, c in enumerate(metrics.ap_class_index):
+                    p, r, a50, a = metrics.class_result(i)
+                    print(
+                        f"{self.names.get(int(c), c):>12} {int(metrics.nt_per_image[c]):>8} "
+                        f"{int(metrics.nt_per_class[c]):>10} {p:>8.3g} {r:>8.3g} {a50:>8.3g} {a:>9.3g}"
+                    )
+        if save_json:
+            import json
+            from pathlib import Path
+
+            Path(save_json).parent.mkdir(parents=True, exist_ok=True)
+            Path(save_json).write_text(json.dumps(json_dets))
+        if plots_dir:
+            from pathlib import Path
+
+            from fce_yolo_tpu.utils.plotting import plot_confusion_matrix
+
+            Path(plots_dir).mkdir(parents=True, exist_ok=True)
+            plot_confusion_matrix(cm.matrix, self.names, Path(plots_dir) / "confusion_matrix.png")
         results["confusion_matrix"] = cm
         results["metrics"] = metrics
         return results
 
-    def _update_metrics(self, out: dict, batch: dict, metrics: DetMetrics, cm: ConfusionMatrix):
+    def _update_metrics(
+        self,
+        out: dict,
+        batch: dict,
+        metrics: DetMetrics,
+        cm: ConfusionMatrix,
+        json_dets: list | None = None,
+        image_id_base: int = 0,
+    ):
         """Scale predictions + GT back to original image space and match."""
         s = self.imgsz
         for i in range(batch["n_valid"]):
@@ -162,3 +201,19 @@ class DetectionValidator:
                 dict(bboxes=pboxes, conf=pconf, cls=pcls),
                 dict(bboxes=gboxes, cls=gcls),
             )
+            if json_dets is not None:
+                # COCO detection rows (reference detect/val.py pred_to_json)
+                for bb, cf, cl in zip(pboxes, pconf, pcls):
+                    json_dets.append(
+                        {
+                            "image_id": image_id_base + i,
+                            "category_id": int(cl),
+                            "bbox": [
+                                round(float(bb[0]), 3),
+                                round(float(bb[1]), 3),
+                                round(float(bb[2] - bb[0]), 3),
+                                round(float(bb[3] - bb[1]), 3),
+                            ],
+                            "score": round(float(cf), 5),
+                        }
+                    )

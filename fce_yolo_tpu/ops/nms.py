@@ -72,6 +72,28 @@ def _pick_suppress(
     return idx, ok
 
 
+def _select_candidates(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    pre_nms_topk: int,
+    multi_label: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Static top-K candidate selection over (anchors [x classes])."""
+    n, nc = scores.shape
+    k = min(pre_nms_topk, n * nc if multi_label else n)
+    if multi_label and nc > 1:
+        flat = scores.reshape(-1)  # (N * nc)
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        anchor_idx = top_idx // nc
+        cls_idx = top_idx % nc
+    else:
+        best_cls = jnp.argmax(scores, axis=-1)
+        best_score = jnp.max(scores, axis=-1)
+        top_scores, anchor_idx = jax.lax.top_k(best_score, k)
+        cls_idx = best_cls[anchor_idx]
+    return boxes[anchor_idx], top_scores, cls_idx
+
+
 def single_image_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -93,23 +115,10 @@ def single_image_nms(
     Returns dict with ``boxes`` (max_det, 4), ``scores`` (max_det,),
     ``classes`` (max_det,) int32 (-1 for empty slots), ``valid`` (max_det,) bool.
     """
-    n, nc = scores.shape
-    k = min(pre_nms_topk, n * nc if multi_label else n)
-
-    if multi_label and nc > 1:
-        flat = scores.reshape(-1)  # (N * nc)
-        top_scores, top_idx = jax.lax.top_k(flat, k)
-        anchor_idx = top_idx // nc
-        cls_idx = top_idx % nc
-    else:
-        best_cls = jnp.argmax(scores, axis=-1)
-        best_score = jnp.max(scores, axis=-1)
-        top_scores, anchor_idx = jax.lax.top_k(best_score, k)
-        cls_idx = best_cls[anchor_idx]
-
-    cand_boxes = boxes[anchor_idx]  # (K, 4)
+    cand_boxes, top_scores, cls_idx = _select_candidates(
+        boxes, scores, pre_nms_topk, multi_label
+    )
     valid = top_scores > conf_thres
-
     offset = jnp.where(agnostic, 0.0, cls_idx.astype(boxes.dtype) * max_wh)
     idx, kept = _pick_suppress(
         cand_boxes + offset[:, None], top_scores, valid, iou_thres, max_det
@@ -132,6 +141,7 @@ def single_image_nms(
         "multi_label",
         "agnostic",
         "in_fmt",
+        "impl",
     ),
 )
 def batched_nms(
@@ -144,12 +154,14 @@ def batched_nms(
     multi_label: bool = True,
     agnostic: bool = False,
     in_fmt: str = "xywh",
+    impl: str = "auto",
 ) -> dict[str, jnp.ndarray]:
     """Batched NMS over decoded head output.
 
     Args:
         prediction: (B, N, 4 + nc) — boxes then per-class scores, matching the
             decoded layout of the Detect head (boxes in ``in_fmt``).
+        impl: "auto" (Pallas kernel on TPU, scan elsewhere) | "pallas" | "scan".
 
     Returns dict of (B, max_det, ...) arrays; see ``single_image_nms``.
     """
@@ -157,13 +169,32 @@ def batched_nms(
     if in_fmt == "xywh":
         boxes = xywh2xyxy(boxes)
     scores = prediction[..., 4:]
-    fn = partial(
-        single_image_nms,
-        conf_thres=conf_thres,
-        iou_thres=iou_thres,
-        max_det=max_det,
-        pre_nms_topk=pre_nms_topk,
-        multi_label=multi_label,
-        agnostic=agnostic,
+
+    cand_boxes, top_scores, cls_idx = jax.vmap(
+        partial(_select_candidates, pre_nms_topk=pre_nms_topk, multi_label=multi_label)
+    )(boxes, scores)
+    valid = top_scores > conf_thres
+    offset = jnp.where(agnostic, 0.0, cls_idx.astype(boxes.dtype) * 7680.0)
+    shifted = cand_boxes + offset[..., None]
+
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
     )
-    return jax.vmap(fn)(boxes, scores)
+    if use_pallas:
+        from fce_yolo_tpu.ops.pallas_nms import pallas_pick_suppress
+
+        idx, kept = pallas_pick_suppress(
+            shifted, top_scores, valid, iou_thres=iou_thres, max_det=max_det
+        )
+    else:
+        idx, kept = jax.vmap(
+            partial(_pick_suppress, iou_thres=iou_thres, max_det=max_det)
+        )(shifted, top_scores, valid)
+
+    take = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    return {
+        "boxes": jnp.where(kept[..., None], jnp.take_along_axis(cand_boxes, idx[..., None], axis=1), 0.0),
+        "scores": jnp.where(kept, take(top_scores), 0.0),
+        "classes": jnp.where(kept, take(cls_idx), -1).astype(jnp.int32),
+        "valid": kept,
+    }
