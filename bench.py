@@ -27,7 +27,7 @@ import numpy as np
 TORCH_CPU_BASELINE_IMG_S = 1000.0 / 56.1  # yolo11n CPU ONNX (README_Ultralytics.md:135)
 
 
-def main(batch: int = 32, iters: int = 32, scale: str = "n", imgsz: int = 640) -> dict:
+def main(batch: int = 128, iters: int = 32, scale: str = "n", imgsz: int = 640) -> dict:
     import jax
     import jax.numpy as jnp
 

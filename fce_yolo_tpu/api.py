@@ -112,12 +112,17 @@ class YOLO:
         return save_checkpoint(path, {"params": v["params"], "batch_stats": v.get("batch_stats", {})}, meta)
 
     # ------------------------------------------------------------- predict
+    @property
+    def task(self) -> str:
+        return self.spec.task
+
     def predict(self, source, conf: float = 0.25, iou: float = 0.7, imgsz: int = 640,
                 max_det: int = 300, batch: int = 1, stream: bool = False):
         from fce_yolo_tpu.engine.predictor import DetectionPredictor
 
         predictor = DetectionPredictor(
-            self.model, self.names, imgsz=imgsz, conf=conf, iou=iou, max_det=max_det, batch_size=batch
+            self.model, self.names, imgsz=imgsz, conf=conf, iou=iou, max_det=max_det,
+            batch_size=batch, task=self.task,
         )
         v = self._ensure_variables(imgsz)
         gen = predictor.stream(v, source)

@@ -75,7 +75,12 @@ def load_source(source) -> Iterator[tuple[np.ndarray, str]]:
 
 
 class DetectionPredictor:
-    """Fixed-shape batched predictor over arbitrary sources."""
+    """Fixed-shape batched predictor over arbitrary sources.
+
+    task="detect" | "segment" | "pose": segment adds per-detection binary
+    masks (prototype combination on device, reference ops.py process_mask);
+    pose adds decoded keypoints.
+    """
 
     def __init__(
         self,
@@ -86,14 +91,17 @@ class DetectionPredictor:
         iou: float = 0.7,
         max_det: int = 300,
         batch_size: int = 1,
+        task: str = "detect",
     ):
         self.model = model
         self.names = names
+        self.nc = len(names)
         self.imgsz = imgsz
         self.conf = conf
         self.iou = iou
         self.max_det = max_det
         self.batch_size = batch_size
+        self.task = task
         self._predict = None
 
     def _build_predict(self):
@@ -101,12 +109,27 @@ class DetectionPredictor:
         import jax.numpy as jnp
 
         model, conf, iou, max_det = self.model, self.conf, self.iou, self.max_det
+        nc, task, imgsz = self.nc, self.task, self.imgsz
 
         @jax.jit
         def predict(variables, img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
-            preds = model.apply(variables, x, train=False)["preds"]
-            return batched_nms(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+            out = model.apply(variables, x, train=False)
+            nms = batched_nms(
+                out["preds"], conf_thres=conf, iou_thres=iou, max_det=max_det,
+                nc=nc if task in ("segment", "pose") else None,
+            )
+            if task == "segment":
+                from fce_yolo_tpu.ops.masks import process_mask
+
+                nms["masks"] = jax.vmap(
+                    lambda coefs, proto, boxes: process_mask(
+                        coefs, proto, boxes, (imgsz, imgsz)
+                    )
+                )(nms.pop("extra"), out["proto"], nms["boxes"])
+            elif task == "pose" and "extra" in nms:
+                nms["keypoints"] = nms.pop("extra")
+            return nms
 
         return predict
 
@@ -144,8 +167,20 @@ class DetectionPredictor:
                 data = np.concatenate(
                     [boxes, out["scores"][i][valid, None], out["classes"][i][valid, None]], 1
                 )
+                masks = kpts = None
+                if "masks" in out:
+                    from fce_yolo_tpu.ops.masks import scale_masks_np
+
+                    masks = scale_masks_np(out["masks"][i][valid], (oh, ow), r, (pw, ph))
+                if "keypoints" in out:
+                    k = out["keypoints"][i][valid]
+                    nk = k.shape[-1] // 3 if k.shape[-1] % 3 == 0 else k.shape[-1] // 2
+                    ndim = 3 if k.shape[-1] % 3 == 0 else 2
+                    kpts = k.reshape(len(k), nk, ndim).copy()
+                    kpts[..., 0] = (kpts[..., 0] - pw) / r
+                    kpts[..., 1] = (kpts[..., 1] - ph) / r
                 yield Results(
-                    orig, path, self.names, boxes=data,
+                    orig, path, self.names, boxes=data, masks=masks, keypoints=kpts,
                     speed={
                         "preprocess": t_pre * 1000 / n,
                         "inference": t_inf * 1000 / n,

@@ -61,6 +61,49 @@ class Boxes:
         return self.xywh / np.array([w, h, w, h], np.float32)
 
 
+class Masks:
+    """Per-detection binary masks (n, H, W) at original-image resolution
+    (reference results.py:1010)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data, bool)
+        self.orig_shape = orig_shape
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    @property
+    def xy(self) -> list[np.ndarray]:
+        """Mask contours as pixel polygons (reference masks2segments, ops.py:607)."""
+        import cv2
+
+        out = []
+        for m in self.data.astype(np.uint8):
+            cnts, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+            out.append(max(cnts, key=cv2.contourArea).reshape(-1, 2).astype(np.float32) if cnts else np.zeros((0, 2), np.float32))
+        return out
+
+
+class Keypoints:
+    """Per-detection keypoints (n, nkpt, 2|3) in original-image pixels
+    (reference results.py:1096)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data, np.float32)
+        self.orig_shape = orig_shape
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    @property
+    def xy(self) -> np.ndarray:
+        return self.data[..., :2]
+
+    @property
+    def conf(self) -> np.ndarray | None:
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+
 class Results:
     """One image's predictions + helpers (plot/save_txt/to-dict)."""
 
@@ -70,6 +113,8 @@ class Results:
         path: str,
         names: dict[int, str],
         boxes: np.ndarray | None = None,
+        masks: np.ndarray | None = None,
+        keypoints: np.ndarray | None = None,
         speed: dict | None = None,
     ):
         self.orig_img = orig_img
@@ -77,6 +122,8 @@ class Results:
         self.path = path
         self.names = names
         self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)), self.orig_shape)
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
         self.speed = speed or {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 
     def __len__(self) -> int:
@@ -105,11 +152,21 @@ class Results:
         return json.dumps(self.summary(), indent=2)
 
     def plot(self, line_width: int | None = None, font_scale: float = 0.5) -> np.ndarray:
-        """Draw boxes + labels on a copy of the original image."""
+        """Draw boxes (+ masks/keypoints when present) on a copy of the image."""
         import cv2
 
         img = self.orig_img.copy()
         lw = line_width or max(round(sum(self.orig_shape) / 2 * 0.003), 2)
+        if self.masks is not None:
+            overlay = img.copy()
+            for m, row in zip(self.masks.data, self.boxes.data):
+                overlay[m] = _class_color(int(row[5]))
+            img = cv2.addWeighted(img, 0.6, overlay, 0.4, 0)
+        if self.keypoints is not None:
+            for kpts in self.keypoints.data:
+                for kp in kpts:
+                    if kp.shape[-1] < 3 or kp[2] > 0.5:
+                        cv2.circle(img, (int(kp[0]), int(kp[1])), max(lw, 2), (0, 255, 0), -1)
         for row in self.boxes.data:
             x1, y1, x2, y2, conf, c = row
             c = int(c)

@@ -59,6 +59,14 @@ def torch_key_to_flax(key: str) -> tuple[str, tuple[str, ...], str] | None:
         return None
 
     parent = body[-1] if body else ""
+    if parent == "upsample":  # Proto's ConvTranspose2d (block.py:83-104)
+        if leaf == "weight":
+            return ("params", tuple(body + ["kernel"]), "convT_kernel")
+        return ("params", tuple(body + [leaf]), "tensor")
+    if parent == "linear":  # Classify head's nn.Linear (head.py:387-438)
+        if leaf == "weight":
+            return ("params", tuple(body + ["kernel"]), "dense_kernel")
+        return ("params", tuple(body + [leaf]), "tensor")
     if parent.startswith("bn") or leaf in ("running_mean", "running_var"):
         if leaf == "running_mean":
             return ("batch_stats", tuple(body + ["mean"]), "tensor")
@@ -100,10 +108,30 @@ def state_dict_to_variables(
         arr = val.detach().cpu().numpy() if hasattr(val, "detach") else np.asarray(val)
         if kind == "conv_kernel":
             arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+        elif kind == "convT_kernel":
+            arr = np.transpose(arr, (2, 3, 0, 1))  # torch ConvT (I,O,kH,kW) -> (kH,kW,I,O)
+        elif kind == "dense_kernel":
+            arr = np.transpose(arr, (1, 0))  # (out, in) -> (in, out)
         node = variables[coll]
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = arr
+
+    # task heads (Segment/Pose/OBB) nest the Detect trunk under a "detect"
+    # scope in our tree while torch keeps cv2/cv3 flat on the head module —
+    # reconcile using the template's structure
+    if template is not None:
+        for coll in ("params", "batch_stats"):
+            tp = template.get(coll, {})
+            got = variables[coll]
+            for layer, sub in list(got.items()):
+                t_layer = tp.get(layer) if hasattr(tp, "get") else None
+                if not isinstance(t_layer, (dict,)) or not isinstance(sub, dict):
+                    continue
+                if "detect" in t_layer and "detect" not in sub:
+                    moved = {k: sub.pop(k) for k in list(sub) if k.startswith(("cv2_", "cv3_"))}
+                    if moved:
+                        sub["detect"] = moved
 
     if template is not None:
         import jax

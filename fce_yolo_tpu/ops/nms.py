@@ -77,7 +77,7 @@ def _select_candidates(
     scores: jnp.ndarray,
     pre_nms_topk: int,
     multi_label: bool,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static top-K candidate selection over (anchors [x classes])."""
     n, nc = scores.shape
     k = min(pre_nms_topk, n * nc if multi_label else n)
@@ -91,7 +91,7 @@ def _select_candidates(
         best_score = jnp.max(scores, axis=-1)
         top_scores, anchor_idx = jax.lax.top_k(best_score, k)
         cls_idx = best_cls[anchor_idx]
-    return boxes[anchor_idx], top_scores, cls_idx
+    return boxes[anchor_idx], top_scores, cls_idx, anchor_idx
 
 
 def single_image_nms(
@@ -115,7 +115,7 @@ def single_image_nms(
     Returns dict with ``boxes`` (max_det, 4), ``scores`` (max_det,),
     ``classes`` (max_det,) int32 (-1 for empty slots), ``valid`` (max_det,) bool.
     """
-    cand_boxes, top_scores, cls_idx = _select_candidates(
+    cand_boxes, top_scores, cls_idx, _ = _select_candidates(
         boxes, scores, pre_nms_topk, multi_label
     )
     valid = top_scores > conf_thres
@@ -142,6 +142,7 @@ def single_image_nms(
         "agnostic",
         "in_fmt",
         "impl",
+        "nc",
     ),
 )
 def batched_nms(
@@ -155,12 +156,15 @@ def batched_nms(
     agnostic: bool = False,
     in_fmt: str = "xywh",
     impl: str = "auto",
+    nc: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Batched NMS over decoded head output.
 
     Args:
-        prediction: (B, N, 4 + nc) — boxes then per-class scores, matching the
-            decoded layout of the Detect head (boxes in ``in_fmt``).
+        prediction: (B, N, 4 + nc [+ E]) — boxes, per-class scores, and
+            optional extra per-anchor channels (mask coefficients, decoded
+            keypoints, OBB angle). Pass ``nc`` when extras are present; they
+            are gathered per kept detection into the ``extra`` output.
         impl: "auto" (Pallas kernel on TPU, scan elsewhere) | "pallas" | "scan".
 
     Returns dict of (B, max_det, ...) arrays; see ``single_image_nms``.
@@ -168,9 +172,14 @@ def batched_nms(
     boxes = prediction[..., :4]
     if in_fmt == "xywh":
         boxes = xywh2xyxy(boxes)
-    scores = prediction[..., 4:]
+    if nc is None:
+        scores = prediction[..., 4:]
+        extra = None
+    else:
+        scores = prediction[..., 4 : 4 + nc]
+        extra = prediction[..., 4 + nc :] if prediction.shape[-1] > 4 + nc else None
 
-    cand_boxes, top_scores, cls_idx = jax.vmap(
+    cand_boxes, top_scores, cls_idx, anchor_idx = jax.vmap(
         partial(_select_candidates, pre_nms_topk=pre_nms_topk, multi_label=multi_label)
     )(boxes, scores)
     valid = top_scores > conf_thres
@@ -192,9 +201,17 @@ def batched_nms(
         )(shifted, top_scores, valid)
 
     take = lambda a: jnp.take_along_axis(a, idx, axis=1)
-    return {
+    out = {
         "boxes": jnp.where(kept[..., None], jnp.take_along_axis(cand_boxes, idx[..., None], axis=1), 0.0),
         "scores": jnp.where(kept, take(top_scores), 0.0),
         "classes": jnp.where(kept, take(cls_idx), -1).astype(jnp.int32),
         "valid": kept,
     }
+    if extra is not None:
+        kept_anchor = take(anchor_idx)  # candidate slot -> source anchor
+        out["extra"] = jnp.where(
+            kept[..., None],
+            jnp.take_along_axis(extra, kept_anchor[..., None], axis=1),
+            0.0,
+        )
+    return out

@@ -1,15 +1,23 @@
 """Pallas TPU kernel for greedy NMS suppression.
 
-The XLA `lax.scan` formulation (ops/nms.py:_pick_suppress) pays per-step
-scheduling overhead for max_det (300) tiny sequential steps — measured ~7 ms
-per 32-image batch at K=1024 on v5e, ~16% of the e2e predict time. This
-kernel runs the whole greedy loop VMEM-resident: the grid parallelizes over
-images, each program keeps the (K,) score vector and (4, K) transposed boxes
-in VMEM and does max_det argmax+suppress iterations at VPU latency with zero
-dispatch overhead.
+The XLA `lax.scan` formulation (ops/nms.py:_pick_suppress) vmapped over the
+batch runs max_det tiny steps per image and cannot early-exit — measured
+>100 ms for a 128-image batch at K=1024 on v5e (5x the whole backbone
+forward). This kernel restructures the loop TPU-first:
 
-Keep-set and emit order are exactly torchvision-greedy (same as the scan
-version): tested bit-identical in tests/test_pallas_nms.py.
+- ONE grid program holds the whole batch's candidate set in VMEM
+  ((B, K) score/coordinate planes — 128 x 1024 f32 is ~0.5 MB/plane).
+- The greedy pick+suppress step is VECTORIZED ACROSS THE BATCH: per-row
+  argmax -> one-hot gather of the picked boxes -> (B, K) IoU row ->
+  suppression mask. The only sequential dimension is max_det (300), not
+  batch x max_det (38,400) — a ~B-fold cut in serial work on a
+  single-TensorCore chip.
+- Early exit: a while_loop stops as soon as every image's candidate pool
+  is exhausted, so typical trained-model batches (tens of detections) pay
+  tens of steps, not 300.
+
+Keep-set and emit order per image are exactly torchvision-greedy (same as
+the scan version): tested in tests/test_pallas_nms.py.
 """
 
 from __future__ import annotations
@@ -22,52 +30,53 @@ import jax.numpy as jnp
 __all__ = ["pallas_pick_suppress"]
 
 
-def _nms_kernel(boxes_ref, scores_ref, valid_ref, idx_ref, ok_ref, *, iou_thres, max_det):
-    from jax.experimental import pallas as pl  # noqa: F401 (imported for clarity)
-
-    k = scores_ref.shape[1]
-    x1 = boxes_ref[0, 0, :]  # (K,)
-    y1 = boxes_ref[0, 1, :]
-    x2 = boxes_ref[0, 2, :]
-    y2 = boxes_ref[0, 3, :]
+def _nms_kernel(x1_ref, y1_ref, x2_ref, y2_ref, scores_ref, valid_ref, idx_ref, ok_ref,
+                *, iou_thres, max_det):
+    b, k = scores_ref.shape
+    x1, y1, x2, y2 = x1_ref[:, :], y1_ref[:, :], x2_ref[:, :], y2_ref[:, :]
     area = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
 
     neg_inf = jnp.float32(-jnp.float32(jnp.inf))
-    live0 = jnp.where(valid_ref[0, :] > 0, scores_ref[0, :], neg_inf)
+    live0 = jnp.where(valid_ref[:, :] > 0, scores_ref[:, :], neg_inf)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0).squeeze(-1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    iota_md = jax.lax.broadcasted_iota(jnp.int32, (b, max_det), 1)
 
-    def step(t, carry):
-        live, idx_acc, ok_acc = carry
-        i = jnp.argmax(live).astype(jnp.int32)
-        ok = live[i] > neg_inf
-        # gather the picked box via one-hot reduction (vector-friendly)
-        sel = (iota == i).astype(jnp.float32)
-        bx1 = jnp.sum(sel * x1)
-        by1 = jnp.sum(sel * y1)
-        bx2 = jnp.sum(sel * x2)
-        by2 = jnp.sum(sel * y2)
-        barea = jnp.sum(sel * area)
+    def cond(carry):
+        t, live, _, _ = carry
+        return (t < max_det) & (jnp.max(live) > neg_inf)
+
+    def body(carry):
+        t, live, idx_acc, ok_acc = carry
+        i = jnp.argmax(live, axis=1).astype(jnp.int32)  # (B,)
+        row_max = jnp.max(live, axis=1, keepdims=True)  # (B, 1)
+        ok = row_max > neg_inf  # (B, 1)
+        sel = (iota_k == i[:, None]).astype(jnp.float32)  # (B, K) one-hot
+        g = lambda v: jnp.sum(sel * v, axis=1, keepdims=True)  # (B, 1)
+        bx1, by1, bx2, by2, barea = g(x1), g(y1), g(x2), g(y2), g(area)
         iw = jnp.clip(jnp.minimum(bx2, x2) - jnp.maximum(bx1, x1), 0, None)
         ih = jnp.clip(jnp.minimum(by2, y2) - jnp.maximum(by1, y1), 0, None)
         inter = iw * ih
         iou = inter / (barea + area - inter + 1e-7)
-        kill = (iou > iou_thres) | (iota == i)
+        kill = (iou > iou_thres) | (iota_k == i[:, None])
         live = jnp.where(ok & kill, neg_inf, live)
-        idx_acc = jax.lax.dynamic_update_index_in_dim(idx_acc, i, t, 0)
-        ok_acc = jax.lax.dynamic_update_index_in_dim(
-            ok_acc, ok.astype(jnp.int32), t, 0
-        )
-        return live, idx_acc, ok_acc
+        at_t = iota_md == t
+        idx_acc = jnp.where(at_t, i[:, None], idx_acc)
+        ok_acc = jnp.where(at_t & ok, 1, ok_acc)
+        return t + 1, live, idx_acc, ok_acc
 
-    live, idx_acc, ok_acc = jax.lax.fori_loop(
-        0,
-        max_det,
-        step,
-        (live0, jnp.zeros((max_det,), jnp.int32), jnp.zeros((max_det,), jnp.int32)),
+    _, live, idx_acc, ok_acc = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(0),
+            live0,
+            jnp.zeros((b, max_det), jnp.int32),
+            jnp.zeros((b, max_det), jnp.int32),
+        ),
     )
-    idx_ref[0, :] = idx_acc
-    ok_ref[0, :] = ok_acc
+    idx_ref[:, :] = idx_acc
+    ok_ref[:, :] = ok_acc
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thres", "max_det", "interpret"))
@@ -81,29 +90,26 @@ def pallas_pick_suppress(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched greedy NMS. Returns (idx (B, max_det) int32, ok (B, max_det) bool)."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     b, k, _ = boxes.shape
-    boxes_t = boxes.transpose(0, 2, 1).astype(jnp.float32)  # (B, 4, K): lanes = K
+    planes = [boxes[..., i].astype(jnp.float32) for i in range(4)]  # 4 x (B, K)
     scores = scores.astype(jnp.float32)
     valid_f = valid.astype(jnp.float32)
 
     kernel = functools.partial(_nms_kernel, iou_thres=float(iou_thres), max_det=int(max_det))
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM) if not interpret else pl.BlockSpec(memory_space=None)
+    kw = {}
+    if not interpret:
+        kw["in_specs"] = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        kw["out_specs"] = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     idx, ok = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 4, k), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, k), lambda i: (i, 0)),
-            pl.BlockSpec((1, k), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, max_det), lambda i: (i, 0)),
-            pl.BlockSpec((1, max_det), lambda i: (i, 0)),
-        ],
         out_shape=[
             jax.ShapeDtypeStruct((b, max_det), jnp.int32),
             jax.ShapeDtypeStruct((b, max_det), jnp.int32),
         ],
         interpret=interpret,
-    )(boxes_t, scores, valid_f)
+        **kw,
+    )(*planes, scores, valid_f)
     return idx, ok > 0

@@ -47,7 +47,7 @@ def test_segment_head_shapes():
 
 
 def test_pose_head_shapes():
-    _, spec, strides, out = _build_and_run("yolo11-pose.yaml", imgsz=64)
+    _, spec, strides, out = _build_and_run("yolo11-pose.yaml", nc=1, imgsz=64)
     assert spec.task == "pose"
     a = sum((64 // s) ** 2 for s in strides)
     assert out["preds"].shape == (1, a, 4 + 1 + 17 * 3)

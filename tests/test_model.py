@@ -58,7 +58,7 @@ def test_all_yamls_parse():
     assert yamls
     for y in yamls:
         model, spec, strides = build_model(y, scale="n")
-        assert spec.layers[-1].name == "Detect"
+        assert spec.layers[-1].name in ("Detect", "Segment", "Pose", "OBB", "Classify")
 
 
 def test_forward_shapes_train_eval():

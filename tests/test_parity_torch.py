@@ -119,3 +119,58 @@ def test_parity_batch_and_rect(ref_ultralytics):
     np.testing.assert_allclose(
         np.asarray(out["preds"]).transpose(0, 2, 1), t_decoded.numpy(), rtol=1e-3, atol=5e-4
     )
+
+
+@pytest.mark.parametrize(
+    "yaml_name,task_cls,scale",
+    [
+        ("yolo11-seg.yaml", "SegmentationModel", "n"),
+        ("yolo11-pose.yaml", "PoseModel", "n"),
+        ("yolo11-cls.yaml", "ClassificationModel", "n"),
+    ],
+)
+def test_task_head_import_parity(ref_ultralytics, yaml_name, task_cls, scale):
+    """Import reference task-model weights (Segment/Pose/Classify heads) and
+    compare eval outputs."""
+    import contextlib
+    import io as _io
+
+    import yaml as pyyaml
+
+    import jax
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+    from ultralytics.nn import tasks as ref_tasks
+
+    d = pyyaml.safe_load(open(os.path.join(REF, "ultralytics/cfg/models/11", yaml_name)))
+    d["scale"] = scale
+    with contextlib.redirect_stdout(_io.StringIO()):
+        tm = getattr(ref_tasks, task_cls)(d, verbose=False)
+    tm.eval().float()
+
+    model, spec, strides = build_model(os.path.join(CFG_DIR, yaml_name), scale=scale)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = model.apply(variables, x, train=False)
+
+    if task_cls == "ClassificationModel":
+        probs, logits = ty  # eval returns (softmax, logits)
+        np.testing.assert_allclose(np.asarray(out["logits"]), logits.numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["probs"]), probs.numpy(), rtol=1e-3, atol=1e-5)
+    elif task_cls == "SegmentationModel":
+        dec, (feats, mc, proto) = ty  # (B, 4+nc+nm, N), aux
+        ours = np.asarray(out["preds"]).transpose(0, 2, 1)
+        np.testing.assert_allclose(ours, dec.numpy(), rtol=1e-3, atol=5e-4)
+        ours_proto = np.asarray(out["proto"]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours_proto, proto.numpy(), rtol=1e-3, atol=5e-4)
+    else:  # Pose
+        dec, (feats, kpt) = ty  # (B, 4+nc+nk, N)
+        ours = np.asarray(out["preds"]).transpose(0, 2, 1)
+        np.testing.assert_allclose(ours, dec.numpy(), rtol=1e-3, atol=5e-4)

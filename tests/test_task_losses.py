@@ -65,7 +65,7 @@ def test_pose_loss_finite_and_grads():
     from fce_yolo_tpu.train.loss import DetectionLossCfg, LossState
     from fce_yolo_tpu.train.task_losses import PoseLossCfg, pose_loss
 
-    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11-pose.yaml", scale="n")
+    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11-pose.yaml", scale="n", nc=1)
     v = dict(jax.jit(lambda k: model.init(k, jnp.zeros((1, 64, 64, 3)), train=True))(jax.random.PRNGKey(0)))
     rng = np.random.RandomState(0)
     batch = _det_batch(nc=1, rng=rng)

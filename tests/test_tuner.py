@@ -1,0 +1,37 @@
+"""Tuner: evolution converges on a synthetic fitness landscape, CSV resume works."""
+
+import numpy as np
+
+from fce_yolo_tpu.engine.tuner import Tuner
+
+
+def quadratic_fitness(hyp: dict) -> float:
+    """Peak at lr0=0.01, mosaic=0.8."""
+    return float(
+        np.exp(-((np.log10(hyp["lr0"]) + 2) ** 2)) * np.exp(-((hyp["mosaic"] - 0.8) ** 2))
+    )
+
+
+def test_tuner_improves(tmp_path):
+    space = {"lr0": (1e-5, 1e-1), "mosaic": (0.0, 1.0)}
+    t = Tuner(space=space, tune_dir=str(tmp_path), train_fn=quadratic_fitness, seed=0,
+              base_args={"lr0": 0.0005, "mosaic": 0.1})
+    out = t(iterations=25, verbose=False)
+    assert out["best_fitness"] > quadratic_fitness({"lr0": 0.0005, "mosaic": 0.1})
+    assert (tmp_path / "tune_results.csv").exists()
+    assert (tmp_path / "best_hyperparameters.yaml").exists()
+    # resumable: a second tuner continues from the CSV
+    t2 = Tuner(space=space, tune_dir=str(tmp_path), train_fn=quadratic_fitness, seed=1)
+    out2 = t2(iterations=5, verbose=False)
+    rows = (tmp_path / "tune_results.csv").read_text().splitlines()
+    assert len(rows) == 1 + 25 + 5
+    assert out2["best_fitness"] >= 0
+
+
+def test_tuner_failed_run_scores_zero(tmp_path):
+    def boom(hyp):
+        raise RuntimeError("x")
+
+    t = Tuner(space={"lr0": (1e-5, 1e-1)}, tune_dir=str(tmp_path), train_fn=boom)
+    out = t(iterations=2, verbose=False)
+    assert out["best_fitness"] == 0.0
