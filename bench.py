@@ -31,13 +31,13 @@ def main(batch: int = 128, iters: int = 32, scale: str = "n", imgsz: int = 640) 
     import jax
     import jax.numpy as jnp
 
-    from fce_yolo_tpu.nn.model import build_model
+    from fce_yolo_tpu.nn.model import build_model, init_variables
     from fce_yolo_tpu.ops.nms import batched_nms
 
     model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale=scale)
-    variables = jax.jit(
-        lambda k: model.init(k, jnp.zeros((1, imgsz, imgsz, 3)), train=True)
-    )(jax.random.PRNGKey(0))
+    # init WITH detection bias priors: the confidence distribution then matches
+    # a real model's (sparse candidates), which is what NMS sees in production
+    variables = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
 
     # bf16 weights/activations (MXU-native); decode upcasts to f32 internally
     bf16 = jnp.bfloat16

@@ -181,6 +181,9 @@ class YOLO:
         seed: int = 0,
         device_mesh=None,
         verbose: bool = True,
+        freeze: int | list[int] | None = None,
+        resume: bool = False,
+        time_limit_hours: float | None = None,
         **hyp_overrides,
     ) -> dict:
         """Full training run: per-epoch val on EMA weights, results.csv,
@@ -243,9 +246,25 @@ class YOLO:
         if lr0 is not None and optimizer == "auto":
             optim_cfg = optim_cfg._replace(optimizer="AdamW" if epochs * steps_per_epoch <= 10000 else "SGD")
         loss_cfg = DetectionLossCfg(nc=d["nc"], strides=tuple(self.strides), iou_type=iou_type)
-        tx = build_optimizer(optim_cfg, v["params"])
+        tx = build_optimizer(optim_cfg, v["params"], freeze=freeze)
         state = create_train_state(self.model, v, tx)
         step_fn = make_train_step(self.model, tx, loss_cfg)
+
+        start_epoch = 0
+        save_dir_w = save_dir / "weights"
+        if resume and is_checkpoint(save_dir_w / "last"):
+            # full-state resume (reference check_resume/resume_training,
+            # trainer.py:793-906): leaves are restored into a freshly-built
+            # state treedef, so optimizer/EMA/WIoU state all continue exactly
+            tree, meta0 = load_checkpoint(save_dir_w / "last")
+            if "train_state_leaves" in tree:
+                leaves_dict = tree["train_state_leaves"]
+                flat, treedef = jax.tree_util.tree_flatten(state)
+                loaded = [jnp.asarray(leaves_dict[str(i)]) for i in range(len(flat))]
+                state = jax.tree_util.tree_unflatten(treedef, loaded)
+                start_epoch = int(meta0.get("epoch", -1)) + 1
+                if verbose:
+                    print(f"resuming from epoch {start_epoch} ({save_dir_w / 'last'})")
 
         if device_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -278,7 +297,7 @@ class YOLO:
                   f"nc={d['nc']} imgsz={imgsz} batch={batch} epochs={epochs} "
                   f"steps/epoch={steps_per_epoch} optimizer={optim_cfg.optimizer}")
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch, close_mosaic_at=close_mosaic, total_epochs=epochs)
             t0 = time.time()
             sums: dict[str, float] = {}
@@ -312,19 +331,31 @@ class YOLO:
             csv_rows.append(row)
             self._write_csv(csv_path, csv_rows)
 
-            # checkpoints: last + best (+ periodic), EMA weights as the model
+            # checkpoints: last carries the FULL train state (resume-exact);
+            # best carries EMA model weights only (reference trainer.py:584-624)
             self.variables = {"params": jax.device_get(state.ema.params),
                               "batch_stats": jax.device_get(state.batch_stats)}
             meta = {"cfg_yaml": self.cfg_yaml, "scale": self.scale, "nc": self.nc,
                     "names": self.names, "epoch": epoch, "fitness": fitness,
                     "train_args": {"data": str(data), "epochs": epochs, "batch": batch,
                                    "imgsz": imgsz, "iou_type": iou_type}}
-            self.save(str(save_dir / "weights" / "last"), meta)
+            flat, _ = jax.tree_util.tree_flatten(state)
+            save_checkpoint(
+                str(save_dir / "weights" / "last"),
+                {"params": self.variables["params"],
+                 "batch_stats": self.variables["batch_stats"],
+                 "train_state_leaves": {str(i): jax.device_get(x) for i, x in enumerate(flat)}},
+                meta,
+            )
             if fitness is not None and fitness > best_fitness:
                 best_fitness = fitness
                 self.save(str(save_dir / "weights" / "best"), meta)
             if save_period > 0 and (epoch + 1) % save_period == 0:
                 self.save(str(save_dir / "weights" / f"epoch{epoch}"), meta)
+            if time_limit_hours is not None and (time.time() - t_start) > time_limit_hours * 3600:
+                if verbose:
+                    print(f"time limit {time_limit_hours}h reached at epoch {epoch + 1}")
+                break
 
             if verbose:
                 fit_s = f" fitness={fitness:.4f}" if fitness is not None else ""

@@ -78,13 +78,25 @@ def _select_candidates(
     pre_nms_topk: int,
     multi_label: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Static top-K candidate selection over (anchors [x classes])."""
+    """Static top-K candidate selection over (anchors [x classes]).
+
+    A flat top-k over all N*nc (anchor, class) pairs is the semantic target,
+    but on TPU sorting 672k elements per image dominates the whole predict
+    pipeline. Hierarchical selection instead: (1) top-K anchors by per-anchor
+    max class score — one cheap (N,) top_k; (2) multi-label top-K over just
+    those anchors' K*nc score rows. Any pair NMS could emit is within the
+    top max_det anchors by max-score, so with K >= pre_nms_topk >> max_det
+    the keep-set is unchanged in practice.
+    """
     n, nc = scores.shape
     k = min(pre_nms_topk, n * nc if multi_label else n)
     if multi_label and nc > 1:
-        flat = scores.reshape(-1)  # (N * nc)
-        top_scores, top_idx = jax.lax.top_k(flat, k)
-        anchor_idx = top_idx // nc
+        ka = min(pre_nms_topk, n)
+        best_score = jnp.max(scores, axis=-1)  # (N,)
+        _, anchor_pool = jax.lax.top_k(best_score, ka)  # (Ka,)
+        pool_scores = scores[anchor_pool]  # (Ka, nc)
+        top_scores, top_idx = jax.lax.top_k(pool_scores.reshape(-1), k)
+        anchor_idx = anchor_pool[top_idx // nc]
         cls_idx = top_idx % nc
     else:
         best_cls = jnp.argmax(scores, axis=-1)

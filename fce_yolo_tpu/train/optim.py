@@ -109,12 +109,34 @@ def _param_group_masks(params) -> tuple[Any, Any, Any]:
     return mk("decay"), mk("norm"), mk("bias")
 
 
-def build_optimizer(cfg: OptimCfg, params) -> optax.GradientTransformation:
+def freeze_mask(params, freeze: int | list[int] | None) -> Any:
+    """True for parameters that must NOT update (reference trainer.py:275-295:
+    freeze = first-N layer indices or an explicit index list; the reference's
+    always-frozen `.dfl` has no parameters here)."""
+    if freeze is None:
+        idxs: set[int] = set()
+    elif isinstance(freeze, int):
+        idxs = set(range(freeze))
+    else:
+        idxs = {int(i) for i in freeze}
+    names = {f"layers_{i}" for i in idxs}
+
+    def tag(path, leaf):
+        top = str(getattr(path[0], "key", path[0]))
+        return top in names
+
+    return jax.tree_util.tree_map_with_path(tag, params)
+
+
+def build_optimizer(
+    cfg: OptimCfg, params, freeze: int | list[int] | None = None
+) -> optax.GradientTransformation:
     """One optax chain reproducing the reference's 3-group optimizer.
 
     Weight decay is scaled by batch_size*accumulate/nbs (trainer.py:343) and
     applied only to non-norm, non-bias weights; biases get the
-    warmup_bias_lr ramp.
+    warmup_bias_lr ramp. ``freeze`` zeroes updates for the given layer
+    indices (reference layer-freeze semantics as masked updates).
     """
     cfg = resolve_auto(cfg)
     accumulate = max(round(cfg.nbs / cfg.batch_size), 1)
@@ -150,13 +172,16 @@ def build_optimizer(cfg: OptimCfg, params) -> optax.GradientTransformation:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
     # updates stay in +gradient space until the final per-group -lr scaling
-    return optax.chain(
+    chain = [
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         *pre,
         *post,
         optax.masked(optax.scale_by_schedule(lambda s: -lr_main(s)), nonbias_mask),
         optax.masked(optax.scale_by_schedule(lambda s: -lr_bias(s)), bias_mask),
-    )
+    ]
+    if freeze is not None and (freeze if isinstance(freeze, int) else len(freeze)):
+        chain.append(optax.masked(optax.set_to_zero(), freeze_mask(params, freeze)))
+    return optax.chain(*chain)
 
 
 class EMA(NamedTuple):
