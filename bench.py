@@ -48,7 +48,8 @@ def main(batch: int = 128, iters: int = 32, scale: str = "n", imgsz: int = 640) 
     def predict(variables, images_u8):
         x = images_u8.astype(bf16) / 255.0
         preds = model.apply(variables, x, train=False)["preds"]
-        out = batched_nms(preds, conf_thres=0.25, iou_thres=0.45, max_det=300)
+        # single-label NMS: the deployment configuration (reference nms.py:19)
+        out = batched_nms(preds, conf_thres=0.25, iou_thres=0.45, max_det=300, multi_label=False)
         # scalar checksum keeps every output on the critical path
         return out["boxes"].sum() + out["scores"].sum() + out["valid"].sum()
 

@@ -115,8 +115,11 @@ class DetectionPredictor:
         def predict(variables, img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
             out = model.apply(variables, x, train=False)
+            # predict is single-label per box (reference nms.py:19 default);
+            # the validator uses multi_label=True for mAP parity
             nms = batched_nms(
                 out["preds"], conf_thres=conf, iou_thres=iou, max_det=max_det,
+                multi_label=False,
                 nc=nc if task in ("segment", "pose") else None,
             )
             if task == "segment":
