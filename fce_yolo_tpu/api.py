@@ -211,10 +211,13 @@ class YOLO:
         hyp = AugmentCfg(**aug_kw)
         train_ds = YOLODataset(d["train"], imgsz=imgsz, mode="train", hyp=hyp, nc=d["nc"], seed=seed)
         use_native = hyp_overrides.get("native_loader")
-        if use_native is None:  # prefer the C++ engine when built
+        if use_native is None:  # prefer the C++ engine when built (detect-only path)
             from fce_yolo_tpu.data import native_loader as _nl
 
-            use_native = _nl.available() and hyp.perspective == 0 and hyp.mixup == 0 and hyp.cutmix == 0
+            use_native = (
+                _nl.available() and self.task == "detect"
+                and hyp.perspective == 0 and hyp.mixup == 0 and hyp.cutmix == 0
+            )
         if use_native:
             from fce_yolo_tpu.data.native_loader import NativeDataLoader
 
@@ -248,7 +251,18 @@ class YOLO:
         loss_cfg = DetectionLossCfg(nc=d["nc"], strides=tuple(self.strides), iou_type=iou_type)
         tx = build_optimizer(optim_cfg, v["params"], freeze=freeze)
         state = create_train_state(self.model, v, tx)
-        step_fn = make_train_step(self.model, tx, loss_cfg)
+        task_loss = None
+        batch_keys = ["img", "cls", "bboxes", "mask"]
+        if self.task == "segment":
+            from fce_yolo_tpu.train.task_losses import segmentation_loss
+
+            task_loss = segmentation_loss
+            batch_keys.append("masks")
+        elif self.task == "obb":
+            from fce_yolo_tpu.train.task_losses import obb_loss
+
+            task_loss = obb_loss
+        step_fn = make_train_step(self.model, tx, loss_cfg, task_loss=task_loss)
 
         start_epoch = 0
         save_dir_w = save_dir / "weights"
@@ -303,7 +317,7 @@ class YOLO:
             sums: dict[str, float] = {}
             nb = 0
             for b in loader:
-                bdev = put({k: b[k] for k in ("img", "cls", "bboxes", "mask")})
+                bdev = put({k: b[k] for k in batch_keys if k in b})
                 state, m = step_fn(state, bdev)
                 nb += 1
                 if nb == 1 or nb % 10 == 0 or nb == steps_per_epoch:

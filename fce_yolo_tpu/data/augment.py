@@ -128,9 +128,12 @@ def random_perspective(
     image center, warp to size = input + 2*border, borderValue 114.
     """
     img, cls, bboxes = sample["img"], sample["cls"], sample["bboxes"]
+    segments = sample.get("segments")
     if pre_letterbox is not None:
         img, r, pad = letterbox(img, pre_letterbox)
         bboxes = _apply_letterbox_boxes(bboxes, r, pad)
+        if segments is not None:
+            segments = [s * r + np.array(pad, np.float32) for s in segments]
     h, w = img.shape[:2]
     out_w, out_h = w + border[0] * 2, h + border[1] * 2
 
@@ -168,7 +171,19 @@ def random_perspective(
         new[:, [1, 3]] = new[:, [1, 3]].clip(0, out_h)
         keep = box_candidates(bboxes * s, new, area_thr=0.1)
         bboxes, cls = new[keep], cls[keep]
-    return {"img": img, "cls": cls, "bboxes": bboxes}
+        if segments is not None:
+            warped = []
+            for seg in segments:
+                p = np.concatenate([seg, np.ones((len(seg), 1), np.float32)], 1) @ M.T
+                q = p[:, :2] / p[:, 2:3] if cfg.perspective else p[:, :2]
+                q[:, 0] = q[:, 0].clip(0, out_w)
+                q[:, 1] = q[:, 1].clip(0, out_h)
+                warped.append(q.astype(np.float32))
+            segments = [warped[i] for i in np.nonzero(keep)[0]]
+    out = {"img": img, "cls": cls, "bboxes": bboxes}
+    if segments is not None:
+        out["segments"] = segments
+    return out
 
 
 def mosaic4(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
@@ -183,6 +198,7 @@ def mosaic4(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
     xc = int(rng.uniform(s // 2, 2 * s - s // 2))
     canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
     all_cls, all_boxes = [], []
+    all_segs: list | None = [] if any("segments" in x for x in samples[:4]) else None
     for i, sample in enumerate(samples[:4]):
         img = sample["img"]
         # pre-scale long side to imgsz (reference load_image does this)
@@ -211,15 +227,28 @@ def mosaic4(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
             b[:, [1, 3]] += padh
             all_boxes.append(b)
             all_cls.append(sample["cls"])
+            if all_segs is not None:
+                off = np.array([padw, padh], np.float32)
+                segs = sample.get("segments") or [
+                    np.array([[bb[0], bb[1]], [bb[2], bb[1]], [bb[2], bb[3]], [bb[0], bb[3]]], np.float32)
+                    for bb in sample["bboxes"]
+                ]
+                all_segs.extend([sg * r + off for sg in segs])
     if all_boxes:
         boxes = np.concatenate(all_boxes, 0)
         cls = np.concatenate(all_cls, 0)
         boxes = boxes.clip(0, 2 * s)
         wh_ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
         boxes, cls = boxes[wh_ok], cls[wh_ok]
+        if all_segs is not None:
+            all_segs = [np.clip(sg, 0, 2 * s) for sg, ok in zip(all_segs, wh_ok) if ok]
     else:
         boxes, cls = np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
-    return {"img": canvas, "cls": cls, "bboxes": boxes}
+        all_segs = [] if all_segs is not None else None
+    out = {"img": canvas, "cls": cls, "bboxes": boxes}
+    if all_segs is not None:
+        out["segments"] = all_segs
+    return out
 
 
 def random_hsv(img: np.ndarray, rng: np.random.Generator, cfg: AugmentCfg) -> np.ndarray:
@@ -237,20 +266,28 @@ def random_hsv(img: np.ndarray, rng: np.random.Generator, cfg: AugmentCfg) -> np
 
 
 def random_flip(sample: dict, rng: np.random.Generator, cfg: AugmentCfg) -> dict:
-    """Horizontal/vertical flips with box updates (reference augment.py:1422-1508)."""
+    """Horizontal/vertical flips with box (+polygon) updates (reference augment.py:1422-1508)."""
     img, bboxes = sample["img"], sample["bboxes"]
+    segments = sample.get("segments")
     h, w = img.shape[:2]
     if cfg.flipud and rng.random() < cfg.flipud:
         img = np.flipud(img)
         if len(bboxes):
             bboxes = bboxes.copy()
             bboxes[:, [1, 3]] = h - bboxes[:, [3, 1]]
+        if segments is not None:
+            segments = [np.stack([s[:, 0], h - s[:, 1]], 1) for s in segments]
     if cfg.fliplr and rng.random() < cfg.fliplr:
         img = np.fliplr(img)
         if len(bboxes):
             bboxes = bboxes.copy()
             bboxes[:, [0, 2]] = w - bboxes[:, [2, 0]]
-    return {"img": np.ascontiguousarray(img), "cls": sample["cls"], "bboxes": bboxes}
+        if segments is not None:
+            segments = [np.stack([w - s[:, 0], s[:, 1]], 1) for s in segments]
+    out = {"img": np.ascontiguousarray(img), "cls": sample["cls"], "bboxes": bboxes}
+    if segments is not None:
+        out["segments"] = segments
+    return out
 
 
 def mixup(a: dict, b: dict, rng: np.random.Generator) -> dict:
@@ -338,7 +375,7 @@ def _no_mix(cfg: AugmentCfg) -> AugmentCfg:
 def val_transform(sample: dict, imgsz: int) -> dict:
     """Val/predict path: letterbox only; records ratio/pad for box scale-back."""
     img, r, pad = letterbox(sample["img"], imgsz, scaleup=False)
-    return {
+    out = {
         "img": img,
         "cls": sample["cls"],
         "bboxes": _apply_letterbox_boxes(sample["bboxes"].copy(), r, pad),
@@ -346,3 +383,6 @@ def val_transform(sample: dict, imgsz: int) -> dict:
         "pad": pad,
         "orig_shape": sample["img"].shape[:2],
     }
+    if "segments" in sample:
+        out["segments"] = [s * r + np.array(pad, np.float32) for s in sample["segments"]]
+    return out

@@ -137,12 +137,25 @@ class YOLODataset:
         labels = []
         for f in self.im_files:
             lp = img2label_path(f)
+            rows = []
             if os.path.exists(lp):
                 rows = [l.split() for l in Path(lp).read_text().splitlines() if l.strip()]
-                arr = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+            if rows and len(rows[0]) > 5:
+                # segment format: cls x1 y1 x2 y2 ... (normalized polygon;
+                # reference data/utils.py verify_image_label segments branch)
+                cls, xywhn, segs = [], [], []
+                for r in rows:
+                    pts = np.array(r[1:], np.float32).reshape(-1, 2)
+                    cls.append(float(r[0]))
+                    lo, hi = pts.min(0), pts.max(0)
+                    xywhn.append([(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]])
+                    segs.append(pts)
+                labels.append(
+                    {"cls": np.array(cls, np.float32), "xywhn": np.array(xywhn, np.float32), "segments": segs}
+                )
             else:
-                arr = np.zeros((0, 5), np.float32)
-            labels.append({"cls": arr[:, 0], "xywhn": arr[:, 1:5]})
+                arr = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+                labels.append({"cls": arr[:, 0], "xywhn": arr[:, 1:5]})
         if use_cache:
             try:
                 np.savez_compressed(cache_path, labels=np.array(labels, dtype=object))
@@ -160,7 +173,7 @@ class YOLODataset:
             self.mosaic_enabled = False
 
     def load_raw(self, i: int) -> dict:
-        """Decode image i and return pixel-xyxy labels."""
+        """Decode image i and return pixel-xyxy labels (+ pixel polygons)."""
         img = cv2.imread(self.im_files[i])  # BGR HWC uint8
         if img is None:
             raise FileNotFoundError(f"failed to read image {self.im_files[i]}")
@@ -173,7 +186,10 @@ class YOLODataset:
             boxes[:, 1] = xywh[:, 1] - xywh[:, 3] / 2
             boxes[:, 2] = xywh[:, 0] + xywh[:, 2] / 2
             boxes[:, 3] = xywh[:, 1] + xywh[:, 3] / 2
-        return {"img": img, "cls": lab["cls"].copy(), "bboxes": boxes}
+        out = {"img": img, "cls": lab["cls"].copy(), "bboxes": boxes}
+        if "segments" in lab:
+            out["segments"] = [s * np.array([w, h], np.float32) for s in lab["segments"]]
+        return out
 
     def __getitem__(self, i: int) -> dict:
         if self.mode == "train":
@@ -183,13 +199,16 @@ class YOLODataset:
         return val_transform(self.load_raw(i), self.imgsz)
 
 
-def collate(samples: list[dict], max_labels: int = 128) -> dict:
+def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4) -> dict:
     """Pad a list of samples into one static-shape batch.
 
     Output: img (B, S, S, 3) uint8 NHWC; cls (B, M); bboxes (B, M, 4)
     normalized xywh; mask (B, M) bool — the train-step batch contract
     (train/loss.py detection_loss). Images stay uint8; /255 happens inside
-    the jit so the host->device copy is 4x smaller.
+    the jit so the host->device copy is 4x smaller. When samples carry
+    polygon "segments", a per-instance binary "masks" (B, M, S/mask_ratio,
+    S/mask_ratio) plane is rasterized for the segmentation loss (mask_ratio
+    matches reference cfg/default.yaml mask_ratio: 4).
     """
     b = len(samples)
     s = samples[0]["img"].shape[0]
@@ -197,6 +216,9 @@ def collate(samples: list[dict], max_labels: int = 128) -> dict:
     cls = np.zeros((b, max_labels), np.float32)
     bboxes = np.zeros((b, max_labels, 4), np.float32)
     mask = np.zeros((b, max_labels), bool)
+    has_segments = any("segments" in x for x in samples)
+    sm = s // mask_ratio
+    seg_masks = np.zeros((b, max_labels, sm, sm), np.float32) if has_segments else None
     for i, x in enumerate(samples):
         n = min(len(x["cls"]), max_labels)
         if n:
@@ -209,7 +231,15 @@ def collate(samples: list[dict], max_labels: int = 128) -> dict:
             bh = (xyxy[:, 3] - xyxy[:, 1]) / h
             bboxes[i, :n] = np.stack([cx, cy, bw, bh], 1)
             mask[i, :n] = True
+            if has_segments and "segments" in x:
+                scale = np.array([sm / w, sm / h], np.float32)
+                for j, seg in enumerate(x["segments"][:n]):
+                    pts = np.round(seg * scale).astype(np.int32)
+                    if len(pts) >= 3:
+                        cv2.fillPoly(seg_masks[i, j], [pts], 1.0)
     out = {"img": img, "cls": cls, "bboxes": bboxes, "mask": mask}
+    if seg_masks is not None:
+        out["masks"] = seg_masks
     if "ratio" in samples[0]:  # val extras for box scale-back (host-side)
         out["ratio"] = np.array([x["ratio"] for x in samples], np.float32)
         out["pad"] = np.array([x["pad"] for x in samples], np.float32)

@@ -62,11 +62,17 @@ class DetectionValidator:
         conf, iou, max_det = self.conf, self.iou, self.max_det
         model = self.model
 
+        nc = self.nc
+
         @jax.jit
         def predict(variables, img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
             preds = model.apply(variables, x, train=False)["preds"]
-            return batched_nms(preds, conf_thres=conf, iou_thres=iou, max_det=max_det)
+            # nc slices class scores off task-head extras (mask coefs/kpts);
+            # multi_label=True matches reference val NMS (detect/val.py:120)
+            return batched_nms(
+                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc
+            )
 
         return predict
 

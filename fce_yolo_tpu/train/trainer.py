@@ -66,9 +66,14 @@ def make_train_step(
     tx: optax.GradientTransformation,
     loss_cfg: DetectionLossCfg,
     ema_decay: float = 0.9999,
+    task_loss: Callable | None = None,
 ) -> Callable:
     """Build the jittable train step: forward -> loss -> grad -> update ->
-    EMA, with NaN-rollback (reference _handle_nan_recovery analog)."""
+    EMA, with NaN-rollback (reference _handle_nan_recovery analog).
+
+    ``task_loss(out, batch, cfg, state) -> (total, parts, new_state)``
+    overrides the default detection loss (segment/pose/obb; train/task_losses).
+    """
 
     def loss_fn(params, batch_stats, batch, loss_state):
         img = batch["img"]
@@ -80,9 +85,12 @@ def make_train_step(
             train=True,
             mutable=["batch_stats"],
         )
-        total, parts, new_loss_state = detection_loss(
-            out["feats"], batch, loss_cfg, loss_state
-        )
+        if task_loss is not None:
+            total, parts, new_loss_state = task_loss(out, batch, loss_cfg, loss_state)
+        else:
+            total, parts, new_loss_state = detection_loss(
+                out["feats"], batch, loss_cfg, loss_state
+            )
         return total, (updates["batch_stats"], parts, new_loss_state)
 
     def train_step(state: TrainState, batch: dict) -> tuple[TrainState, dict]:

@@ -83,3 +83,36 @@ def tiny_dataset(tmp_path_factory):
         "names:\n  0: circle\n  1: square\n  2: tri\n"
     )
     return str(yaml_path)
+
+
+@pytest.fixture(scope="session")
+def tiny_seg_dataset(tmp_path_factory):
+    """8-image segment-format dataset (polygon labels): filled rectangles with
+    matching 4-point polygons (stands in for coco8-seg)."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("tinyseg")
+    rng = np.random.RandomState(5)
+    for split, n in (("train", 8), ("val", 4)):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        for i in range(n):
+            h = w = 128
+            img = np.full((h, w, 3), 40, np.uint8)
+            lines = []
+            for _ in range(rng.randint(1, 3)):
+                c = rng.randint(0, 2)
+                bw, bh = rng.uniform(0.25, 0.45), rng.uniform(0.25, 0.45)
+                cx = rng.uniform(bw / 2, 1 - bw / 2)
+                cy = rng.uniform(bh / 2, 1 - bh / 2)
+                x1, y1 = cx - bw / 2, cy - bh / 2
+                x2, y2 = cx + bw / 2, cy + bh / 2
+                cv2.rectangle(img, (int(x1 * w), int(y1 * h)), (int(x2 * w), int(y2 * h)),
+                              [(255, 120, 0), (0, 120, 255)][c], -1)
+                poly = f"{x1:.4f} {y1:.4f} {x2:.4f} {y1:.4f} {x2:.4f} {y2:.4f} {x1:.4f} {y2:.4f}"
+                lines.append(f"{c} {poly}")
+            cv2.imwrite(str(root / "images" / split / f"{i:03d}.jpg"), img)
+            (root / "labels" / split / f"{i:03d}.txt").write_text("\n".join(lines) + "\n")
+    yaml_path = root / "data.yaml"
+    yaml_path.write_text(f"path: {root}\ntrain: images/train\nval: images/val\nnames:\n  0: a\n  1: b\n")
+    return str(yaml_path)
