@@ -184,6 +184,8 @@ class YOLO:
         freeze: int | list[int] | None = None,
         resume: bool = False,
         time_limit_hours: float | None = None,
+        callbacks=None,
+        tensorboard: bool = False,
         **hyp_overrides,
     ) -> dict:
         """Full training run: per-epoch val on EMA weights, results.csv,
@@ -192,6 +194,14 @@ class YOLO:
         Reproduces the reference BaseTrainer._do_train contract
         (engine/trainer.py:384-516) in a host loop around one jitted step.
         """
+        if self.task == "classify":
+            return self._train_classify(
+                data=data, epochs=epochs, batch=batch, imgsz=imgsz, optimizer=optimizer,
+                lr0=lr0, lrf=lrf, cos_lr=cos_lr, patience=patience, workers=workers,
+                project=project, name=name, val=val, seed=seed, verbose=verbose,
+                **hyp_overrides,
+            )
+
         import jax
         import jax.numpy as jnp
 
@@ -228,6 +238,13 @@ class YOLO:
 
         save_dir = Path(project) / name
         save_dir.mkdir(parents=True, exist_ok=True)
+
+        from fce_yolo_tpu.utils.callbacks import CallbackList
+        from fce_yolo_tpu.utils.integrations import add_integration_callbacks
+
+        cbs = callbacks or CallbackList()
+        if tensorboard:
+            add_integration_callbacks(cbs, str(save_dir), tensorboard=True)
 
         v = self._ensure_variables(imgsz)
         optim_kw = {
@@ -311,7 +328,9 @@ class YOLO:
                   f"nc={d['nc']} imgsz={imgsz} batch={batch} epochs={epochs} "
                   f"steps/epoch={steps_per_epoch} optimizer={optim_cfg.optimizer}")
 
+        cbs.fire("on_train_start", trainer=self)
         for epoch in range(start_epoch, epochs):
+            cbs.fire("on_train_epoch_start", trainer=self, epoch=epoch)
             loader.set_epoch(epoch, close_mosaic_at=close_mosaic, total_epochs=epochs)
             t0 = time.time()
             sums: dict[str, float] = {}
@@ -344,6 +363,7 @@ class YOLO:
                 row["fitness"] = fitness
             csv_rows.append(row)
             self._write_csv(csv_path, csv_rows)
+            cbs.fire("on_fit_epoch_end", trainer=self, epoch=epoch, metrics=row)
 
             # checkpoints: last carries the FULL train state (resume-exact);
             # best carries EMA model weights only (reference trainer.py:584-624)
@@ -381,6 +401,7 @@ class YOLO:
                     print(f"early stop at epoch {epoch + 1} (patience {patience})")
                 break
 
+        cbs.fire("on_train_end", trainer=self)
         # final: keep best weights loaded if we tracked fitness (reference final_eval)
         best_dir = save_dir / "weights" / "best"
         if best_fitness >= 0 and is_checkpoint(best_dir):
@@ -392,6 +413,117 @@ class YOLO:
             "epochs_run": len(csv_rows),
             "results": csv_rows,
         }
+
+    def _train_classify(
+        self, data: str, epochs: int = 100, batch: int = 64, imgsz: int = 224,
+        optimizer: str = "auto", lr0: float | None = None, lrf: float = 0.01,
+        cos_lr: bool = False, patience: int = 100, workers: int = 8,
+        project: str = "runs/classify", name: str = "train", val: bool = True,
+        seed: int = 0, verbose: bool = True, **hyp,
+    ) -> dict:
+        """Classification training (reference ClassificationTrainer analog):
+        class-folder dataset, CE loss, top-1 accuracy as fitness."""
+        import jax
+        import jax.numpy as jnp
+        import optax as _optax
+
+        from fce_yolo_tpu.data.classify import ClassificationDataset, classify_collate
+        from fce_yolo_tpu.train.optim import EMA, OptimCfg, build_optimizer
+        from fce_yolo_tpu.train.task_losses import classification_loss
+        from fce_yolo_tpu.train.trainer import EarlyStopping
+
+        root = Path(data)
+        train_ds = ClassificationDataset(root / "train", imgsz=imgsz, mode="train", seed=seed)
+        val_ds = ClassificationDataset(root / ("val" if (root / "val").exists() else "test"),
+                                       imgsz=imgsz, mode="val") if val else None
+        self.names = train_ds.names
+        if len(self.names) != self.nc:
+            self.model, self.spec, self.strides = build_model(
+                self.cfg_yaml, scale=self.scale, nc=len(self.names)
+            )
+            self.variables = None
+        v = self._ensure_variables(imgsz)
+
+        n = len(train_ds)
+        steps = max(n // batch, 1)
+        cfg = OptimCfg(optimizer=optimizer, lr0=lr0 if lr0 is not None else 0.01, lrf=lrf,
+                       cos_lr=cos_lr, batch_size=batch, epochs=epochs,
+                       steps_per_epoch=steps, nc=len(self.names), **{
+                           k: hyp[k] for k in ("momentum", "weight_decay", "warmup_epochs")
+                           if k in hyp})
+        tx = build_optimizer(cfg, v["params"])
+        opt_state = tx.init(v["params"])
+        ema = EMA.create(v["params"])
+        model = self.model
+
+        @jax.jit
+        def step_fn(params, bstats, opt_state, ema, img, label):
+            def loss_fn(p, bs):
+                out, upd = model.apply({"params": p, "batch_stats": bs},
+                                       img.astype(jnp.float32) / 255.0,
+                                       train=True, mutable=["batch_stats"])
+                loss, _ = classification_loss(out["logits"], label)
+                return loss, upd["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, bstats)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = _optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt, ema.update(new_params), loss
+
+        @jax.jit
+        def eval_fn(params, bstats, img, label):
+            out = model.apply({"params": params, "batch_stats": bstats},
+                              img.astype(jnp.float32) / 255.0, train=False)
+            top1 = (jnp.argmax(out["logits"], -1) == label).mean()
+            top5 = (jnp.argsort(-out["logits"], -1)[:, :5] == label[:, None]).any(-1).mean()
+            return top1, top5
+
+        params, bstats = v["params"], v.get("batch_stats", {})
+        save_dir = Path(project) / name
+        (save_dir / "weights").mkdir(parents=True, exist_ok=True)
+        stopper = EarlyStopping(patience)
+        rng = np.random.default_rng(seed)
+        rows, best = [], -1.0
+        for epoch in range(epochs):
+            train_ds.set_epoch(epoch)
+            order = rng.permutation(n)
+            losses = []
+            for bi in range(steps):
+                bidx = order[bi * batch : (bi + 1) * batch]
+                if len(bidx) < batch:
+                    break
+                b = classify_collate([train_ds[int(j)] for j in bidx])
+                params, bstats, opt_state, ema, loss = step_fn(
+                    params, bstats, opt_state, ema, jnp.asarray(b["img"]), jnp.asarray(b["label"]))
+                losses.append(float(loss))
+            row = {"epoch": epoch, "train/loss": float(np.mean(losses)) if losses else 0.0}
+            fitness = None
+            if val_ds is not None:
+                t1s, t5s = [], []
+                for bi in range(0, len(val_ds), batch):
+                    items = [val_ds[j] for j in range(bi, min(bi + batch, len(val_ds)))]
+                    while len(items) < batch:
+                        items.append(items[-1])
+                    b = classify_collate(items)
+                    t1, t5 = eval_fn(ema.params, bstats, jnp.asarray(b["img"]), jnp.asarray(b["label"]))
+                    t1s.append(float(t1)); t5s.append(float(t5))
+                row["metrics/accuracy_top1"] = fitness = float(np.mean(t1s))
+                row["metrics/accuracy_top5"] = float(np.mean(t5s))
+            rows.append(row)
+            self._write_csv(save_dir / "results.csv", rows)
+            self.variables = {"params": jax.device_get(ema.params), "batch_stats": jax.device_get(bstats)}
+            meta = {"cfg_yaml": self.cfg_yaml, "scale": self.scale, "nc": self.nc,
+                    "names": self.names, "epoch": epoch, "fitness": fitness}
+            self.save(str(save_dir / "weights" / "last"), meta)
+            if fitness is not None and fitness > best:
+                best = fitness
+                self.save(str(save_dir / "weights" / "best"), meta)
+            if verbose:
+                print(f"epoch {epoch + 1}/{epochs} loss={row['train/loss']:.3f}"
+                      + (f" top1={fitness:.3f}" if fitness is not None else ""))
+            if stopper(epoch, fitness):
+                break
+        return {"save_dir": str(save_dir), "best_fitness": best, "epochs_run": len(rows), "results": rows}
 
     @staticmethod
     def _write_csv(path: Path, rows: list[dict]):
