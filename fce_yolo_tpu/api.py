@@ -219,7 +219,11 @@ class YOLO:
 
         aug_kw = {k: v for k, v in hyp_overrides.items() if k in AugmentCfg.__dataclass_fields__}
         hyp = AugmentCfg(**aug_kw)
-        train_ds = YOLODataset(d["train"], imgsz=imgsz, mode="train", hyp=hyp, nc=d["nc"], seed=seed)
+        kpt_shape = tuple(self.spec.yaml_dict.get("kpt_shape", (17, 3)))
+        train_ds = YOLODataset(
+            d["train"], imgsz=imgsz, mode="train", hyp=hyp, nc=d["nc"], seed=seed,
+            task=self.task, kpt_shape=kpt_shape, flip_idx=d.get("flip_idx"),
+        )
         use_native = hyp_overrides.get("native_loader")
         if use_native is None:  # prefer the C++ engine when built (detect-only path)
             from fce_yolo_tpu.data import native_loader as _nl
@@ -279,6 +283,12 @@ class YOLO:
             from fce_yolo_tpu.train.task_losses import obb_loss
 
             task_loss = obb_loss
+        elif self.task == "pose":
+            from fce_yolo_tpu.train.task_losses import PoseLossCfg, pose_loss
+
+            pose_cfg = PoseLossCfg(det=loss_cfg, kpt_shape=kpt_shape)
+            task_loss = lambda out, batch, cfg, state: pose_loss(out, batch, pose_cfg, state)
+            batch_keys.append("keypoints")
         step_fn = make_train_step(self.model, tx, loss_cfg, task_loss=task_loss)
 
         start_epoch = 0
@@ -309,9 +319,11 @@ class YOLO:
             step_fn = jax.jit(step_fn, donate_argnums=0)
             put = lambda b: b
 
+        # rotated-box mAP needs the probiou matcher (next milestone); train
+        # OBB without per-epoch val rather than scoring with the wrong metric
         validator = (
             DetectionValidator(self.model, self.names, imgsz=imgsz, batch_size=batch, workers=workers)
-            if val
+            if val and self.task != "obb"
             else None
         )
         val_loader = validator.get_dataloader(d, "val") if validator else None

@@ -129,11 +129,15 @@ def random_perspective(
     """
     img, cls, bboxes = sample["img"], sample["cls"], sample["bboxes"]
     segments = sample.get("segments")
+    keypoints = sample.get("keypoints")
     if pre_letterbox is not None:
         img, r, pad = letterbox(img, pre_letterbox)
         bboxes = _apply_letterbox_boxes(bboxes, r, pad)
         if segments is not None:
             segments = [s * r + np.array(pad, np.float32) for s in segments]
+        if keypoints is not None:
+            off = np.array([*pad, 0], np.float32)
+            keypoints = [k * np.array([r, r, 1], np.float32) + off for k in keypoints]
     h, w = img.shape[:2]
     out_w, out_h = w + border[0] * 2, h + border[1] * 2
 
@@ -180,9 +184,21 @@ def random_perspective(
                 q[:, 1] = q[:, 1].clip(0, out_h)
                 warped.append(q.astype(np.float32))
             segments = [warped[i] for i in np.nonzero(keep)[0]]
+        if keypoints is not None:
+            warped_k = []
+            for kp in keypoints:
+                p = np.concatenate([kp[:, :2], np.ones((len(kp), 1), np.float32)], 1) @ M.T
+                q = p[:, :2] / p[:, 2:3] if cfg.perspective else p[:, :2]
+                vis = kp[:, 2].copy()
+                oob = (q[:, 0] < 0) | (q[:, 0] > out_w) | (q[:, 1] < 0) | (q[:, 1] > out_h)
+                vis[oob] = 0.0
+                warped_k.append(np.concatenate([q, vis[:, None]], 1).astype(np.float32))
+            keypoints = [warped_k[i] for i in np.nonzero(keep)[0]]
     out = {"img": img, "cls": cls, "bboxes": bboxes}
     if segments is not None:
         out["segments"] = segments
+    if keypoints is not None:
+        out["keypoints"] = keypoints
     return out
 
 
@@ -199,6 +215,7 @@ def mosaic4(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
     canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
     all_cls, all_boxes = [], []
     all_segs: list | None = [] if any("segments" in x for x in samples[:4]) else None
+    all_kpts: list | None = [] if any("keypoints" in x for x in samples[:4]) else None
     for i, sample in enumerate(samples[:4]):
         img = sample["img"]
         # pre-scale long side to imgsz (reference load_image does this)
@@ -234,6 +251,10 @@ def mosaic4(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
                     for bb in sample["bboxes"]
                 ]
                 all_segs.extend([sg * r + off for sg in segs])
+            if all_kpts is not None:
+                offk = np.array([padw, padh, 0], np.float32)
+                for kp in sample.get("keypoints", []):
+                    all_kpts.append(kp * np.array([r, r, 1], np.float32) + offk)
     if all_boxes:
         boxes = np.concatenate(all_boxes, 0)
         cls = np.concatenate(all_cls, 0)
@@ -242,12 +263,17 @@ def mosaic4(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
         boxes, cls = boxes[wh_ok], cls[wh_ok]
         if all_segs is not None:
             all_segs = [np.clip(sg, 0, 2 * s) for sg, ok in zip(all_segs, wh_ok) if ok]
+        if all_kpts is not None:
+            all_kpts = [kp for kp, ok in zip(all_kpts, wh_ok) if ok]
     else:
         boxes, cls = np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
         all_segs = [] if all_segs is not None else None
+        all_kpts = [] if all_kpts is not None else None
     out = {"img": canvas, "cls": cls, "bboxes": boxes}
     if all_segs is not None:
         out["segments"] = all_segs
+    if all_kpts is not None:
+        out["keypoints"] = all_kpts
     return out
 
 
@@ -269,6 +295,7 @@ def random_flip(sample: dict, rng: np.random.Generator, cfg: AugmentCfg) -> dict
     """Horizontal/vertical flips with box (+polygon) updates (reference augment.py:1422-1508)."""
     img, bboxes = sample["img"], sample["bboxes"]
     segments = sample.get("segments")
+    keypoints = sample.get("keypoints")
     h, w = img.shape[:2]
     if cfg.flipud and rng.random() < cfg.flipud:
         img = np.flipud(img)
@@ -277,6 +304,8 @@ def random_flip(sample: dict, rng: np.random.Generator, cfg: AugmentCfg) -> dict
             bboxes[:, [1, 3]] = h - bboxes[:, [3, 1]]
         if segments is not None:
             segments = [np.stack([s[:, 0], h - s[:, 1]], 1) for s in segments]
+        if keypoints is not None:
+            keypoints = [np.stack([k[:, 0], h - k[:, 1], k[:, 2]], 1) for k in keypoints]
     if cfg.fliplr and rng.random() < cfg.fliplr:
         img = np.fliplr(img)
         if len(bboxes):
@@ -284,9 +313,13 @@ def random_flip(sample: dict, rng: np.random.Generator, cfg: AugmentCfg) -> dict
             bboxes[:, [0, 2]] = w - bboxes[:, [2, 0]]
         if segments is not None:
             segments = [np.stack([w - s[:, 0], s[:, 1]], 1) for s in segments]
+        if keypoints is not None:
+            keypoints = [np.stack([w - k[:, 0], k[:, 1], k[:, 2]], 1) for k in keypoints]
     out = {"img": np.ascontiguousarray(img), "cls": sample["cls"], "bboxes": bboxes}
     if segments is not None:
         out["segments"] = segments
+    if keypoints is not None:
+        out["keypoints"] = keypoints
     return out
 
 
@@ -385,4 +418,9 @@ def val_transform(sample: dict, imgsz: int) -> dict:
     }
     if "segments" in sample:
         out["segments"] = [s * r + np.array(pad, np.float32) for s in sample["segments"]]
+    if "keypoints" in sample:
+        out["keypoints"] = [
+            k * np.array([r, r, 1], np.float32) + np.array([*pad, 0], np.float32)
+            for k in sample["keypoints"]
+        ]
     return out

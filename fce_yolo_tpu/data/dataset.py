@@ -116,10 +116,22 @@ class YOLODataset:
         nc: int | None = None,
         cache_labels: bool = True,
         seed: int = 0,
+        task: str = "detect",
+        kpt_shape: tuple[int, int] = (17, 3),
+        flip_idx: list[int] | None = None,
     ):
         self.imgsz = imgsz
         self.mode = mode
         self.hyp = hyp or AugmentCfg()
+        self.task = task
+        self.kpt_shape = tuple(kpt_shape)
+        self.flip_idx = flip_idx
+        if task == "pose" and not flip_idx:
+            # flips require the left/right keypoint swap map (reference
+            # v8_transforms: disables flips when flip_idx is absent)
+            from dataclasses import replace
+
+            self.hyp = replace(self.hyp, fliplr=0.0, flipud=0.0)
         self.mosaic_enabled = mode == "train"
         self.im_files = _scan_images(img_path)
         if not self.im_files:
@@ -140,7 +152,34 @@ class YOLODataset:
             rows = []
             if os.path.exists(lp):
                 rows = [l.split() for l in Path(lp).read_text().splitlines() if l.strip()]
-            if rows and len(rows[0]) > 5:
+            if rows and self.task == "pose":
+                # cls cx cy w h px py [pv] x nkpt (reference pose label format)
+                nk, nd = self.kpt_shape
+                cls, xywhn, kpts = [], [], []
+                for r in rows:
+                    vals = np.array(r[1:], np.float32)
+                    cls.append(float(r[0]))
+                    xywhn.append(vals[:4])
+                    k = vals[4 : 4 + nk * nd].reshape(nk, nd)
+                    if nd == 2:  # synthesize visibility
+                        k = np.concatenate([k, np.ones((nk, 1), np.float32)], 1)
+                    kpts.append(k)
+                labels.append({"cls": np.array(cls, np.float32),
+                               "xywhn": np.stack(xywhn) if xywhn else np.zeros((0, 4), np.float32),
+                               "keypoints": kpts})
+            elif rows and self.task == "obb":
+                # DOTA-YOLO: cls x1 y1 x2 y2 x3 y3 x4 y4 (normalized corners)
+                cls, xywhn, polys = [], [], []
+                for r in rows:
+                    pts = np.array(r[1:9], np.float32).reshape(4, 2)
+                    cls.append(float(r[0]))
+                    lo, hi = pts.min(0), pts.max(0)
+                    xywhn.append([(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]])
+                    polys.append(pts)
+                labels.append({"cls": np.array(cls, np.float32),
+                               "xywhn": np.array(xywhn, np.float32),
+                               "segments": polys})  # corners ride the polygon path
+            elif rows and len(rows[0]) > 5:
                 # segment format: cls x1 y1 x2 y2 ... (normalized polygon;
                 # reference data/utils.py verify_image_label segments branch)
                 cls, xywhn, segs = [], [], []
@@ -189,6 +228,9 @@ class YOLODataset:
         out = {"img": img, "cls": lab["cls"].copy(), "bboxes": boxes}
         if "segments" in lab:
             out["segments"] = [s * np.array([w, h], np.float32) for s in lab["segments"]]
+        if "keypoints" in lab:
+            scale = np.array([w, h, 1], np.float32)
+            out["keypoints"] = [k * scale for k in lab["keypoints"]]
         return out
 
     def __getitem__(self, i: int) -> dict:
@@ -199,7 +241,7 @@ class YOLODataset:
         return val_transform(self.load_raw(i), self.imgsz)
 
 
-def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4) -> dict:
+def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb: bool = False) -> dict:
     """Pad a list of samples into one static-shape batch.
 
     Output: img (B, S, S, 3) uint8 NHWC; cls (B, M); bboxes (B, M, 4)
@@ -216,9 +258,13 @@ def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4) -> 
     cls = np.zeros((b, max_labels), np.float32)
     bboxes = np.zeros((b, max_labels, 4), np.float32)
     mask = np.zeros((b, max_labels), bool)
-    has_segments = any("segments" in x for x in samples)
+    has_segments = any("segments" in x for x in samples) and not obb
+    has_kpts = any("keypoints" in x for x in samples)
+    nk = max((len(x["keypoints"][0]) for x in samples if x.get("keypoints")), default=17) if has_kpts else 0
     sm = s // mask_ratio
     seg_masks = np.zeros((b, max_labels, sm, sm), np.float32) if has_segments else None
+    kpts_arr = np.zeros((b, max_labels, nk, 3), np.float32) if has_kpts else None
+    rboxes = np.zeros((b, max_labels, 5), np.float32) if obb else None
     for i, x in enumerate(samples):
         n = min(len(x["cls"]), max_labels)
         if n:
@@ -237,9 +283,28 @@ def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4) -> 
                     pts = np.round(seg * scale).astype(np.int32)
                     if len(pts) >= 3:
                         cv2.fillPoly(seg_masks[i, j], [pts], 1.0)
+            if has_kpts and "keypoints" in x:
+                norm = np.array([1.0 / w, 1.0 / h, 1.0], np.float32)
+                for j, kp in enumerate(x["keypoints"][:n]):
+                    kpts_arr[i, j] = kp * norm
+            if obb and "segments" in x:
+                # 4-corner polygon -> minimal rotated rect, normalized xywhr
+                for j, seg in enumerate(x["segments"][:n]):
+                    (rcx, rcy), (rw, rh), ang = cv2.minAreaRect(seg.astype(np.float32))
+                    # canonical: long side = w, angle in [-pi/4, 3pi/4)
+                    theta = np.deg2rad(ang)
+                    if rw < rh:
+                        rw, rh = rh, rw
+                        theta += np.pi / 2
+                    theta = (theta + np.pi / 4) % np.pi - np.pi / 4
+                    rboxes[i, j] = [rcx / w, rcy / h, rw / w, rh / h, theta]
     out = {"img": img, "cls": cls, "bboxes": bboxes, "mask": mask}
     if seg_masks is not None:
         out["masks"] = seg_masks
+    if kpts_arr is not None:
+        out["keypoints"] = kpts_arr
+    if rboxes is not None:
+        out["bboxes"] = rboxes  # (B, M, 5) xywhr replaces the axis-aligned boxes
     if "ratio" in samples[0]:  # val extras for box scale-back (host-side)
         out["ratio"] = np.array([x["ratio"] for x in samples], np.float32)
         out["pad"] = np.array([x["pad"] for x in samples], np.float32)

@@ -78,7 +78,7 @@ class DataLoader:
             n_valid = len(samples)
             while len(samples) < self.batch_size:  # pad tail batch (val only)
                 samples.append(samples[-1])
-            out = collate(samples, self.max_labels)
+            out = collate(samples, self.max_labels, obb=getattr(self.dataset, "task", "") == "obb")
             out["n_valid"] = n_valid
             return out
 

@@ -100,6 +100,8 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
             if isinstance(a, str):
                 if a == "nc":
                     args[j] = nc
+                elif a == "kpt_shape":
+                    args[j] = d.get("kpt_shape", [17, 3])
                 elif a in ("None", "none"):
                     args[j] = None
                 elif a in ("True", "False"):
