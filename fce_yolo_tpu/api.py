@@ -152,7 +152,13 @@ class YOLO:
         d = check_det_dataset(data)
         if not self.names or all(v.startswith("class_") for v in self.names.values()):
             self.names = d["names"]
-        validator = DetectionValidator(
+        if self.task == "segment":
+            from fce_yolo_tpu.engine.seg_validator import SegmentationValidator
+
+            cls = SegmentationValidator
+        else:
+            cls = DetectionValidator
+        validator = cls(
             self.model, self.names, imgsz=imgsz, conf=conf, iou=iou,
             max_det=max_det, batch_size=batch, workers=workers,
         )

@@ -46,3 +46,24 @@ def test_segment_train_facade(tiny_seg_dataset, tmp_path):
     assert np.isfinite(row["train/box_loss"])
     # fitness computed from the detect part of the seg head
     assert "fitness" in row
+
+
+def test_mask_iou_np():
+    from fce_yolo_tpu.engine.seg_validator import mask_iou_np
+
+    a = np.zeros((1, 8, 8), bool); a[0, :4, :4] = True
+    b = np.zeros((2, 8, 8), bool); b[0, :4, :4] = True; b[1, 2:6, 2:6] = True
+    iou = mask_iou_np(a, b)
+    assert iou[0, 0] == pytest.approx(1.0)
+    assert iou[0, 1] == pytest.approx(4 / 28)
+
+
+def test_segment_val_mask_map(tiny_seg_dataset):
+    """Segment val returns both Box and Mask metric families through the facade."""
+    from fce_yolo_tpu.api import YOLO
+
+    m = YOLO("yolo11n-seg.yaml", nc=2)
+    res = m.val(data=tiny_seg_dataset, imgsz=96, batch=4, verbose=False)
+    for tag in ("B", "M"):
+        assert f"metrics/mAP50-95({tag})" in res
+    assert 0.0 <= res["fitness"] <= 1.0
