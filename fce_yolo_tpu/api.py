@@ -152,17 +152,31 @@ class YOLO:
         d = check_det_dataset(data)
         if not self.names or all(v.startswith("class_") for v in self.names.values()):
             self.names = d["names"]
+        validator = self._make_validator(
+            imgsz=imgsz, conf=conf, iou=iou, max_det=max_det, batch_size=batch, workers=workers
+        )
+        return validator(self._ensure_variables(imgsz), data=data, verbose=verbose)
+
+    def _make_validator(self, **vkw):
+        """Task-dispatched validator (reference task_map, engine/model.py:1061)."""
+        from fce_yolo_tpu.engine.validator import DetectionValidator
+
         if self.task == "segment":
             from fce_yolo_tpu.engine.seg_validator import SegmentationValidator
 
-            cls = SegmentationValidator
-        else:
-            cls = DetectionValidator
-        validator = cls(
-            self.model, self.names, imgsz=imgsz, conf=conf, iou=iou,
-            max_det=max_det, batch_size=batch, workers=workers,
-        )
-        return validator(self._ensure_variables(imgsz), data=data, verbose=verbose)
+            return SegmentationValidator(self.model, self.names, **vkw)
+        if self.task == "pose":
+            from fce_yolo_tpu.engine.task_validators import PoseValidator
+
+            return PoseValidator(
+                self.model, self.names,
+                kpt_shape=tuple(self.spec.yaml_dict.get("kpt_shape", (17, 3))), **vkw,
+            )
+        if self.task == "obb":
+            from fce_yolo_tpu.engine.task_validators import OBBValidator
+
+            return OBBValidator(self.model, self.names, **vkw)
+        return DetectionValidator(self.model, self.names, **vkw)
 
     # --------------------------------------------------------------- train
     def train(
@@ -325,11 +339,9 @@ class YOLO:
             step_fn = jax.jit(step_fn, donate_argnums=0)
             put = lambda b: b
 
-        # rotated-box mAP needs the probiou matcher (next milestone); train
-        # OBB without per-epoch val rather than scoring with the wrong metric
         validator = (
-            DetectionValidator(self.model, self.names, imgsz=imgsz, batch_size=batch, workers=workers)
-            if val and self.task != "obb"
+            self._make_validator(imgsz=imgsz, batch_size=batch, workers=workers)
+            if val
             else None
         )
         val_loader = validator.get_dataloader(d, "val") if validator else None
