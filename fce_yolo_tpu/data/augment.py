@@ -54,6 +54,7 @@ class AugmentCfg:
     mosaic: float = 1.0
     mixup: float = 0.0
     cutmix: float = 0.0
+    copy_paste: float = 0.0
 
 
 def letterbox(
@@ -363,6 +364,50 @@ def cutmix(a: dict, b: dict, rng: np.random.Generator, beta: float = 1.0) -> dic
     }
 
 
+def copy_paste(a: dict, b: dict, rng: np.random.Generator, p: float = 0.5) -> dict:
+    """Paste a fraction of b's segment instances into a (reference
+    augment.py:1676-1774 'flip' CopyPaste mode pastes within-image; this is
+    the cross-image variant used when a donor sample is available).
+
+    Requires polygon segments; pixels inside each chosen polygon are copied
+    with their label. No-op for box-only samples.
+    """
+    import cv2
+
+    if "segments" not in b or not len(b.get("cls", [])):
+        return a
+    h, w = a["img"].shape[:2]
+    bh, bw = b["img"].shape[:2]
+    img = a["img"].copy()
+    new_cls = list(a["cls"])
+    new_boxes = list(a["bboxes"])
+    new_segs = list(a.get("segments", [])) if "segments" in a else None
+    sx, sy = w / bw, h / bh
+    for cls_v, seg in zip(b["cls"], b["segments"]):
+        if rng.random() > p:
+            continue
+        pts = (seg * np.array([sx, sy], np.float32)).astype(np.float32)
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+        if mask.sum() < 16:
+            continue
+        donor = cv2.resize(b["img"], (w, h)) if (bh, bw) != (h, w) else b["img"]
+        img[mask > 0] = donor[mask > 0]
+        lo, hi = pts.min(0), pts.max(0)
+        new_cls.append(float(cls_v))
+        new_boxes.append(np.array([lo[0], lo[1], hi[0], hi[1]], np.float32))
+        if new_segs is not None:
+            new_segs.append(pts)
+    out = {
+        "img": img,
+        "cls": np.asarray(new_cls, np.float32),
+        "bboxes": np.asarray(new_boxes, np.float32).reshape(-1, 4),
+    }
+    if new_segs is not None:
+        out["segments"] = new_segs
+    return out
+
+
 def train_augment(
     get_sample,
     index: int,
@@ -384,6 +429,11 @@ def train_augment(
         sample = random_perspective(sample, rng, cfg, border=border)
     else:
         sample = random_perspective(get_sample(index), rng, cfg, pre_letterbox=imgsz)
+    if cfg.copy_paste > 0 and rng.random() < cfg.copy_paste:
+        donor = train_augment(
+            get_sample, int(rng.integers(0, n_total)), n_total, imgsz, _no_mix(cfg), rng, mosaic_enabled
+        )
+        sample = copy_paste(sample, donor, rng, p=0.5)
     if cfg.mixup > 0 and rng.random() < cfg.mixup:
         other = train_augment(
             get_sample, int(rng.integers(0, n_total)), n_total, imgsz, _no_mix(cfg), rng, mosaic_enabled
@@ -402,7 +452,7 @@ def train_augment(
 def _no_mix(cfg: AugmentCfg) -> AugmentCfg:
     from dataclasses import replace
 
-    return replace(cfg, mixup=0.0, cutmix=0.0)
+    return replace(cfg, mixup=0.0, cutmix=0.0, copy_paste=0.0)
 
 
 def val_transform(sample: dict, imgsz: int) -> dict:

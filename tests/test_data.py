@@ -138,3 +138,29 @@ def test_mosaic_close(tiny_dataset):
     assert ds.mosaic_enabled
     ds.set_epoch(95, close_mosaic_at=10, total_epochs=100)
     assert not ds.mosaic_enabled
+
+
+def test_copy_paste():
+    from fce_yolo_tpu.data.augment import copy_paste
+
+    rng = np.random.default_rng(0)
+    a = {
+        "img": np.zeros((100, 100, 3), np.uint8),
+        "cls": np.array([0.0]),
+        "bboxes": np.array([[5.0, 5.0, 20.0, 20.0]]),
+        "segments": [np.array([[5, 5], [20, 5], [20, 20], [5, 20]], np.float32)],
+    }
+    b = {
+        "img": np.full((100, 100, 3), 200, np.uint8),
+        "cls": np.array([1.0]),
+        "bboxes": np.array([[40.0, 40.0, 80.0, 80.0]]),
+        "segments": [np.array([[40, 40], [80, 40], [80, 80], [40, 80]], np.float32)],
+    }
+    out = copy_paste(a, b, rng, p=1.0)
+    assert len(out["cls"]) == 2 and out["cls"][1] == 1.0
+    # pasted region carries donor pixels
+    assert out["img"][60, 60].mean() > 150
+    assert out["img"][2, 2].mean() < 10
+    # box-only donor: no-op
+    out2 = copy_paste(a, {"img": b["img"], "cls": b["cls"], "bboxes": b["bboxes"]}, rng)
+    assert len(out2["cls"]) == 1
