@@ -370,9 +370,9 @@ class YOLO:
                 state, m = step_fn(state, bdev)
                 nb += 1
                 if nb == 1 or nb % 10 == 0 or nb == steps_per_epoch:
-                    for k in ("loss", "box", "cls", "dfl"):
-                        sums[k] = sums.get(k, 0.0) + float(m[k])
-                        sums.setdefault("_n", 0)
+                    vals = jax.device_get({k: m[k] for k in ("loss", "box", "cls", "dfl")})
+                    for k, v in vals.items():  # one batched fetch, not 4 round trips
+                        sums[k] = sums.get(k, 0.0) + float(v)
                     sums["_n"] = sums.get("_n", 0) + 1
 
             n_logged = max(sums.pop("_n", 1), 1)
@@ -396,19 +396,22 @@ class YOLO:
             cbs.fire("on_fit_epoch_end", trainer=self, epoch=epoch, metrics=row)
 
             # checkpoints: last carries the FULL train state (resume-exact);
-            # best carries EMA model weights only (reference trainer.py:584-624)
-            self.variables = {"params": jax.device_get(state.ema.params),
-                              "batch_stats": jax.device_get(state.batch_stats)}
+            # best carries EMA model weights only (reference trainer.py:584-624).
+            # ONE batched device_get for the whole tree — per-leaf fetches pay
+            # a full tunnel round trip each (~26 ms x ~700 leaves per epoch)
+            host_state = jax.device_get(state)
+            self.variables = {"params": host_state.ema.params,
+                              "batch_stats": host_state.batch_stats}
             meta = {"cfg_yaml": self.cfg_yaml, "scale": self.scale, "nc": self.nc,
                     "names": self.names, "epoch": epoch, "fitness": fitness,
                     "train_args": {"data": str(data), "epochs": epochs, "batch": batch,
                                    "imgsz": imgsz, "iou_type": iou_type}}
-            flat, _ = jax.tree_util.tree_flatten(state)
+            flat, _ = jax.tree_util.tree_flatten(host_state)
             save_checkpoint(
                 str(save_dir / "weights" / "last"),
                 {"params": self.variables["params"],
                  "batch_stats": self.variables["batch_stats"],
-                 "train_state_leaves": {str(i): jax.device_get(x) for i, x in enumerate(flat)}},
+                 "train_state_leaves": {str(i): x for i, x in enumerate(flat)}},
                 meta,
             )
             if fitness is not None and fitness > best_fitness:
