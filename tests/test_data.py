@@ -164,3 +164,26 @@ def test_copy_paste():
     # box-only donor: no-op
     out2 = copy_paste(a, {"img": b["img"], "cls": b["cls"], "bboxes": b["bboxes"]}, rng)
     assert len(out2["cls"]) == 1
+
+
+def test_convert_coco(tmp_path):
+    import json
+
+    from fce_yolo_tpu.data.converter import convert_coco
+
+    ann = {
+        "images": [{"id": 1, "file_name": "im1.jpg", "width": 200, "height": 100}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [50, 25, 100, 50], "iscrowd": 0},
+            {"image_id": 1, "category_id": 1, "bbox": [0, 0, 10, 10], "iscrowd": 1},  # skipped
+        ],
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    p = tmp_path / "instances.json"
+    p.write_text(json.dumps(ann))
+    out = convert_coco(p, tmp_path / "labels")
+    rows = (out / "im1.txt").read_text().strip().splitlines()
+    assert len(rows) == 1
+    cls, cx, cy, w, h = rows[0].split()
+    assert cls == "0" and float(cx) == 0.5 and float(cy) == 0.5
+    assert float(w) == 0.5 and float(h) == 0.5
