@@ -42,3 +42,32 @@ def test_parallel_mesh_helpers():
     sharded = shard_batch(batch, mesh, spatial=True)
     # image sharded over dp (batch) and sp (height)
     assert sharded["img"].sharding.spec == ("dp", "sp")
+
+
+def test_spatial_sharded_1280_inference():
+    """1280px eval forward spatially sharded over sp=4 (SURVEY §7 config #5):
+    jit over a dp x sp mesh; XLA inserts conv halo exchanges. Output must
+    match the unsharded forward."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fce_yolo_tpu.nn.model import build_model
+    from fce_yolo_tpu.parallel.mesh import data_mesh, replicated, spatial_sharding
+
+    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale="n", nc=2)
+    v = jax.jit(lambda k: model.init(k, jnp.zeros((1, 128, 128, 3)), train=True))(jax.random.PRNGKey(0))
+    v = dict(v)
+
+    mesh = data_mesh(8, sp=4)  # dp=2, sp=4
+    x = np.random.RandomState(0).rand(2, 1280, 1280, 3).astype(np.float32)
+
+    fn = lambda v, x: model.apply(v, x, train=False)["preds"]
+    ref = np.asarray(jax.jit(fn)(v, x[:1]))  # unsharded single image
+
+    xs = jax.device_put(jnp.asarray(x), spatial_sharding(mesh))
+    vs = jax.device_put(v, replicated(mesh))
+    out = jax.jit(fn, out_shardings=NamedSharding(mesh, P("dp")))(vs, xs)
+    out = np.asarray(out)
+    assert out.shape[0] == 2
+    np.testing.assert_allclose(out[0], ref[0], rtol=2e-2, atol=2e-3)
