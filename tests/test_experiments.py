@@ -125,3 +125,28 @@ def test_two_stage_and_ablation_micro(tiny_dataset, tmp_path):
     assert (tmp_path / "fce_wiou_n_stage2" / "results.csv").exists()
     # iou_type echo validation found no mismatches
     assert not [p for p in report["problems"] if "iou_type" in p], report["problems"]
+
+
+def test_pack_results(tmp_path):
+    import zipfile
+
+    from fce_yolo_tpu.experiments.pack import pack_results
+
+    for name, maps in (("baseline", [0.3, 0.4]), ("fce", [0.4, 0.5])):
+        run = tmp_path / name
+        (run / "weights" / "best").mkdir(parents=True)
+        (run / "results.csv").write_text(
+            "epoch,metrics/mAP50(B),metrics/mAP50-95(B)\n"
+            + "\n".join(f"{i},{m + 0.1},{m}" for i, m in enumerate(maps)) + "\n"
+        )
+        (run / "weights" / "best" / "meta.json").write_text("{}")
+    z = pack_results({"baseline": tmp_path / "baseline", "fce": tmp_path / "fce"},
+                     tmp_path / "pack.zip")
+    with zipfile.ZipFile(z) as zf:
+        names = zf.namelist()
+        assert "summary.json" in names
+        assert "baseline/results.csv" in names and "fce/weights/best/meta.json" in names
+        import json
+
+        s = json.loads(zf.read("summary.json"))
+        assert s["table"][1]["delta_vs_baseline"] == 10.0
