@@ -12,14 +12,20 @@ Public API mirrors the reference's `from ultralytics import YOLO` facade
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "__version__"]
+__all__ = ["YOLO", "SETTINGS", "__version__"]
+
+_LAZY = {
+    "YOLO": ("fce_yolo_tpu.api", "YOLO"),
+    "SETTINGS": ("fce_yolo_tpu.utils.settings", "SETTINGS"),
+}
 
 
 def __getattr__(name):
     # Lazy import keeps `import fce_yolo_tpu.ops.boxes`-style imports cheap
     # and avoids pulling jax/flax at package-import time for pure-numpy users.
-    if name == "YOLO":
-        from fce_yolo_tpu.api import YOLO
+    if name in _LAZY:
+        import importlib
 
-        return YOLO
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

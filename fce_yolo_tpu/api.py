@@ -435,6 +435,14 @@ class YOLO:
                 break
 
         cbs.fire("on_train_end", trainer=self)
+        if hyp_overrides.get("plots", True):
+            try:
+                from fce_yolo_tpu.utils.plotting import plot_results
+
+                plot_results(save_dir)  # training-curve grid (reference plot_results)
+            except Exception as e:
+                if verbose:
+                    print(f"plot_results failed: {e}")
         # final: keep best weights loaded if we tracked fitness (reference final_eval)
         best_dir = save_dir / "weights" / "best"
         if best_fitness >= 0 and is_checkpoint(best_dir):

@@ -153,6 +153,11 @@ def entrypoint(argv: list[str] | None = None) -> Any:
     data = kv.pop("data", None)
     cfg = get_cfg(overrides={**kv, "task": task, "mode": mode, "model": model_src})
 
+    if cfg.device:  # NOTE: the JAX_PLATFORMS env var is ignored under the
+        import jax  # axon TPU plugin; only the config API selects platforms
+
+        jax.config.update("jax_platforms", str(cfg.device))
+
     from fce_yolo_tpu.api import YOLO
 
     model = YOLO(model_src)

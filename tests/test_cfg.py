@@ -46,7 +46,7 @@ def test_entrypoint_bad_arg():
 
 
 def test_entrypoint_val_and_predict(tiny_dataset, tmp_path):
-    res = entrypoint(["detect", "val", "model=yolo11n.yaml", f"data={tiny_dataset}", "imgsz=96", "batch=4", "verbose=False"])
+    res = entrypoint(["detect", "val", "model=yolo11n.yaml", f"data={tiny_dataset}", "imgsz=96", "batch=4", "verbose=False", "device=cpu"])
     assert "fitness" in res
     import cv2
     import numpy as np
@@ -58,3 +58,17 @@ def test_entrypoint_val_and_predict(tiny_dataset, tmp_path):
         f"project={tmp_path}", "name=p", "save=False",
     ])
     assert len(results) == 1
+
+
+def test_cli_subprocess(tiny_dataset, tmp_path):
+    """Reference-style subprocess CLI smoke (tests/test_cli.py analog)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "fce_yolo_tpu", "detect", "val",
+         "model=yolo11n.yaml", f"data={tiny_dataset}", "imgsz=96", "batch=4", "verbose=False", "device=cpu"],
+        capture_output=True, text=True, timeout=500,
+        env={**__import__("os").environ, "JAX_PLATFORMS": ""},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
