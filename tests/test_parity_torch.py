@@ -174,3 +174,45 @@ def test_task_head_import_parity(ref_ultralytics, yaml_name, task_cls, scale):
         dec, (feats, kpt) = ty  # (B, 4+nc+nk, N)
         ours = np.asarray(out["preds"]).transpose(0, 2, 1)
         np.testing.assert_allclose(ours, dec.numpy(), rtol=1e-3, atol=5e-4)
+
+
+def test_nms_keepset_parity(ref_ultralytics):
+    """Full-NMS golden parity: identical decoded predictions through our
+    batched_nms and the reference non_max_suppression must keep the same
+    boxes in the same order (mAP-parity requirement, SURVEY.md §7)."""
+    from ultralytics.utils.nms import non_max_suppression
+
+    import jax.numpy as jnp
+    from fce_yolo_tpu.ops.nms import batched_nms
+
+    rng = np.random.RandomState(0)
+    b, n, nc = 2, 400, 6
+    cx = rng.uniform(50, 600, (b, n)); cy = rng.uniform(50, 600, (b, n))
+    w = rng.uniform(10, 120, (b, n)); h = rng.uniform(10, 120, (b, n))
+    # peaky scores so the conf threshold bites realistically
+    scores = (rng.rand(b, n, nc) ** 4).astype(np.float32)
+    preds = np.concatenate([np.stack([cx, cy, w, h], -1), scores], -1).astype(np.float32)
+
+    for multi_label in (False, True):
+        ref = non_max_suppression(
+            # reference wants (B, 4+nc, N) and MUTATES its input in place
+            # (xywh2xyxy written back) — pass a copy, never the shared buffer
+            torch.from_numpy(preds.transpose(0, 2, 1).copy()),
+            conf_thres=0.25, iou_thres=0.45, max_det=50, multi_label=multi_label,
+            max_time_img=60.0,  # its python-NMS fallback silently truncates at 0.05s
+        )
+        ours = batched_nms(
+            jnp.asarray(preds), conf_thres=0.25, iou_thres=0.45, max_det=50,
+            multi_label=multi_label, impl="scan",
+        )
+        for i in range(b):
+            r = ref[i].numpy()  # (k, 6) xyxy conf cls
+            valid = np.asarray(ours["valid"][i])
+            o_boxes = np.asarray(ours["boxes"][i])[valid]
+            o_scores = np.asarray(ours["scores"][i])[valid]
+            o_cls = np.asarray(ours["classes"][i])[valid]
+            assert len(r) == len(o_boxes), (multi_label, i, len(r), len(o_boxes))
+            # reference sorts by conf desc too -> same order expected
+            np.testing.assert_allclose(o_scores, r[:, 4], atol=1e-5)
+            np.testing.assert_allclose(o_boxes, r[:, :4], atol=1e-2)
+            np.testing.assert_array_equal(o_cls, r[:, 5].astype(int))
