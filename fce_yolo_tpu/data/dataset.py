@@ -141,7 +141,20 @@ class YOLODataset:
         self._rng = np.random.default_rng(seed)
 
     def _load_labels(self, use_cache: bool) -> list[dict]:
-        key = hashlib.sha1("".join(self.im_files).encode()).hexdigest()[:16]
+        # cache key covers paths + label mtimes/sizes + task, so edited label
+        # files invalidate the cache (reference keys its .cache on a file hash
+        # too, data/dataset.py cache_labels)
+        h = hashlib.sha1()
+        h.update(self.task.encode())
+        for f in self.im_files:
+            h.update(f.encode())
+            lp = img2label_path(f)
+            try:
+                st = os.stat(lp)
+                h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
+            except OSError:
+                h.update(b"missing")
+        key = h.hexdigest()[:16]
         cache_path = Path(self.im_files[0]).parent / f".labels_{key}.npz"
         if use_cache and cache_path.exists():
             z = np.load(cache_path, allow_pickle=True)

@@ -9,5 +9,7 @@ framework's track_stream. More apps stack on the same base.
 from fce_yolo_tpu.solutions.base import BaseSolution
 from fce_yolo_tpu.solutions.counter import ObjectCounter
 from fce_yolo_tpu.solutions.heatmap import Heatmap
+from fce_yolo_tpu.solutions.region_counter import RegionCounter
+from fce_yolo_tpu.solutions.speed import SpeedEstimator
 
-__all__ = ["BaseSolution", "Heatmap", "ObjectCounter"]
+__all__ = ["BaseSolution", "Heatmap", "ObjectCounter", "RegionCounter", "SpeedEstimator"]

@@ -187,3 +187,27 @@ def test_convert_coco(tmp_path):
     cls, cx, cy, w, h = rows[0].split()
     assert cls == "0" and float(cx) == 0.5 and float(cy) == 0.5
     assert float(w) == 0.5 and float(h) == 0.5
+
+
+def test_label_cache_invalidation(tmp_path):
+    """Editing a label file must invalidate the parsed-label cache."""
+    import cv2
+
+    img_dir = tmp_path / "images" / "t"
+    lbl_dir = tmp_path / "labels" / "t"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    cv2.imwrite(str(img_dir / "a.jpg"), np.zeros((32, 32, 3), np.uint8))
+    (lbl_dir / "a.txt").write_text("0 0.5 0.5 0.5 0.5\n")
+
+    ds1 = YOLODataset(str(img_dir), imgsz=32, mode="val")
+    assert len(ds1.labels[0]["cls"]) == 1
+
+    import os
+    import time
+
+    time.sleep(0.01)
+    (lbl_dir / "a.txt").write_text("0 0.5 0.5 0.5 0.5\n1 0.3 0.3 0.2 0.2\n")
+    os.utime(lbl_dir / "a.txt")
+    ds2 = YOLODataset(str(img_dir), imgsz=32, mode="val")
+    assert len(ds2.labels[0]["cls"]) == 2

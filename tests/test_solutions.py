@@ -52,3 +52,32 @@ def test_heatmap_accumulates():
     img, info = hm.process(_result(), tr)
     assert info["max_heat"] == first + 1.0
     assert img.shape == (100, 100, 3)
+
+
+def test_speed_estimator():
+    from collections import defaultdict, deque
+
+    from fce_yolo_tpu.solutions.speed import SpeedEstimator
+
+    s = _Stub(SpeedEstimator, mpp=0.1, fps=30.0)
+    s.hist = defaultdict(lambda: deque(maxlen=5))
+    s.speeds = {}
+    # object moving 10 px/frame -> 10 * 0.1 m * 30 fps * 3.6 = 108 km/h
+    for t in range(4):
+        tr = np.array([[10 + 10 * t, 10, 30 + 10 * t, 30, 1, 0.9, 0]], float)
+        img, info = s.process(_result(200, 200), tr)
+    assert abs(info["speeds"][1] - 108.0) < 1.0
+
+
+def test_region_counter():
+    from fce_yolo_tpu.solutions.region_counter import RegionCounter, _point_in_poly
+
+    poly = np.array([[0, 0], [50, 0], [50, 50], [0, 50]], float)
+    assert _point_in_poly(np.array([25.0, 25.0]), poly)
+    assert not _point_in_poly(np.array([75.0, 25.0]), poly)
+
+    rc = _Stub(RegionCounter)
+    rc.regions = {"zoneA": poly}
+    tr = np.array([[10, 10, 30, 30, 1, 0.9, 0], [60, 60, 80, 80, 2, 0.9, 0]], float)
+    img, info = rc.process(_result(), tr)
+    assert info["counts"]["zoneA"] == 1
