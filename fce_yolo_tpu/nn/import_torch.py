@@ -59,6 +59,17 @@ def torch_key_to_flax(key: str) -> tuple[str, tuple[str, ...], str] | None:
         return None
 
     parent = body[-1] if body else ""
+    if parent == "out_proj":  # torch MultiheadAttention out projection
+        # our _TorchMHA keeps torch's (out, in) layout -> no transpose
+        return ("params", tuple(body[:-1] + [f"out_proj_{leaf}"]), "tensor")
+    if parent in ("fc1", "fc2"):  # transformer FFN Linears
+        if leaf == "weight":
+            return ("params", tuple(body + ["kernel"]), "dense_kernel")
+        return ("params", tuple(body + [leaf]), "tensor")
+    if parent.startswith("norm"):  # LayerNorm (no running stats)
+        if leaf == "weight":
+            return ("params", tuple(body + ["scale"]), "tensor")
+        return ("params", tuple(body + [leaf]), "tensor")
     if parent == "upsample":  # Proto's ConvTranspose2d (block.py:83-104)
         if leaf == "weight":
             return ("params", tuple(body + ["kernel"]), "convT_kernel")

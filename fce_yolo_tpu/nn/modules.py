@@ -407,10 +407,14 @@ MODULE_REGISTRY: dict[str, Any] = {}
 
 def register_modules() -> dict[str, Any]:
     """Name -> constructor registry used by the YAML parser."""
-    from fce_yolo_tpu.nn import fce, heads
+    from fce_yolo_tpu.nn import fce, heads, transformer
 
     MODULE_REGISTRY.update(
         {
+            "AIFI": transformer.AIFI,
+            "TransformerEncoderLayer": transformer.TransformerEncoderLayer,
+            "MLP": transformer.MLP,
+            "LayerNorm2d": transformer.LayerNorm2d,
             "Segment": heads.Segment,
             "Pose": heads.Pose,
             "OBB": heads.OBB,
