@@ -25,7 +25,7 @@ from fce_yolo_tpu.nn import modules as M
 from fce_yolo_tpu.nn.parser import LayerSpec, ModelSpec, load_model_yaml, parse_model_yaml
 
 
-def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = False) -> nn.Module:
+def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = False, legacy: bool = False) -> nn.Module:
     """Instantiate the flax module for one LayerSpec (reference-arg convention)."""
     name = f"layers_{ls.i}"
     a = ls.args
@@ -74,8 +74,11 @@ def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = Fa
         return M.Upsample(scale=int(a[1]), mode=a[2] if len(a) > 2 else "nearest", name=name)
     if n == "Concat":
         return M.Concat(name=name)
+    if n == "C2f":
+        return M.C2f(c1=a[0], c2=a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False, name=name)
     if n == "Detect":
-        return M.Detect(nc=a[0], ch=tuple(a[-1]), strides=strides, export=export, name=name)
+        return M.Detect(nc=a[0], ch=tuple(a[-1]), strides=strides, export=export,
+                        legacy=legacy, name=name)
     if n == "Segment":
         from fce_yolo_tpu.nn import heads as H
 
@@ -130,7 +133,7 @@ class DetectionModel(nn.Module):
                 inp = [out if j == -1 else saved[j] for j in ls.f]
             else:
                 inp = out if ls.f == -1 else saved[ls.f]
-            layer = make_layer(ls, self.strides, self.export)
+            layer = make_layer(ls, self.strides, self.export, legacy=self.spec.legacy)
             out = layer(inp, train=train)
             if ls.i in self.spec.save:
                 saved[ls.i] = out

@@ -193,6 +193,31 @@ class C3k2(nn.Module):
         return ConvBNAct(self.c2, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
 
 
+class C2f(nn.Module):
+    """Faster CSP bottleneck with 2 convs (reference block.py:283-316; the
+    YOLOv8 backbone block — C3k2's parent design)."""
+
+    c1: int
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = int(self.c2 * self.e)
+        y = ConvBNAct(2 * c, 1, 1, name="cv1")(x, train)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m_{i}")(
+                    ys[-1], train
+                )
+            )
+        return ConvBNAct(self.c2, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
 def _max_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """k x k stride-1 max pool with symmetric k//2 padding (torch semantics)."""
     pad = k // 2
@@ -426,6 +451,7 @@ def register_modules() -> dict[str, Any]:
             "C3": C3,
             "C3k": C3k,
             "C3k2": C3k2,
+            "C2f": C2f,
             "SPPF": SPPF,
             "C2PSA": C2PSA,
             "PSABlock": PSABlock,

@@ -20,9 +20,9 @@ from fce_yolo_tpu.ops.boxes import make_divisible
 
 # Modules whose first YAML arg is the output-channel count and which take the
 # standard (c1, c2, ...) signature (reference base_modules frozenset).
-_BASE = {"Conv", "DWConv", "Bottleneck", "SPPF", "C2PSA", "C3", "C3k", "C3k2"}
+_BASE = {"Conv", "DWConv", "Bottleneck", "SPPF", "C2PSA", "C3", "C3k", "C3k2", "C2f"}
 # Modules with an insertable repeat count (reference repeat_modules frozenset).
-_REPEAT = {"C3", "C3k", "C3k2", "C2PSA"}
+_REPEAT = {"C3", "C3k", "C3k2", "C2PSA", "C2f"}
 
 
 @dataclass
@@ -46,6 +46,7 @@ class ModelSpec:
     ch_out: list[int]
     scale: str
     yaml_dict: dict = field(default_factory=dict)
+    legacy: bool = False  # v8-era Detect cls branch (reference tasks.py:1504)
 
     @property
     def task(self) -> str:
@@ -91,6 +92,7 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
     ch_list = [ch]
     layers: list[LayerSpec] = []
     save: list[int] = []
+    legacy = True  # flips False when a modern block appears (tasks.py:1607)
 
     for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
         args = list(args)
@@ -116,11 +118,12 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
             if name in _REPEAT:
                 args.insert(2, n_rep)
                 n_rep = 1
-            if name == "C3k2" and scale in "mlx":
-                # force c3k=True for m/l/x (tasks.py:1611-1614)
-                while len(args) < 4:
-                    args.append(False)
-                args[3] = True
+            if name == "C3k2":
+                legacy = False
+                if scale in "mlx":  # force c3k=True for m/l/x (tasks.py:1611-1614)
+                    while len(args) < 4:
+                        args.append(False)
+                    args[3] = True
         elif name == "Concat":
             c2 = sum(ch_list[x] for x in f)
         elif name == "BiFPN_Concat":
@@ -175,7 +178,8 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
         ch_list.append(c2)
 
     return ModelSpec(
-        layers=layers, save=sorted(set(save)), nc=nc, ch_out=ch_list, scale=scale, yaml_dict=d
+        layers=layers, save=sorted(set(save)), nc=nc, ch_out=ch_list, scale=scale,
+        yaml_dict=d, legacy=legacy,
     )
 
 
@@ -189,7 +193,7 @@ def load_model_yaml(path: str | Path, scale: str | None = None) -> ModelSpec:
         # e.g. "yolo11n-seg.yaml" -> "yolo11-seg.yaml" with scale "n"
         import re
 
-        m = re.fullmatch(r"(yolo\d+)([nslmx])(-[\w-]+)?", path.stem)
+        m = re.fullmatch(r"(yolov?\d+)([nslmx])(-[\w-]+)?", path.stem)
         if m:
             scale = m.group(2)
             path = path.with_name(m.group(1) + (m.group(3) or "") + path.suffix)
@@ -206,7 +210,7 @@ def guess_scale(model_name: str) -> str | None:
     """Extract the scale letter from names like yolo11s-fce."""
     import re
 
-    m = re.search(r"yolo\d+([nslmx])", model_name)
+    m = re.search(r"yolov?\d+([nslmx])", model_name)
     return m.group(1) if m else None
 
 

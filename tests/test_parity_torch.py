@@ -216,3 +216,34 @@ def test_nms_keepset_parity(ref_ultralytics):
             np.testing.assert_allclose(o_scores, r[:, 4], atol=1e-5)
             np.testing.assert_allclose(o_boxes, r[:, :4], atol=1e-2)
             np.testing.assert_array_equal(o_cls, r[:, 5].astype(int))
+
+
+def test_yolov8_forward_parity(ref_ultralytics):
+    """YOLOv8n (C2f backbone, legacy Detect head) weight-import parity."""
+    import yaml as pyyaml
+
+    import jax
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+
+    d = pyyaml.safe_load(open(os.path.join(REF, "ultralytics/cfg/models/v8/yolov8.yaml")))
+    d["scale"] = "n"
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = ref_ultralytics(d, verbose=False)
+    tm.eval().float()
+
+    model, spec, strides = build_model(os.path.join(CFG_DIR, "yolov8.yaml"), scale="n")
+    assert spec.legacy  # v8 uses the legacy cls branch
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+    with torch.no_grad():
+        t_decoded, _ = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["preds"]).transpose(0, 2, 1), t_decoded.numpy(), rtol=1e-3, atol=5e-4
+    )
