@@ -31,6 +31,25 @@ __all__ = ["YOLO"]
 CFG_DIR = Path(__file__).parent / "cfg" / "models"
 
 
+def _git_describe() -> dict:
+    """Repo provenance for checkpoints (reference saves git info in ckpts)."""
+    import subprocess
+
+    try:
+        root = Path(__file__).resolve().parent.parent
+        sha = subprocess.run(
+            ["git", "-C", str(root), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "-C", str(root), "status", "--porcelain"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip())
+        return {"commit": sha or None, "dirty": dirty}
+    except Exception:
+        return {"commit": None, "dirty": None}
+
+
 def _resolve_yaml(name: str) -> tuple[str, str | None]:
     """'yolo11n-fce.yaml' -> (packaged yolo11-fce.yaml path, 'n')."""
     p = Path(name)
@@ -404,6 +423,7 @@ class YOLO:
                               "batch_stats": host_state.batch_stats}
             meta = {"cfg_yaml": self.cfg_yaml, "scale": self.scale, "nc": self.nc,
                     "names": self.names, "epoch": epoch, "fitness": fitness,
+                    "git": _git_describe(),  # provenance (reference trainer.py:584-624)
                     "train_args": {"data": str(data), "epochs": epochs, "batch": batch,
                                    "imgsz": imgsz, "iou_type": iou_type}}
             flat, _ = jax.tree_util.tree_flatten(host_state)
