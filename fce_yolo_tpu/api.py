@@ -225,6 +225,7 @@ class YOLO:
         time_limit_hours: float | None = None,
         callbacks=None,
         tensorboard: bool = False,
+        bf16: bool | None = None,
         **hyp_overrides,
     ) -> dict:
         """Full training run: per-epoch val on EMA weights, results.csv,
@@ -328,7 +329,9 @@ class YOLO:
             pose_cfg = PoseLossCfg(det=loss_cfg, kpt_shape=kpt_shape)
             task_loss = lambda out, batch, cfg, state: pose_loss(out, batch, pose_cfg, state)
             batch_keys.append("keypoints")
-        step_fn = make_train_step(self.model, tx, loss_cfg, task_loss=task_loss)
+        if bf16 is None:  # AMP analog: on for TPU by default (reference amp: True)
+            bf16 = jax.default_backend() == "tpu"
+        step_fn = make_train_step(self.model, tx, loss_cfg, task_loss=task_loss, bf16=bf16)
 
         start_epoch = 0
         save_dir_w = save_dir / "weights"

@@ -219,16 +219,22 @@ class C2f(nn.Module):
 
 
 def _max_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """k x k stride-1 max pool with symmetric k//2 padding (torch semantics)."""
+    """k x k stride-1 max pool with symmetric k//2 padding (torch semantics).
+
+    Computed in f32: the TPU backend rejects the bf16 max-pool BACKWARD
+    (SelectAndScatter) — pooling is cheap, so upcast locally and cast back.
+    """
     pad = k // 2
-    return jax.lax.reduce_window(
-        x,
+    dtype = x.dtype
+    out = jax.lax.reduce_window(
+        x.astype(jnp.float32),
         -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, k, k, 1),
         window_strides=(1, 1, 1, 1),
         padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
     )
+    return out.astype(dtype)
 
 
 class SPPF(nn.Module):

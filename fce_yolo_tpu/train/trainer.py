@@ -67,24 +67,37 @@ def make_train_step(
     loss_cfg: DetectionLossCfg,
     ema_decay: float = 0.9999,
     task_loss: Callable | None = None,
+    bf16: bool = False,
 ) -> Callable:
     """Build the jittable train step: forward -> loss -> grad -> update ->
     EMA, with NaN-rollback (reference _handle_nan_recovery analog).
 
     ``task_loss(out, batch, cfg, state) -> (total, parts, new_state)``
     overrides the default detection loss (segment/pose/obb; train/task_losses).
+
+    ``bf16`` runs the network forward/backward in bfloat16 with f32 master
+    weights (the AMP analog, reference trainer.py:306-308 — no GradScaler
+    needed: bf16 has the f32 exponent range). The loss itself stays f32.
     """
 
     def loss_fn(params, batch_stats, batch, loss_state):
         img = batch["img"]
         if img.dtype == jnp.uint8:  # normalize on device: 4x smaller host->device copy
             img = img.astype(jnp.float32) / 255.0
+        apply_params = params
+        if bf16:
+            apply_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+            img = img.astype(jnp.bfloat16)
         out, updates = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": apply_params, "batch_stats": batch_stats},
             img,
             train=True,
             mutable=["batch_stats"],
         )
+        if bf16:  # loss math in f32 for stable reductions; BN stats stay f32
+            out = jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), out)
+            updates = {"batch_stats": jax.tree_util.tree_map(
+                lambda t: t.astype(jnp.float32), updates["batch_stats"])}
         if task_loss is not None:
             total, parts, new_loss_state = task_loss(out, batch, loss_cfg, loss_state)
         else:
