@@ -67,6 +67,7 @@ class Segment(nn.Module):
     reg_max: int = 16
     strides: tuple[int, ...] | None = None
     export: bool = False
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
@@ -79,7 +80,8 @@ class Segment(nn.Module):
         ]
         mc = jnp.concatenate(mc, axis=1)  # (B, A, nm)
         det = Detect(
-            self.nc, self.ch, self.reg_max, self.strides, export=self.export, name="detect"
+            self.nc, self.ch, self.reg_max, self.strides, legacy=self.legacy,
+            export=self.export, name="detect"
         )(xs, train)
         if train:
             return {"feats": det["feats"], "mask_coefs": mc, "proto": proto}
@@ -103,6 +105,7 @@ class OBB(nn.Module):
     reg_max: int = 16
     strides: tuple[int, ...] | None = None
     export: bool = False
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
@@ -116,9 +119,8 @@ class OBB(nn.Module):
 
         # detect conv trunk; its axis-aligned decode is unused here and XLA
         # dead-code-eliminates it — the rotated decode below replaces it
-        det = Detect(self.nc, self.ch, self.reg_max, self.strides, export=False, name="detect")(
-            xs, train
-        )
+        det = Detect(self.nc, self.ch, self.reg_max, self.strides, legacy=self.legacy,
+                     export=False, name="detect")(xs, train)
         feats = det["feats"]
         if train:
             return {"feats": feats, "angle": angle}
@@ -148,6 +150,7 @@ class Pose(nn.Module):
     reg_max: int = 16
     strides: tuple[int, ...] | None = None
     export: bool = False
+    legacy: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
@@ -159,7 +162,8 @@ class Pose(nn.Module):
         ]
         kpt = jnp.concatenate(kpt, axis=1)  # (B, A, nk) raw
         det = Detect(
-            self.nc, self.ch, self.reg_max, self.strides, export=self.export, name="detect"
+            self.nc, self.ch, self.reg_max, self.strides, legacy=self.legacy,
+            export=self.export, name="detect"
         )(xs, train)
         if train:
             return {"feats": det["feats"], "kpts": kpt}

@@ -84,18 +84,18 @@ def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = Fa
 
         return H.Segment(
             nc=a[0], nm=a[1] if len(a) > 2 else 32, npr=a[2] if len(a) > 3 else 256,
-            ch=tuple(a[-1]), strides=strides, export=export, name=name,
+            ch=tuple(a[-1]), strides=strides, export=export, legacy=legacy, name=name,
         )
     if n == "Pose":
         from fce_yolo_tpu.nn import heads as H
 
         return H.Pose(nc=a[0], kpt_shape=tuple(a[1]), ch=tuple(a[-1]),
-                      strides=strides, export=export, name=name)
+                      strides=strides, export=export, legacy=legacy, name=name)
     if n == "OBB":
         from fce_yolo_tpu.nn import heads as H
 
         return H.OBB(nc=a[0], ne=a[1] if len(a) > 2 else 1, ch=tuple(a[-1]),
-                     strides=strides, export=export, name=name)
+                     strides=strides, export=export, legacy=legacy, name=name)
     if n == "Classify":
         from fce_yolo_tpu.nn import heads as H
 

@@ -247,3 +247,38 @@ def test_yolov8_forward_parity(ref_ultralytics):
     np.testing.assert_allclose(
         np.asarray(out["preds"]).transpose(0, 2, 1), t_decoded.numpy(), rtol=1e-3, atol=5e-4
     )
+
+
+def test_yolov8_seg_import_parity(ref_ultralytics):
+    """YOLOv8n-seg: legacy Detect threading through the Segment head."""
+    import yaml as pyyaml
+
+    import jax
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+    from ultralytics.nn.tasks import SegmentationModel
+
+    d = pyyaml.safe_load(open(os.path.join(REF, "ultralytics/cfg/models/v8/yolov8-seg.yaml")))
+    d["scale"] = "n"
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = SegmentationModel(d, verbose=False)
+    tm.eval().float()
+
+    # our yolov8-seg = yolov8 backbone/neck + Segment head
+    ours_d = pyyaml.safe_load(open(os.path.join(CFG_DIR, "yolov8.yaml")))
+    ours_d["head"][-1] = [[15, 18, 21], 1, "Segment", ["nc", 32, 256]]
+    model, spec, strides = build_model(ours_d, scale="n")
+    assert spec.legacy
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+    with torch.no_grad():
+        dec, (feats, mc, proto) = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["preds"]).transpose(0, 2, 1), dec.numpy(), rtol=1e-3, atol=5e-4
+    )
