@@ -1,6 +1,9 @@
-"""Benchmark: batched 640px e2e inference throughput on one chip.
+"""Benchmark: batched 640px e2e inference + train-step throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+The headline metric stays the yolo11n 640px e2e inference images/sec/chip
+(vs the torch-CPU ONNX baseline); "extras" carries the flagship fce variant,
+train-step throughput, and MFU figures (VERDICT round-1 #2/#8).
 
 Baseline (BASELINE.md): torch-CPU ONNX yolo11n = 56.1 ms/img => 17.8
 images/sec. North star: >= 3x that per chip. Measured pipeline: normalize ->
@@ -25,21 +28,32 @@ import time
 import numpy as np
 
 TORCH_CPU_BASELINE_IMG_S = 1000.0 / 56.1  # yolo11n CPU ONNX (README_Ultralytics.md:135)
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s
 
 
-def main(batch: int = 128, iters: int = 32, scale: str = "n", imgsz: int = 640) -> dict:
+def _roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    _ = float(tiny(jnp.zeros(())))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = float(tiny(jnp.zeros(())))
+    return (time.perf_counter() - t0) / 10
+
+
+def bench_infer(cfg: str, scale: str = "n", batch: int = 128, imgsz: int = 640,
+                iters: int = 32, rt: float | None = None) -> float:
+    """Pipelined e2e (normalize+forward+decode+NMS) images/sec."""
     import jax
     import jax.numpy as jnp
 
     from fce_yolo_tpu.nn.model import build_model, init_variables
     from fce_yolo_tpu.ops.nms import batched_nms
 
-    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale=scale)
-    # init WITH detection bias priors: the confidence distribution then matches
-    # a real model's (sparse candidates), which is what NMS sees in production
+    model, spec, strides = build_model(cfg, scale=scale)
     variables = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
-
-    # bf16 weights/activations (MXU-native); decode upcasts to f32 internally
     bf16 = jnp.bfloat16
     params = jax.tree_util.tree_map(lambda x: x.astype(bf16), variables["params"])
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
@@ -48,43 +62,94 @@ def main(batch: int = 128, iters: int = 32, scale: str = "n", imgsz: int = 640) 
     def predict(variables, images_u8):
         x = images_u8.astype(bf16) / 255.0
         preds = model.apply(variables, x, train=False)["preds"]
-        # single-label NMS: the deployment configuration (reference nms.py:19)
         out = batched_nms(preds, conf_thres=0.25, iou_thres=0.45, max_det=300, multi_label=False)
-        # scalar checksum keeps every output on the critical path
         return out["boxes"].sum() + out["scores"].sum() + out["valid"].sum()
 
-    # measure the tunnel round trip to subtract it from the pipelined total
-    tiny = jax.jit(lambda x: x + 1.0)
-    _ = float(tiny(jnp.zeros(())))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        _ = float(tiny(jnp.zeros(())))
-    rt = (time.perf_counter() - t0) / 10
-
+    rt = rt if rt is not None else _roundtrip()
     rng = np.random.RandomState(0)
-    imgs = [
-        jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
-        for _ in range(4)
-    ]
+    imgs = [jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8)) for _ in range(4)]
     _ = float(predict(variables, imgs[0]))  # compile + warmup
 
-    # best-of-3 rounds: the tunnel's dispatch latency varies with ambient
-    # load; the fastest round reflects actual device throughput
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [predict(variables, imgs[i % 4]) for i in range(iters)]
-        _ = float(sum(outs))  # single sync
-        total = time.perf_counter() - t0
-        best_dt = min(best_dt, max(total - rt, 1e-9) / iters)
-    dt = best_dt
-    img_s = batch / dt
+        _ = float(sum(outs))
+        best_dt = min(best_dt, max(time.perf_counter() - t0 - rt, 1e-9) / iters)
+    return batch / best_dt
+
+
+def bench_train(cfg: str, scale: str = "n", batch: int = 64, imgsz: int = 640,
+                iters: int = 16, rt: float | None = None) -> float:
+    """Full train step (fwd+loss+TAL+bwd+opt+EMA, bf16) images/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.train.loss import DetectionLossCfg
+    from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
+    from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+    model, spec, strides = build_model(cfg, scale=scale, nc=80)
+    variables = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
+    tx = build_optimizer(OptimCfg(batch_size=batch, nbs=batch), variables["params"])
+    state0 = create_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, tx, DetectionLossCfg(nc=80), bf16=True))
+
+    rng = np.random.RandomState(0)
+    m = 32
+    batch_d = {
+        "img": jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), np.uint8)),
+        "cls": jnp.asarray(rng.randint(0, 80, (batch, m)).astype(np.float32)),
+        "bboxes": jnp.asarray(np.concatenate(
+            [rng.uniform(0.3, 0.7, (batch, m, 2)), rng.uniform(0.05, 0.3, (batch, m, 2))], -1
+        ).astype(np.float32)),
+        "mask": jnp.asarray(rng.uniform(size=(batch, m)) < 0.8),
+    }
+    rt = rt if rt is not None else _roundtrip()
+    s = state0
+    s, _ = step(s, batch_d)  # compile
+    best_dt = float("inf")
+    for _ in range(3):
+        s = state0
+        t0 = time.perf_counter()
+        losses = []
+        for _ in range(iters):
+            s, mtr = step(s, batch_d)
+            losses.append(mtr["loss"])
+        _ = float(sum(losses))
+        best_dt = min(best_dt, max(time.perf_counter() - t0 - rt, 1e-9) / iters)
+    return batch / best_dt
+
+
+def main() -> dict:
+    from fce_yolo_tpu.nn.model import build_model, estimate_flops
+
+    rt = _roundtrip()
+    stock = "fce_yolo_tpu/cfg/models/yolo11.yaml"
+    fce = "fce_yolo_tpu/cfg/models/yolo11-fce.yaml"
+
+    infer_stock = bench_infer(stock, rt=rt)
+    infer_fce = bench_infer(fce, rt=rt)
+    train_stock = bench_train(stock, rt=rt)
+
+    model, _, _ = build_model(stock, scale="n")
+    flops_img = estimate_flops(model, imgsz=640, batch=8) / 8  # eval fwd FLOPs/img
+    infer_mfu = infer_stock * flops_img / V5E_BF16_PEAK
+    train_mfu = train_stock * flops_img * 3.0 / V5E_BF16_PEAK  # fwd+bwd ~ 3x fwd
 
     result = {
-        "metric": f"yolo11{scale} {imgsz}px batch{batch} e2e infer (fwd+decode+NMS) images/sec/chip",
-        "value": round(img_s, 1),
+        "metric": "yolo11n 640px batch128 e2e infer (fwd+decode+NMS) images/sec/chip",
+        "value": round(infer_stock, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_s / TORCH_CPU_BASELINE_IMG_S, 2),
+        "vs_baseline": round(infer_stock / TORCH_CPU_BASELINE_IMG_S, 2),
+        "extras": {
+            "yolo11n-fce e2e infer img/s": round(infer_fce, 1),
+            "yolo11n train step img/s (batch64 bf16)": round(train_stock, 1),
+            "infer MFU (v5e bf16 peak)": round(infer_mfu, 3),
+            "train MFU (v5e bf16 peak)": round(train_mfu, 3),
+            "fwd GFLOPs/img": round(flops_img / 1e9, 2),
+        },
     }
     print(json.dumps(result))
     return result

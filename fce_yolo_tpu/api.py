@@ -55,11 +55,15 @@ def _resolve_yaml(name: str) -> tuple[str, str | None]:
     p = Path(name)
     if p.exists():
         return str(p), guess_scale(p.stem)
+    import re
+
     stem = p.stem
     scale = guess_scale(stem)
-    if scale:
-        # strip the scale letter after the version digits: yolo11n-fce -> yolo11-fce
-        stem = stem.replace(scale, "", 1) if f"11{scale}" in stem else stem
+    # strip the scale letter after the version digits: yolo11n-fce -> yolo11-fce,
+    # yolov8s -> yolov8 (same regex as nn/parser.load_model_yaml)
+    m = re.fullmatch(r"(yolov?\d+)([nslmx])(-[\w-]+)?", stem)
+    if m:
+        stem = m.group(1) + (m.group(3) or "")
     cand = CFG_DIR / f"{stem}.yaml"
     if cand.exists():
         return str(cand), scale
@@ -115,9 +119,20 @@ class YOLO:
                 )(self._rng)
         return self.variables
 
-    def info(self) -> dict:
+    def info(self, flops: bool = False, imgsz: int = 640) -> dict:
+        """Model summary (reference model_info, utils/torch_utils.py:303).
+
+        Args:
+            flops: also report GFLOPs at ``imgsz`` via XLA cost analysis
+                (compiles the model once; seconds, not milliseconds).
+        """
         v = self._ensure_variables()
-        return {"params": param_count(v), "nc": self.nc, "strides": self.strides, "yaml": self.cfg_yaml}
+        out = {"params": param_count(v), "nc": self.nc, "strides": self.strides, "yaml": self.cfg_yaml}
+        if flops:
+            from fce_yolo_tpu.nn.model import estimate_flops
+
+            out["gflops"] = estimate_flops(self.model, imgsz=imgsz) / 1e9
+        return out
 
     def save(self, path: str, extra_meta: dict | None = None) -> str:
         v = self._ensure_variables()
@@ -195,6 +210,10 @@ class YOLO:
             from fce_yolo_tpu.engine.task_validators import OBBValidator
 
             return OBBValidator(self.model, self.names, **vkw)
+        if self.task == "rtdetr":
+            from fce_yolo_tpu.engine.validator import RTDETRValidator
+
+            return RTDETRValidator(self.model, self.names, **vkw)
         return DetectionValidator(self.model, self.names, **vkw)
 
     # --------------------------------------------------------------- train
@@ -311,7 +330,12 @@ class YOLO:
             optim_cfg = optim_cfg._replace(optimizer="AdamW" if epochs * steps_per_epoch <= 10000 else "SGD")
         loss_cfg = DetectionLossCfg(nc=d["nc"], strides=tuple(self.strides), iou_type=iou_type)
         tx = build_optimizer(optim_cfg, v["params"], freeze=freeze)
-        state = create_train_state(self.model, v, tx)
+        # true gradient accumulation to the nominal batch (reference
+        # trainer.py:342-344: accumulate = round(nbs / batch))
+        from fce_yolo_tpu.train.optim import accumulate_steps
+
+        accumulate = accumulate_steps(optim_cfg)
+        state = create_train_state(self.model, v, tx, accumulate=accumulate)
         task_loss = None
         batch_keys = ["img", "cls", "bboxes", "mask"]
         if self.task == "segment":
@@ -329,9 +353,16 @@ class YOLO:
             pose_cfg = PoseLossCfg(det=loss_cfg, kpt_shape=kpt_shape)
             task_loss = lambda out, batch, cfg, state: pose_loss(out, batch, pose_cfg, state)
             batch_keys.append("keypoints")
+        elif self.task == "rtdetr":
+            from fce_yolo_tpu.train.detr_loss import DETRLossCfg, detr_loss
+
+            detr_cfg = DETRLossCfg(nc=d["nc"])
+            task_loss = lambda out, batch, cfg, state: detr_loss(out, batch, detr_cfg, state)
         if bf16 is None:  # AMP analog: on for TPU by default (reference amp: True)
             bf16 = jax.default_backend() == "tpu"
-        step_fn = make_train_step(self.model, tx, loss_cfg, task_loss=task_loss, bf16=bf16)
+        step_fn = make_train_step(
+            self.model, tx, loss_cfg, task_loss=task_loss, bf16=bf16, accumulate=accumulate
+        )
 
         start_epoch = 0
         save_dir_w = save_dir / "weights"

@@ -77,7 +77,9 @@ class ClassificationDataset:
             hh, ww = img.shape[:2]
             y0, x0 = (hh - s) // 2, (ww - s) // 2
             img = img[y0 : y0 + s, x0 : x0 + s]
-        return {"img": np.ascontiguousarray(img), "label": label}
+        # BGR -> RGB at the pipeline exit (model consumes RGB, reference
+        # classification tf works on PIL/RGB)
+        return {"img": np.ascontiguousarray(img[..., ::-1]), "label": label}
 
 
 def classify_collate(samples: list[dict]) -> dict:

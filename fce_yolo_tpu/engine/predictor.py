@@ -42,6 +42,24 @@ def load_source(source) -> Iterator[tuple[np.ndarray, str]]:
     if isinstance(source, np.ndarray):
         yield source, "array"
         return
+    if isinstance(source, str) and (
+        source.lower().startswith(("rtsp://", "rtmp://", "http://", "https://", "tcp://"))
+        or source.endswith(".streams")
+        or source.isnumeric()
+    ):
+        from fce_yolo_tpu.data.loaders import LoadStreams
+
+        streams = LoadStreams(source)
+        for names, frames in streams:
+            for name, frame in zip(names, frames):
+                yield frame, name
+        return
+    if isinstance(source, str) and source.startswith("screen"):
+        from fce_yolo_tpu.data.loaders import LoadScreenshots
+
+        for names, frames in LoadScreenshots(source):
+            yield frames[0], names[0]
+        return
     if source.__class__.__module__.startswith("PIL"):
         arr = np.asarray(source)[..., ::-1]  # RGB -> BGR
         yield np.ascontiguousarray(arr), "pil"
@@ -117,6 +135,30 @@ class DetectionPredictor:
             out = model.apply(variables, x, train=False)
             # predict is single-label per box (reference nms.py:19 default);
             # the validator uses multi_label=True for mAP parity
+            if task == "rtdetr":
+                # NMS-free: the 300 decoder queries are the detections
+                # (reference models/rtdetr/predict.py)
+                preds = out["preds"]
+                xywh = preds[..., :4] * imgsz
+                boxes = jnp.concatenate(
+                    [xywh[..., :2] - xywh[..., 2:] / 2, xywh[..., :2] + xywh[..., 2:] / 2], -1
+                )
+                best = preds[..., 4:].max(-1)
+                cls = jnp.argmax(preds[..., 4:], -1).astype(jnp.int32)
+                order = jnp.argsort(-best, axis=-1)
+                boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+                best = jnp.take_along_axis(best, order, axis=1)
+                cls = jnp.take_along_axis(cls, order, axis=1)
+                return {"boxes": boxes, "scores": best, "classes": cls, "valid": best > conf}
+            if task == "obb":
+                from fce_yolo_tpu.ops.nms import rotated_batched_nms
+
+                nms = rotated_batched_nms(
+                    out["preds"], conf_thres=conf, iou_thres=iou,
+                    max_det=max_det, multi_label=False, nc=nc,
+                )
+                nms["angle"] = nms.pop("extra")
+                return nms
             nms = batched_nms(
                 out["preds"], conf_thres=conf, iou_thres=iou, max_det=max_det,
                 multi_label=False,
@@ -196,7 +238,9 @@ class DetectionPredictor:
         for img, path in load_source(source):
             lb, r, pad = letterbox(img, self.imgsz, scaleup=False)
             pending.append((img, path, r, pad))
-            imgs.append(lb)
+            # BGR -> RGB: sources yield BGR, the model consumes RGB
+            # (reference predictor.py:164)
+            imgs.append(np.ascontiguousarray(lb[..., ::-1]))
             if len(pending) == self.batch_size:
                 yield from flush()
         yield from flush()

@@ -52,7 +52,8 @@ class SegmentationValidator(DetectionValidator):
             x = img_u8.astype(jnp.float32) / 255.0
             out = model.apply(variables, x, train=False)
             nms = batched_nms(
-                out["preds"], conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc
+                out["preds"], conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc,
+                pre_nms_topk=self.pre_nms_topk,
             )
             # masks at prototype resolution (= GT bitmap resolution)
             nms["masks"] = jax.vmap(
@@ -108,12 +109,9 @@ class SegmentationValidator(DetectionValidator):
             pcls = np.asarray(out["classes"][i])[valid].astype(float)
             pmasks = np.asarray(out["masks"][i])[valid]
 
-            r = float(batch["ratio"][i])
-            pw, ph = batch["pad"][i]
-            oh, ow = batch["orig_shape"][i]
-            pboxes = (pboxes_lb - np.array([pw, ph, pw, ph])) / r
-            pboxes[:, [0, 2]] = pboxes[:, [0, 2]].clip(0, ow)
-            pboxes[:, [1, 3]] = pboxes[:, [1, 3]].clip(0, oh)
+            # match in LETTERBOX space, unclipped (reference detect/val.py:
+            # 128-166 — see engine/validator.py note)
+            pboxes = pboxes_lb
 
             m = batch["mask"][i]
             gxywh = batch["bboxes"][i][m] * s
@@ -122,7 +120,6 @@ class SegmentationValidator(DetectionValidator):
                 [gxywh[:, 0] - gxywh[:, 2] / 2, gxywh[:, 1] - gxywh[:, 3] / 2,
                  gxywh[:, 0] + gxywh[:, 2] / 2, gxywh[:, 1] + gxywh[:, 3] / 2], 1
             ) if len(gxywh) else np.zeros((0, 4))
-            gboxes = (gboxes - np.array([pw, ph, pw, ph])) / r if len(gboxes) else gboxes
             gmasks = batch["masks"][i][m] > 0.5  # (G, hm, wm), letterbox space
 
             if len(pcls) and len(gcls):

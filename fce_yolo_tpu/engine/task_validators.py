@@ -77,7 +77,8 @@ class PoseValidator(DetectionValidator):
         def predict(variables, img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
             preds = model.apply(variables, x, train=False)["preds"]
-            out = batched_nms(preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc)
+            out = batched_nms(preds, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                              nc=nc, pre_nms_topk=self.pre_nms_topk)
             out["keypoints"] = out.pop("extra")
             return out
 
@@ -157,12 +158,13 @@ class OBBValidator(DetectionValidator):
         def predict(variables, img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
             preds = model.apply(variables, x, train=False)["preds"]
-            # OBB preds: rotated cx,cy,w,h + scores + angle; NMS on the
-            # axis-aligned footprint (reference uses probiou NMS; the
-            # footprint approximation only affects which near-duplicates
-            # drop, and matching below is exact probiou)
-            out = batched_nms(preds, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                              nc=nc, in_fmt="xywh")
+            # OBB preds: rotated cx,cy,w,h + scores + angle; suppress with
+            # true probiou rotated NMS (reference nms_rotated Fast-NMS
+            # semantics) so elongated rotated boxes aren't over-suppressed.
+            from fce_yolo_tpu.ops.nms import rotated_batched_nms
+
+            out = rotated_batched_nms(preds, conf_thres=conf, iou_thres=iou,
+                                      max_det=max_det, nc=nc)
             out["angle"] = out.pop("extra")
             return out
 
@@ -182,15 +184,16 @@ class OBBValidator(DetectionValidator):
             out = jax.device_get(self._predict(variables, batch["img"]))
             for i in range(batch["n_valid"]):
                 valid = np.asarray(out["valid"][i])
-                pxyxy = np.asarray(out["boxes"][i])[valid]
+                pxywh = np.asarray(out["boxes"][i])[valid]  # rotated NMS keeps xywh
                 pconf = np.asarray(out["scores"][i])[valid]
                 pcls = np.asarray(out["classes"][i])[valid].astype(float)
-                pang = np.asarray(out["angle"][i])[valid].reshape(-1)
-                # xyxy footprint back to xywhr
-                pr = np.stack(
-                    [(pxyxy[:, 0] + pxyxy[:, 2]) / 2, (pxyxy[:, 1] + pxyxy[:, 3]) / 2,
-                     pxyxy[:, 2] - pxyxy[:, 0], pxyxy[:, 3] - pxyxy[:, 1], pang], 1
-                ) if len(pxyxy) else np.zeros((0, 5))
+                pang = np.asarray(out["angle"][i])[valid]
+                pang = pang[:, 0] if pang.ndim == 2 else pang.reshape(-1)
+                pr = (
+                    np.concatenate([pxywh, pang[:, None]], 1)
+                    if len(pxywh)
+                    else np.zeros((0, 5))
+                )
 
                 m = batch["mask"][i]
                 grb = batch["bboxes"][i][m] * np.array([s, s, s, s, 1], np.float32)

@@ -20,7 +20,7 @@ from fce_yolo_tpu.data import DataLoader, YOLODataset, check_det_dataset
 from fce_yolo_tpu.ops import batched_nms
 from fce_yolo_tpu.utils.metrics import ConfusionMatrix, DetMetrics, box_iou_np, match_predictions
 
-__all__ = ["DetectionValidator"]
+__all__ = ["DetectionValidator", "RTDETRValidator"]
 
 
 class DetectionValidator:
@@ -43,6 +43,7 @@ class DetectionValidator:
         max_det: int = 300,
         batch_size: int = 16,
         workers: int = 8,
+        pre_nms_topk: int = 4096,
     ):
         self.model = model
         self.names = names
@@ -53,6 +54,10 @@ class DetectionValidator:
         self.max_det = max_det
         self.batch_size = batch_size
         self.workers = workers
+        # val keeps a deep candidate pool: at conf=0.001 the low-confidence
+        # tail materially shifts mAP (reference caps at max_nms=30000;
+        # 1024 was measured to drop ~2% of kept detections on dense scenes)
+        self.pre_nms_topk = pre_nms_topk
         self._predict = None  # built lazily (jit)
 
     def _build_predict(self):
@@ -61,6 +66,7 @@ class DetectionValidator:
 
         conf, iou, max_det = self.conf, self.iou, self.max_det
         model = self.model
+        topk = self.pre_nms_topk
 
         nc = self.nc
 
@@ -71,7 +77,8 @@ class DetectionValidator:
             # nc slices class scores off task-head extras (mask coefs/kpts);
             # multi_label=True matches reference val NMS (detect/val.py:120)
             return batched_nms(
-                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc
+                preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc,
+                pre_nms_topk=topk,
             )
 
         return predict
@@ -168,21 +175,22 @@ class DetectionValidator:
         json_dets: list | None = None,
         image_id_base: int = 0,
     ):
-        """Scale predictions + GT back to original image space and match."""
+        """Match predictions to GT in LETTERBOX space — the reference matches
+        unscaled, unclipped NMS outputs against GT lifted to input pixels
+        (detect/val.py:128-166: _prepare_pred is identity, _prepare_batch
+        scales GT by imgsz); scale-back to original space happens only for
+        JSON/plot outputs. Matching in original space with clipping skews
+        IoUs for boxes crossing the letterbox pad."""
         s = self.imgsz
         for i in range(batch["n_valid"]):
             valid = np.asarray(out["valid"][i])
-            pboxes = np.asarray(out["boxes"][i])[valid]
+            pboxes = np.asarray(out["boxes"][i])[valid]  # letterbox-pixel xyxy
             pconf = np.asarray(out["scores"][i])[valid]
             pcls = np.asarray(out["classes"][i])[valid].astype(float)
 
             r = float(batch["ratio"][i])
             pw, ph = batch["pad"][i]
             oh, ow = batch["orig_shape"][i]
-            # letterbox frame -> original image space, clipped (reference scale_boxes)
-            pboxes = (pboxes - np.array([pw, ph, pw, ph])) / r
-            pboxes[:, [0, 2]] = pboxes[:, [0, 2]].clip(0, ow)
-            pboxes[:, [1, 3]] = pboxes[:, [1, 3]].clip(0, oh)
 
             m = batch["mask"][i]
             gxywh = batch["bboxes"][i][m] * s  # letterbox-pixel xywh
@@ -193,7 +201,6 @@ class DetectionValidator:
                 gboxes[:, 1] = gxywh[:, 1] - gxywh[:, 3] / 2
                 gboxes[:, 2] = gxywh[:, 0] + gxywh[:, 2] / 2
                 gboxes[:, 3] = gxywh[:, 1] + gxywh[:, 3] / 2
-                gboxes = (gboxes - np.array([pw, ph, pw, ph])) / r
 
             if len(pcls) and len(gcls):
                 iou = box_iou_np(gboxes, pboxes)
@@ -208,8 +215,12 @@ class DetectionValidator:
                 dict(bboxes=gboxes, cls=gcls),
             )
             if json_dets is not None:
-                # COCO detection rows (reference detect/val.py pred_to_json)
-                for bb, cf, cl in zip(pboxes, pconf, pcls):
+                # COCO detection rows in ORIGINAL image space (reference
+                # pred_to_json applies scale_boxes before serializing)
+                jboxes = (pboxes - np.array([pw, ph, pw, ph])) / r
+                jboxes[:, [0, 2]] = jboxes[:, [0, 2]].clip(0, ow)
+                jboxes[:, [1, 3]] = jboxes[:, [1, 3]].clip(0, oh)
+                for bb, cf, cl in zip(jboxes, pconf, pcls):
                     json_dets.append(
                         {
                             "image_id": image_id_base + i,
@@ -223,3 +234,42 @@ class DetectionValidator:
                             "score": round(float(cf), 5),
                         }
                     )
+
+
+class RTDETRValidator(DetectionValidator):
+    """RT-DETR validation: NMS-free postprocess (reference
+    models/rtdetr/val.py): the decoder's 300 queries ARE the detections —
+    normalized xywh scaled to input pixels, single-label max score, conf
+    filter. Matching/AP bookkeeping is inherited (letterbox space)."""
+
+    def _build_predict(self):
+        import jax
+        import jax.numpy as jnp
+
+        conf, imgsz = self.conf, self.imgsz
+        model = self.model
+
+        @jax.jit
+        def predict(variables, img_u8):
+            x = img_u8.astype(jnp.float32) / 255.0
+            preds = model.apply(variables, x, train=False)["preds"]  # (B, nq, 4+nc)
+            xywh = preds[..., :4] * imgsz
+            boxes = jnp.concatenate(
+                [xywh[..., :2] - xywh[..., 2:] / 2, xywh[..., :2] + xywh[..., 2:] / 2], -1
+            )
+            scores = preds[..., 4:]
+            best = scores.max(-1)
+            cls = jnp.argmax(scores, -1).astype(jnp.int32)
+            # emit in descending-score order like the reference (sorted conf)
+            order = jnp.argsort(-best, axis=-1)
+            take = lambda t: jnp.take_along_axis(t, order, axis=1)
+            boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+            best, cls = take(best), take(cls)
+            return {
+                "boxes": boxes,
+                "scores": best,
+                "classes": jnp.where(best > conf, cls, -1),
+                "valid": best > conf,
+            }
+
+        return predict

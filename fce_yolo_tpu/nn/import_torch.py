@@ -58,10 +58,42 @@ def torch_key_to_flax(key: str) -> tuple[str, tuple[str, ...], str] | None:
     if leaf == "num_batches_tracked":
         return None
 
+    # RT-DETR decoder: torch "decoder.layers.N" nests; our head flattens to
+    # "decoder_layers_N" (nn/heads.py RTDETRDecoder)
+    for i, t in enumerate(body[:-1]):
+        if t == "decoder" and re.fullmatch(r"layers_\d+", body[i + 1]):
+            body[i : i + 2] = [f"decoder_{body[i + 1]}"]
+            break
+
     parent = body[-1] if body else ""
     if parent == "out_proj":  # torch MultiheadAttention out projection
         # our _TorchMHA keeps torch's (out, in) layout -> no transpose
         return ("params", tuple(body[:-1] + [f"out_proj_{leaf}"]), "tensor")
+    if parent in ("denoising_class_embed", "tgt_embed"):  # embedding tables
+        return ("params", tuple(body), "tensor")
+    # RT-DETR Linear layers (dense_kernel transpose): MSDeformAttn projections,
+    # FFN linears, score heads, MLP sublayers ("layers_N" below the top level),
+    # enc_output.0
+    rtdetr_linear = (
+        parent in ("sampling_offsets", "attention_weights", "value_proj",
+                   "output_proj", "linear1", "linear2", "enc_score_head",
+                   "enc_output_0")
+        or re.fullmatch(r"dec_score_head_\d+", parent)
+        or (re.fullmatch(r"layers_\d+", parent) and len(body) > 1)
+    )
+    if rtdetr_linear:
+        if leaf == "weight":
+            return ("params", tuple(body + ["kernel"]), "dense_kernel")
+        return ("params", tuple(body + [leaf]), "tensor")
+    if parent == "enc_output_1":  # LayerNorm in the Sequential
+        if leaf == "weight":
+            return ("params", tuple(body + ["scale"]), "tensor")
+        return ("params", tuple(body + [leaf]), "tensor")
+    if re.fullmatch(r"input_proj_\d+_1", parent):  # plain BatchNorm2d
+        if leaf == "weight":
+            return ("params", tuple(body + ["scale"]), "tensor")
+        if leaf == "bias":
+            return ("params", tuple(body + ["bias"]), "tensor")
     if parent in ("fc1", "fc2"):  # transformer FFN Linears
         if leaf == "weight":
             return ("params", tuple(body + ["kernel"]), "dense_kernel")
@@ -176,25 +208,39 @@ def state_dict_to_variables(
     return variables
 
 
-def load_pt_state_dict(path: str) -> dict[str, np.ndarray]:
-    """Read a torch .pt zip checkpoint without importing torch.
+def load_pt_state_dict(path: str, allow_unsafe: bool = False) -> dict[str, np.ndarray]:
+    """Read a torch .pt checkpoint into a numpy state_dict.
 
     Handles the reference trainer's checkpoint format (engine/trainer.py:
     584-624: dict with 'model'/'ema' entries) *and* bare state_dict saves.
-    Uses a restricted unpickler that materializes only tensors.
+
+    Loads with torch.load(weights_only=True) by default so untrusted .pt
+    files cannot execute pickle payloads. Checkpoints that store full
+    nn.Module objects (the reference's default save format) need full
+    unpickling; pass allow_unsafe=True to opt in explicitly for files
+    you trust.
     """
     try:
         import torch
-
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
-        model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
-        if hasattr(model, "state_dict"):
-            model = model.state_dict()
-        return {k: v.float().numpy() for k, v in model.items() if hasattr(v, "numpy")}
     except ImportError as e:  # torch-free fallback: numpy-only zip reader
         raise RuntimeError(
             "torch unavailable; torch-free .pt reading not yet implemented"
         ) from e
+
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_unsafe:
+            raise ValueError(
+                f"{path}: checkpoint needs full (unsafe) unpickling — it stores "
+                "module objects, not just tensors. Re-call with allow_unsafe=True "
+                "ONLY if you trust the file's origin."
+            ) from None
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
+    if hasattr(model, "state_dict"):
+        model = model.state_dict()
+    return {k: v.float().numpy() for k, v in model.items() if hasattr(v, "numpy")}
 
 
 def import_torch_checkpoint(path_or_sd, model, imgsz: int = 64) -> dict:

@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["TransformerEncoderLayer", "AIFI", "MLP", "LayerNorm2d"]
+__all__ = [
+    "TransformerEncoderLayer", "AIFI", "MLP", "LayerNorm2d",
+    "MSDeformAttn", "DeformableTransformerDecoderLayer",
+]
 
 
 class _TorchMHA(nn.Module):
@@ -29,7 +32,7 @@ class _TorchMHA(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, attn_mask: jnp.ndarray | None = None):
         c, h = self.c, self.num_heads
         hd = c // h
         w_in = self.param("in_proj_weight", nn.initializers.xavier_uniform(), (3 * c, c))
@@ -43,7 +46,10 @@ class _TorchMHA(nn.Module):
             return y.reshape(B, -1, h, hd).transpose(0, 2, 1, 3)  # (B, h, N, hd)
 
         qh, kh, vh = heads(q, wq, bq), heads(k, wk, bk), heads(v, wv, bv)
-        attn = jax.nn.softmax(qh @ kh.transpose(0, 1, 3, 2) / jnp.sqrt(hd), axis=-1)
+        logits = qh @ kh.transpose(0, 1, 3, 2) / jnp.sqrt(hd)
+        if attn_mask is not None:  # torch convention: True = blocked
+            logits = jnp.where(attn_mask[None, None], -jnp.inf, logits)
+        attn = jax.nn.softmax(logits, axis=-1)
         out = (attn @ vh).transpose(0, 2, 1, 3).reshape(B, -1, c)
         w_out = self.param("out_proj_weight", nn.initializers.xavier_uniform(), (c, c))
         b_out = self.param("out_proj_bias", nn.initializers.zeros, (c,))
@@ -137,3 +143,148 @@ class LayerNorm2d(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return nn.LayerNorm(name="ln")(x)
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """logit with the reference's clamping (nn/modules/utils.py:79-100)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1.0 - x, eps, None)
+    return jnp.log(x1 / x2)
+
+
+def _sampling_offsets_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Reference MSDeformAttn._reset_parameters grid init (transformer.py:
+    511-528): per-head unit directions scaled by point index."""
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * np.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (nh, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    flat = grid.reshape(-1)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == flat.shape, (shape, flat.shape)
+        return jnp.asarray(flat, dtype)
+
+    return init
+
+
+class MSDeformAttn(nn.Module):
+    """Multiscale deformable attention (reference transformer.py:458-580,
+    Deformable-DETR / PaddleDetection).
+
+    TPU re-design: torch routes sampling through ``F.grid_sample`` per level;
+    here bilinear sampling is four corner gathers with zero-padding masks —
+    all static shapes, fused by XLA. The sample count is tiny
+    (nq * nh * np per level, ~10k), so gathers are cheap.
+
+    Submodule names mirror torch (sampling_offsets / attention_weights /
+    value_proj / output_proj) for weight import.
+    """
+
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, nq, C)
+        refer_bbox: jnp.ndarray,  # (B, nq, n_levels, 2 or 4) in [0, 1]
+        value: jnp.ndarray,  # (B, LV, C), LV = sum(H*W)
+        value_shapes: list,  # static [(H, W)] * n_levels
+    ) -> jnp.ndarray:
+        c, nh, nl, npts = self.d_model, self.n_heads, self.n_levels, self.n_points
+        hd = c // nh
+        b, nq = query.shape[:2]
+
+        v = nn.Dense(c, name="value_proj")(value).reshape(b, -1, nh, hd)
+        offsets = nn.Dense(
+            nh * nl * npts * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_sampling_offsets_bias_init(nh, nl, npts),
+            name="sampling_offsets",
+        )(query).reshape(b, nq, nh, nl, npts, 2)
+        attn = nn.Dense(
+            nh * nl * npts,
+            kernel_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(b, nq, nh, nl * npts)
+        attn = jax.nn.softmax(attn, -1).reshape(b, nq, nh, nl, npts)
+
+        num_points = refer_bbox.shape[-1]
+        if num_points == 2:
+            norm = jnp.asarray([[wl, hl] for hl, wl in value_shapes], query.dtype)
+            loc = refer_bbox[:, :, None, :, None, :] + offsets / norm[None, None, None, :, None, :]
+        else:  # 4: xywh reference boxes scale the offsets (transformer.py:574)
+            loc = (
+                refer_bbox[:, :, None, :, None, :2]
+                + offsets / npts * refer_bbox[:, :, None, :, None, 2:] * 0.5
+            )
+
+        out = jnp.zeros((b, nq, nh, hd), query.dtype)
+        start = 0
+        for lvl, (hl, wl) in enumerate(value_shapes):
+            v_l = v[:, start : start + hl * wl]  # (B, H*W, nh, hd)
+            start += hl * wl
+            # grid_sample(align_corners=False, padding zeros) equivalence
+            px = loc[:, :, :, lvl, :, 0] * wl - 0.5  # (B, nq, nh, np)
+            py = loc[:, :, :, lvl, :, 1] * hl - 0.5
+            x0, y0 = jnp.floor(px), jnp.floor(py)
+            v_t = v_l.transpose(0, 2, 1, 3)  # (B, nh, H*W, hd)
+            acc = 0.0
+            for dx in (0.0, 1.0):
+                for dy in (0.0, 1.0):
+                    xi, yi = x0 + dx, y0 + dy
+                    w = (1 - jnp.abs(px - xi)) * (1 - jnp.abs(py - yi))
+                    ok = (xi >= 0) & (xi < wl) & (yi >= 0) & (yi < hl)
+                    flat = (
+                        jnp.clip(yi, 0, hl - 1).astype(jnp.int32) * wl
+                        + jnp.clip(xi, 0, wl - 1).astype(jnp.int32)
+                    )  # (B, nq, nh, np)
+                    idx = flat.transpose(0, 2, 1, 3).reshape(b, nh, nq * npts)
+                    g = jnp.take_along_axis(v_t, idx[..., None], axis=2)
+                    g = g.reshape(b, nh, nq, npts, hd).transpose(0, 2, 1, 3, 4)
+                    acc = acc + g * (w * ok)[..., None]
+            out = out + (acc * attn[:, :, :, lvl, :, None]).sum(axis=3)
+
+        return nn.Dense(c, name="output_proj")(out.reshape(b, nq, c))
+
+
+class DeformableTransformerDecoderLayer(nn.Module):
+    """Self-attn + deformable cross-attn + FFN decoder layer (reference
+    transformer.py:581-708). Submodule names mirror torch; dropout = 0."""
+
+    d_model: int = 256
+    n_heads: int = 8
+    d_ffn: int = 1024
+    n_levels: int = 4
+    n_points: int = 4
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(
+        self,
+        embed: jnp.ndarray,  # (B, nq, C)
+        refer_bbox: jnp.ndarray,  # (B, nq, 4) sigmoid space
+        feats: jnp.ndarray,  # (B, LV, C)
+        shapes: list,
+        attn_mask: jnp.ndarray | None = None,
+        query_pos: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        add_pos = lambda t: t if query_pos is None else t + query_pos
+        q = k = add_pos(embed)
+        tgt = _TorchMHA(self.d_model, self.n_heads, name="self_attn")(q, k, embed, attn_mask)
+        embed = nn.LayerNorm(name="norm1")(embed + tgt)
+
+        tgt = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, name="cross_attn"
+        )(add_pos(embed), refer_bbox[:, :, None, :], feats, shapes)
+        embed = nn.LayerNorm(name="norm2")(embed + tgt)
+
+        ffn = nn.Dense(self.d_ffn, name="linear1")(embed)
+        ffn = nn.Dense(self.d_model, name="linear2")(getattr(jax.nn, self.act)(ffn))
+        return nn.LayerNorm(name="norm3")(embed + ffn)

@@ -227,3 +227,93 @@ def batched_nms(
             0.0,
         )
     return out
+
+
+def _fast_nms_rotated(
+    obb: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_thres: float,
+    max_det: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference ``nms_rotated`` semantics (utils/nms.py rotated branch):
+    candidates sorted by score, box j survives iff no higher-scored valid
+    candidate has probiou >= thres with it (Fast-NMS — suppressed boxes still
+    suppress). One K x K probiou matrix; no sequential loop — ideal for TPU.
+
+    Args:
+        obb: (K, 5) xywhr, class offsets applied to cx/cy, sorted by score desc.
+        scores: (K,) descending.
+        valid: (K,) above-confidence mask.
+
+    Returns (idx (max_det,) int32, kept (max_det,) bool), descending score.
+    """
+    from fce_yolo_tpu.ops.iou import probiou
+
+    k = obb.shape[0]
+    iou = probiou(obb[:, None, :], obb[None, :, :])  # (K, K)
+    higher = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :]) & valid[:, None]
+    suppressed = ((iou >= iou_thres) & higher).any(axis=0)
+    keep = valid & ~suppressed
+    kept_scores = jnp.where(keep, scores, -jnp.inf)
+    kk = min(max_det, k)  # fewer candidates than max_det is legal
+    top_scores, idx = jax.lax.top_k(kept_scores, kk)
+    if kk < max_det:
+        idx = jnp.pad(idx, (0, max_det - kk))
+        top_scores = jnp.pad(top_scores, (0, max_det - kk), constant_values=-jnp.inf)
+    return idx.astype(jnp.int32), top_scores > -jnp.inf
+
+
+@partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk", "multi_label", "agnostic", "nc"),
+)
+def rotated_batched_nms(
+    prediction: jnp.ndarray,
+    *,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_nms_topk: int = 1024,
+    multi_label: bool = True,
+    agnostic: bool = False,
+    nc: int | None = None,
+) -> dict[str, jnp.ndarray]:
+    """Rotated-box NMS with probiou suppression (reference non_max_suppression
+    rotated=True branch + nms_rotated).
+
+    Args:
+        prediction: (B, N, 4 + nc + E) — xywh boxes, per-class scores, and
+            extras whose FIRST channel is the angle (radians). ``nc`` required.
+
+    Returns dict of (B, max_det, ...) with ``boxes`` as (cx, cy, w, h) —
+    unrotated footprint kept for API symmetry — plus ``extra`` carrying the
+    angle (+ any further channels) per kept detection.
+    """
+    assert nc is not None, "rotated NMS needs nc to locate the angle channel"
+    boxes_xywh = prediction[..., :4]
+    scores = prediction[..., 4 : 4 + nc]
+    extra = prediction[..., 4 + nc :]
+    angle = extra[..., 0]
+
+    def one(boxes_i, scores_i, angle_i, extra_i):
+        cand_boxes, top_scores, cls_idx, anchor_idx = _select_candidates(
+            boxes_i, scores_i, pre_nms_topk, multi_label
+        )
+        cand_angle = angle_i[anchor_idx]
+        valid = top_scores > conf_thres
+        off = jnp.where(agnostic, 0.0, cls_idx.astype(boxes_i.dtype) * 7680.0)
+        obb = jnp.concatenate(
+            [cand_boxes[:, :2] + off[:, None], cand_boxes[:, 2:4], cand_angle[:, None]], -1
+        )
+        idx, kept = _fast_nms_rotated(obb, top_scores, valid, iou_thres, max_det)
+        return {
+            "boxes": jnp.where(kept[:, None], cand_boxes[idx], 0.0),
+            "scores": jnp.where(kept, top_scores[idx], 0.0),
+            "classes": jnp.where(kept, cls_idx[idx], -1).astype(jnp.int32),
+            "valid": kept,
+            "extra": jnp.where(kept[:, None], extra_i[anchor_idx[idx]], 0.0),
+        }
+
+    # _select_candidates converts nothing: rotated boxes stay xywh(+r)
+    return jax.vmap(one)(boxes_xywh, scores, angle, extra)

@@ -39,6 +39,12 @@ class OptimCfg(NamedTuple):
     grad_clip_norm: float = 10.0
 
 
+def accumulate_steps(cfg: OptimCfg) -> int:
+    """Micro-batches per optimizer step (reference trainer.py:342:
+    accumulate = max(round(nbs / batch_size), 1))."""
+    return max(round(cfg.nbs / cfg.batch_size), 1)
+
+
 def resolve_auto(cfg: OptimCfg) -> OptimCfg:
     """'auto' optimizer pick (trainer.py:933-941): SGD for long runs, AdamW
     with lr = 0.002*5/(4+nc) for short ones; bias warmup LR zeroed for Adam."""
@@ -139,14 +145,15 @@ def build_optimizer(
     indices (reference layer-freeze semantics as masked updates).
     """
     cfg = resolve_auto(cfg)
-    accumulate = max(round(cfg.nbs / cfg.batch_size), 1)
+    accumulate = accumulate_steps(cfg)
     decay = cfg.weight_decay * cfg.batch_size * accumulate / cfg.nbs
     decay_mask, _, bias_mask = _param_group_masks(params)
     nonbias_mask = jax.tree_util.tree_map(lambda b: not b, bias_mask)
 
     lr_main = lr_schedule(cfg, bias=False)
     lr_bias = lr_schedule(cfg, bias=True)
-    mom = momentum_schedule(cfg)
+    _mom = momentum_schedule(cfg)
+    mom = lambda s: _mom(s * accumulate)  # optimizer-step -> micro-batch count
     decay_tx = optax.masked(optax.add_decayed_weights(decay), decay_mask)
 
     name = cfg.optimizer.lower()
@@ -171,13 +178,16 @@ def build_optimizer(
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
-    # updates stay in +gradient space until the final per-group -lr scaling
+    # updates stay in +gradient space until the final per-group -lr scaling.
+    # scale_by_schedule counts OPTIMIZER steps; the warmup/decay curves are
+    # defined over integrated micro-batches (reference ni), so the counter is
+    # multiplied back by `accumulate` when gradient accumulation is active.
     chain = [
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         *pre,
         *post,
-        optax.masked(optax.scale_by_schedule(lambda s: -lr_main(s)), nonbias_mask),
-        optax.masked(optax.scale_by_schedule(lambda s: -lr_bias(s)), bias_mask),
+        optax.masked(optax.scale_by_schedule(lambda s: -lr_main(s * accumulate)), nonbias_mask),
+        optax.masked(optax.scale_by_schedule(lambda s: -lr_bias(s * accumulate)), bias_mask),
     ]
     if freeze is not None and (freeze if isinstance(freeze, int) else len(freeze)):
         chain.append(optax.masked(optax.set_to_zero(), freeze_mask(params, freeze)))

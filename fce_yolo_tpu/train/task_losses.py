@@ -50,7 +50,7 @@ def _topk_fg(aux: dict, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     weight so the K cap drops the least-confident extras first.
     """
     assign = aux["assign"]
-    score = assign.target_scores.sum(-1) + assign.fg_mask.astype(jnp.float32)
+    score = assign.target_norm + assign.fg_mask.astype(jnp.float32)
     _, idx = jax.lax.top_k(score, k)  # (B, K)
     valid = jnp.take_along_axis(assign.fg_mask, idx, axis=1)
     return idx.astype(jnp.int32), valid
@@ -159,8 +159,11 @@ def pose_loss(
     d2 = ((pred_xy - gt_xy) ** 2).sum(-1)  # (B, K, nkpt)
     e = d2 / (2 * sigmas[None, None, :]) ** 2 / (area[..., None] + 1e-9) / 2
     kpt_loss_factor = kpt_mask.shape[-1] / (jnp.maximum(kpt_mask.sum(-1, keepdims=True), 1))
+    # Reference KeypointLoss (loss.py:636-660) takes .mean() over ALL
+    # (fg_anchor, nkpt) elements — normalize by valid_fg * nkpt, not by the
+    # visible-keypoint count, to keep the pose/box/cls balance identical.
     loss_kpt = ((1 - jnp.exp(-e)) * kpt_mask * kpt_loss_factor).sum() / jnp.maximum(
-        kpt_mask.sum(), 1
+        valid.sum() * nkpt, 1
     )
 
     if ndim == 3:
@@ -222,7 +225,7 @@ def obb_loss(
 
     assign_out = jax.lax.stop_gradient(
         tal.assign_rotated(
-            jax.nn.sigmoid(pred_scores),
+            pred_scores,
             pred_rb_px,
             anchor_points * stride_tensor,
             gt_labels,
@@ -232,19 +235,27 @@ def obb_loss(
             num_classes=nc,
             alpha=cfg.tal_alpha,
             beta=cfg.tal_beta,
+            scores_logits=True,
+            metric_dtype=jnp.dtype(cfg.tal_dtype),
         )
     )
-    target_scores_sum = jnp.maximum(assign_out.target_scores.sum(), 1.0)
+    norm = assign_out.target_norm
+    target_scores_sum = jnp.maximum(norm.sum(), 1.0)
 
-    bce = _bce_with_logits(pred_scores, assign_out.target_scores)
-    loss_cls = bce.sum() / target_scores_sum
+    # closed-form BCE vs one_hot(label) * norm (see train/loss.py)
+    x_at_label = jnp.take_along_axis(
+        pred_scores, assign_out.target_labels[..., None], axis=-1
+    )[..., 0]
+    loss_cls = (
+        jax.nn.softplus(pred_scores).sum() - (norm * x_at_label).sum()
+    ) / target_scores_sum
 
     # pixel xywhr -> feature units (angle unscaled)
     tb = jnp.concatenate(
         [assign_out.target_bboxes[..., :4] / stride_tensor[None], assign_out.target_bboxes[..., 4:]],
         axis=-1,
     )
-    weight = assign_out.target_scores.sum(-1) * assign_out.fg_mask
+    weight = norm
 
     iou = probiou(jnp.concatenate([pred_rb, angle.astype(dtype)], -1), tb)
     loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum

@@ -40,6 +40,7 @@ class TrainState(NamedTuple):
     ema: EMA
     loss_state: LossState
     step: jnp.ndarray  # int32
+    grad_accum: Any = None  # params-like grad buffer when accumulating, else None
 
     @property
     def variables(self) -> dict:
@@ -49,7 +50,9 @@ class TrainState(NamedTuple):
         return {"params": self.ema.params, "batch_stats": self.batch_stats}
 
 
-def create_train_state(model, variables: dict, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    model, variables: dict, tx: optax.GradientTransformation, accumulate: int = 1
+) -> TrainState:
     params = variables["params"]
     return TrainState(
         params=params,
@@ -58,6 +61,9 @@ def create_train_state(model, variables: dict, tx: optax.GradientTransformation)
         ema=EMA.create(params),
         loss_state=LossState.init(),
         step=jnp.int32(0),
+        grad_accum=(
+            jax.tree_util.tree_map(jnp.zeros_like, params) if accumulate > 1 else None
+        ),
     )
 
 
@@ -68,6 +74,7 @@ def make_train_step(
     ema_decay: float = 0.9999,
     task_loss: Callable | None = None,
     bf16: bool = False,
+    accumulate: int = 1,
 ) -> Callable:
     """Build the jittable train step: forward -> loss -> grad -> update ->
     EMA, with NaN-rollback (reference _handle_nan_recovery analog).
@@ -78,6 +85,12 @@ def make_train_step(
     ``bf16`` runs the network forward/backward in bfloat16 with f32 master
     weights (the AMP analog, reference trainer.py:306-308 — no GradScaler
     needed: bf16 has the f32 exponent range). The loss itself stays f32.
+
+    ``accumulate`` > 1 enables true gradient accumulation to the nominal
+    batch size (reference trainer.py:342-344,410,435: grads are SUMMED over
+    ``accumulate`` micro-batches — the loss is already batch-sum scaled —
+    and the optimizer + EMA step fires only on accumulation boundaries).
+    The state must be created with the same ``accumulate``.
     """
 
     def loss_fn(params, batch_stats, batch, loss_state):
@@ -111,9 +124,26 @@ def make_train_step(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, state.loss_state)
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_ema = state.ema.update(new_params, decay=ema_decay)
+        if accumulate > 1:
+            # summed-gradient accumulation; optimizer fires on boundaries
+            acc = jax.tree_util.tree_map(jnp.add, state.grad_accum, grads)
+            boundary = (state.step + 1) % accumulate == 0
+            updates, opt_cand = tx.update(acc, state.opt_state, state.params)
+            params_cand = optax.apply_updates(state.params, updates)
+            sel = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(boundary, n, o), new, old
+            )
+            new_params = sel(params_cand, state.params)
+            new_opt = sel(opt_cand, state.opt_state)
+            ema_cand = state.ema.update(params_cand, decay=ema_decay)
+            new_ema = EMA(sel(ema_cand.params, state.ema.params),
+                          jnp.where(boundary, ema_cand.updates, state.ema.updates))
+            new_accum = sel(jax.tree_util.tree_map(jnp.zeros_like, acc), acc)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema.update(new_params, decay=ema_decay)
+            new_accum = None
 
         # NaN/Inf rollback: keep the previous weights if the step exploded
         finite = jnp.isfinite(total)
@@ -127,6 +157,7 @@ def make_train_step(
             ema=EMA(keep(new_ema.params, state.ema.params), new_ema.updates),
             loss_state=keep(new_ls, state.loss_state),
             step=state.step + 1,
+            grad_accum=keep(new_accum, state.grad_accum) if accumulate > 1 else None,
         )
         metrics = {"loss": total, "finite": finite.astype(jnp.float32), **parts}
         return new_state, metrics

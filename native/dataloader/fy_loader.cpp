@@ -323,7 +323,10 @@ struct Loader {
       }
       Sample s = make_sample(idx, rng);
       CV_Assert(s.img.rows == S && s.img.cols == S);
-      std::memcpy(out.img.data() + (size_t)k * S * S * 3, s.img.data, (size_t)S * S * 3);
+      // emit RGB: cv decodes BGR, the model consumes RGB (same contract as
+      // the python pipeline's Format-equivalent flip)
+      cv::Mat rgb((int)S, (int)S, CV_8UC3, out.img.data() + (size_t)k * S * S * 3);
+      cv::cvtColor(s.img, rgb, cv::COLOR_BGR2RGB);
       int n = std::min((int)s.cls.size(), M);
       for (int j = 0; j < n; ++j) {
         const auto& b = s.boxes[j];

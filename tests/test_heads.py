@@ -30,11 +30,15 @@ def _build_and_run(yaml_name, scale="n", nc=None, imgsz=64):
 
 def test_all_model_yamls_build():
     """Every packaged YAML must parse, init, and run eval forward."""
+    import yaml as pyyaml
+
     yamls = sorted(glob.glob("fce_yolo_tpu/cfg/models/*.yaml"))
     assert len(yamls) >= 7
     for y in yamls:
         name = y.split("/")[-1]
-        _build_and_run(name, scale="n", imgsz=64)
+        scales = pyyaml.safe_load(open(y)).get("scales") or {"n": None}
+        scale = "n" if "n" in scales else next(iter(scales))
+        _build_and_run(name, scale=scale, imgsz=64)
 
 
 def test_segment_head_shapes():

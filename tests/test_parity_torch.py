@@ -218,6 +218,101 @@ def test_nms_keepset_parity(ref_ultralytics):
             np.testing.assert_array_equal(o_cls, r[:, 5].astype(int))
 
 
+def _realistic_val_preds(b=2, n=8400, nc=80, seed=0):
+    """Decoded predictions shaped like a trained model at val time: a sparse
+    confident set (~2% of anchors) + a dense near-threshold noise floor, so
+    conf=0.001 and multi-label expansion bite like production."""
+    rng = np.random.RandomState(seed)
+    cx = rng.uniform(20, 620, (b, n))
+    cy = rng.uniform(20, 620, (b, n))
+    w = rng.uniform(8, 150, (b, n))
+    h = rng.uniform(8, 150, (b, n))
+    # noise floor: most scores ~1e-4..5e-3
+    scores = (rng.rand(b, n, nc) ** 2 * 5e-3).astype(np.float32)
+    # confident subset: 150 anchors per image, 1-2 strong classes each
+    for i in range(b):
+        idx = rng.choice(n, 150, replace=False)
+        scores[i, idx, rng.randint(0, nc, 150)] = rng.uniform(0.2, 0.95, 150)
+        idx2 = rng.choice(idx, 60, replace=False)
+        scores[i, idx2, rng.randint(0, nc, 60)] = rng.uniform(0.05, 0.4, 60)
+    boxes = np.stack([cx, cy, w, h], -1)
+    return np.concatenate([boxes, scores], -1).astype(np.float32)
+
+
+def test_nms_keepset_parity_production_shape(ref_ultralytics):
+    """VERDICT round-1 #4: the round-1 keep-set test ran at N=400 <
+    pre_nms_topk, so the hierarchical candidate shortcut (ops/nms.py) was
+    never exercised. This runs the real val regime — N=8400, nc=80,
+    conf=0.001, iou=0.7, max_det=300, multi_label=True — and checks:
+
+    (a) with a full candidate pool (pre_nms_topk >= N*...) the keep-set is
+        EXACTLY the reference's (validates suppression logic at scale);
+    (b) with the production pool (1024) the kept boxes agree on the
+        high-confidence head, and any tail divergence is conf < 0.02 —
+        negligible for mAP (quantified end-to-end in test_e2e_map_parity).
+    """
+    from ultralytics.utils.nms import non_max_suppression
+
+    import jax.numpy as jnp
+    from fce_yolo_tpu.ops.nms import batched_nms
+
+    b, n, nc = 2, 8400, 80
+    preds = _realistic_val_preds(b, n, nc)
+
+    ref = non_max_suppression(
+        torch.from_numpy(preds.transpose(0, 2, 1).copy()),
+        conf_thres=0.001, iou_thres=0.7, max_det=300, multi_label=True,
+        max_time_img=60.0,
+    )
+
+    def assert_rows_match(o_boxes, o_scores, r, tol=1e-4):
+        """Order-insensitive keep-set equality: every reference row must have
+        a matching ours row (score within tol, box within 1e-2). Score ties
+        between distinct candidates may legally swap emit order between
+        torch's stable sort and our top_k."""
+        assert len(o_boxes) == len(r), (len(o_boxes), len(r))
+        used = np.zeros(len(o_boxes), bool)
+        for rb in r:
+            cand = np.where(
+                ~used
+                & (np.abs(o_scores - rb[4]) < tol)
+                & (np.abs(o_boxes - rb[:4]).max(1) < 1e-2)
+            )[0]
+            assert len(cand), f"no match for ref row {rb}"
+            used[cand[0]] = True
+
+    # (a) full pool: exact keep-set (order-insensitive on score ties)
+    ours_full = batched_nms(
+        jnp.asarray(preds), conf_thres=0.001, iou_thres=0.7, max_det=300,
+        multi_label=True, pre_nms_topk=8192, impl="scan",
+    )
+    for i in range(b):
+        r = ref[i].numpy()
+        valid = np.asarray(ours_full["valid"][i])
+        assert_rows_match(
+            np.asarray(ours_full["boxes"][i])[valid],
+            np.asarray(ours_full["scores"][i])[valid],
+            r,
+        )
+
+    # (b) production pool: head must match exactly; tail divergence bounded
+    ours_prod = batched_nms(
+        jnp.asarray(preds), conf_thres=0.001, iou_thres=0.7, max_det=300,
+        multi_label=True, pre_nms_topk=1024, impl="scan",
+    )
+    for i in range(b):
+        r = ref[i].numpy()
+        valid = np.asarray(ours_prod["valid"][i])
+        o_scores = np.asarray(ours_prod["scores"][i])[valid]
+        o_boxes = np.asarray(ours_prod["boxes"][i])[valid]
+        # identical above conf 0.02
+        r_head = r[r[:, 4] > 0.02]
+        o_head_n = int((o_scores > 0.02).sum())
+        assert o_head_n == len(r_head), (o_head_n, len(r_head))
+        np.testing.assert_allclose(o_scores[:o_head_n], r_head[:, 4], atol=1e-5)
+        np.testing.assert_allclose(o_boxes[:o_head_n], r_head[:, :4], atol=1e-2)
+
+
 def test_yolov8_forward_parity(ref_ultralytics):
     """YOLOv8n (C2f backbone, legacy Detect head) weight-import parity."""
     import yaml as pyyaml

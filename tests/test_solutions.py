@@ -81,3 +81,157 @@ def test_region_counter():
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0], [60, 60, 80, 80, 2, 0.9, 0]], float)
     img, info = rc.process(_result(), tr)
     assert info["counts"]["zoneA"] == 1
+
+
+def test_all_solutions_importable():
+    """Reference ships 19 apps; every analog must be importable (VERDICT #9)."""
+    import fce_yolo_tpu.solutions as S
+
+    for name in S.__all__:
+        assert getattr(S, name) is not None
+    assert len(S.__all__) >= 18
+
+
+def test_trackzone_filters_outside():
+    from fce_yolo_tpu.solutions.zone import TrackZone
+
+    tz = _Stub(TrackZone, region=np.array([(0, 0), (50, 0), (50, 50), (0, 50)], np.float32))
+    tr = np.array([[10, 10, 30, 30, 1, 0.9, 0], [60, 60, 80, 80, 2, 0.9, 0]], float)
+    img, info = tz.process(_result(), tr)
+    assert info["total_tracks"] == 1
+
+
+def test_queue_manager_counts():
+    from fce_yolo_tpu.solutions.zone import QueueManager
+
+    q = _Stub(QueueManager, region=np.array([(0, 0), (50, 0), (50, 50), (0, 50)], np.float32))
+    q.max_queue = 0
+    tr = np.array([[10, 10, 30, 30, 1, 0.9, 0], [12, 12, 28, 28, 2, 0.9, 0],
+                   [70, 70, 90, 90, 3, 0.9, 0]], float)
+    img, info = q.process(_result(), tr)
+    assert info["queue_count"] == 2 and info["max_queue"] == 2
+
+
+def test_parking_occupancy():
+    from fce_yolo_tpu.solutions.zone import ParkingManagement
+
+    slots = [np.array([(0, 0), (40, 0), (40, 40), (0, 40)], np.float32),
+             np.array([(50, 0), (90, 0), (90, 40), (50, 40)], np.float32)]
+    p = _Stub(ParkingManagement, slots=slots)
+    tr = np.array([[10, 10, 30, 30, 1, 0.9, 0]], float)
+    img, info = p.process(_result(), tr)
+    assert info["occupied"] == 1 and info["available"] == 1
+
+
+def test_object_blurrer_blurs():
+    from fce_yolo_tpu.solutions.visuals import ObjectBlurrer
+
+    b = _Stub(ObjectBlurrer, k=15)
+    res = _result()
+    res.orig_img[25:35, 25:35] = 255  # sharp white square inside the blur box
+    tr = np.array([[20, 20, 40, 40, 1, 0.9, 0]], float)
+    img, info = b.process(res, tr)
+    assert info["blurred"] == 1
+    assert img[25, 25].mean() < 250  # the square's edge got smeared
+
+
+def test_object_cropper_writes(tmp_path):
+    from pathlib import Path
+
+    from fce_yolo_tpu.solutions.visuals import ObjectCropper
+
+    c = _Stub(ObjectCropper, crop_dir=Path(tmp_path), crop_idx=0)
+    tr = np.array([[10, 10, 30, 30, 1, 0.9, 0]], float)
+    img, info = c.process(_result(), tr)
+    assert info["total_crops"] == 1
+    assert len(list(Path(tmp_path).glob("*.jpg"))) == 1
+
+
+def test_vision_eye_runs():
+    from fce_yolo_tpu.solutions.visuals import VisionEye
+
+    v = _Stub(VisionEye, vision_point=(5, 5))
+    tr = np.array([[10, 10, 30, 30, 1, 0.9, 0]], float)
+    img, info = v.process(_result(), tr)
+    assert info["total_tracks"] == 1 and img.shape == (100, 100, 3)
+
+
+def test_distance_calculation():
+    from fce_yolo_tpu.solutions.analytics import DistanceCalculation
+
+    d = _Stub(DistanceCalculation, selected_ids=(1, 2), pixels_per_meter=10.0)
+    tr = np.array([[0, 0, 20, 20, 1, 0.9, 0], [30, 0, 50, 20, 2, 0.9, 0]], float)
+    img, info = d.process(_result(), tr)
+    assert abs(info["distance"] - 30.0) < 1e-6
+    assert abs(info["distance_m"] - 3.0) < 1e-6
+
+
+def test_security_alarm_triggers_once():
+    from fce_yolo_tpu.solutions.analytics import SecurityAlarm
+
+    fired = []
+    s = _Stub(SecurityAlarm, records=2, on_alarm=fired.append, alarm_sent=False)
+    one = np.array([[0, 0, 10, 10, 1, 0.9, 0]], float)
+    two = np.array([[0, 0, 10, 10, 1, 0.9, 0], [20, 20, 30, 30, 2, 0.9, 0]], float)
+    img, info = s.process(_result(), one)
+    assert not info["alarm"]
+    img, info = s.process(_result(), two)
+    assert info["alarm"] and fired == [2]
+    s.process(_result(), two)
+    assert fired == [2]  # only fires once
+
+
+def test_analytics_chart_renders():
+    from collections import defaultdict
+
+    from fce_yolo_tpu.solutions.analytics import Analytics
+
+    a = _Stub(Analytics, analytics_type="line", frames=[], history=defaultdict(list))
+    tr = np.array([[0, 0, 10, 10, 1, 0.9, 0]], float)
+    img, info = a.process(_result(), tr)
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert info["counts"] == {"a": 1}
+
+
+def test_aigym_counts_reps():
+    from collections import defaultdict
+
+    from fce_yolo_tpu.solutions.analytics import AIGym
+
+    g = _Stub(AIGym, kpts=(0, 1, 2), up_angle=145.0, down_angle=90.0)
+    g.states = defaultdict(lambda: {"angle": 0.0, "count": 0, "stage": "-"})
+
+    def res_with_kpts(angle_deg):
+        r = _result()
+        # joint at b=(50,50); a fixed at (40,50); c rotated by angle
+        th = np.deg2rad(angle_deg)
+        c = (50 + 10 * np.cos(np.pi - th), 50 - 10 * np.sin(np.pi - th))
+        from fce_yolo_tpu.engine.results import Keypoints
+
+        r.keypoints = Keypoints(
+            np.array([[[40, 50, 1], [50, 50, 1], [*c, 1]]], np.float32), (100, 100)
+        )
+        return r
+
+    tr = np.array([[0, 0, 10, 10, 1, 0.9, 0]], float)
+    g.process(res_with_kpts(170), tr)   # up
+    g.process(res_with_kpts(60), tr)    # down -> count 1
+    g.process(res_with_kpts(170), tr)   # up
+    img, info = g.process(res_with_kpts(60), tr)  # down -> count 2
+    assert info["workout_count"] == [2]
+
+
+def test_visual_search(tmp_path):
+    import cv2
+
+    from fce_yolo_tpu.solutions.search import VisualAISearch
+
+    rng = np.random.RandomState(0)
+    for i, color in enumerate([(255, 0, 0), (0, 255, 0), (0, 0, 255)]):
+        img = np.full((64, 64, 3), color, np.uint8)
+        img += rng.randint(0, 20, img.shape, dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / f"im{i}.png"), img)
+    s = VisualAISearch(data=str(tmp_path), k=2)
+    query = np.full((64, 64, 3), (250, 5, 5), np.uint8)  # near-blue (BGR)
+    hits = s.search(query)
+    assert hits[0][0].endswith("im0.png")

@@ -46,3 +46,45 @@ def test_resume_continues_training(tiny_dataset, tmp_path):
     out = m2.train(epochs=6, resume=True, **kw)
     rows2 = out["results"]
     assert rows2[0]["epoch"] == 3 and rows2[-1]["epoch"] == 5
+
+
+def test_gradient_accumulation_semantics(tiny_dataset):
+    """accumulate=2: params frozen on micro-steps, move on boundaries, and
+    the boundary update equals a single step on the summed gradients
+    (reference trainer.py:342-344,410,435 nbs normalization)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.train.loss import DetectionLossCfg
+    from fce_yolo_tpu.train.optim import OptimCfg, accumulate_steps, build_optimizer
+    from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale="n", nc=3)
+    v = init_variables(model, jax.random.PRNGKey(0), imgsz=64)
+    cfg = OptimCfg(optimizer="SGD", warmup_epochs=0, batch_size=2, nbs=4)
+    acc = accumulate_steps(cfg)
+    assert acc == 2
+    tx = build_optimizer(cfg, v["params"])
+    state = create_train_state(model, v, tx, accumulate=acc)
+    step = jax.jit(make_train_step(model, tx, DetectionLossCfg(nc=3), accumulate=acc))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "img": jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3), np.uint8)),
+        "cls": jnp.asarray(rng.randint(0, 3, (2, 4)).astype(np.float32)),
+        "bboxes": jnp.asarray(
+            np.concatenate([rng.uniform(0.4, 0.6, (2, 4, 2)), rng.uniform(0.1, 0.2, (2, 4, 2))], -1).astype(np.float32)
+        ),
+        "mask": jnp.ones((2, 4), bool),
+    }
+    leaf = lambda s: jax.tree_util.tree_leaves(s.params)[0]
+    p0 = leaf(state)
+    state, m1 = step(state, batch)
+    assert bool(jnp.all(p0 == leaf(state)))  # micro-step: no update
+    assert int(state.step) == 1
+    state, m2 = step(state, batch)
+    assert bool(jnp.any(p0 != leaf(state)))  # boundary: optimizer fired
+    # EMA updated exactly once (on the boundary)
+    assert int(state.ema.updates) == 1
