@@ -52,6 +52,7 @@ class AugmentCfg:
     flipud: float = 0.0
     fliplr: float = 0.5
     mosaic: float = 1.0
+    mosaic9: float = 0.0  # fraction of mosaic draws that use the 9-grid
     mixup: float = 0.0
     cutmix: float = 0.0
     copy_paste: float = 0.0
@@ -408,6 +409,91 @@ def copy_paste(a: dict, b: dict, rng: np.random.Generator, p: float = 0.5) -> di
     return out
 
 
+def mosaic9(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
+    """Combine 9 samples in a 3x3 ring around a center tile, cropped to a
+    (2*imgsz)^2 canvas (reference augment.py:648-745 _mosaic9). Downstream is
+    identical to mosaic4: random_perspective(border=(-imgsz//2,)*2).
+    """
+    s = imgsz
+    canvas = np.full((3 * s, 3 * s, 3), 114, np.uint8)
+    all_cls, all_boxes = [], []
+    all_segs: list | None = [] if any("segments" in x for x in samples[:9]) else None
+    all_kpts: list | None = [] if any("keypoints" in x for x in samples[:9]) else None
+    hp = wp = h0 = w0 = 0
+    for i, sample in enumerate(samples[:9]):
+        img = sample["img"]
+        ih, iw = img.shape[:2]
+        r = s / max(ih, iw)
+        if r != 1:
+            img = cv2.resize(img, (min(round(iw * r), s), min(round(ih * r), s)),
+                             interpolation=cv2.INTER_LINEAR)
+        h, w = img.shape[:2]
+        if i == 0:  # center
+            h0, w0 = h, w
+            c = s, s, s + w, s + h
+        elif i == 1:  # top
+            c = s, s - h, s + w, s
+        elif i == 2:  # top right
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:  # right
+            c = s + w0, s, s + w0 + w, s + h
+        elif i == 4:  # bottom right
+            c = s + w0, s + hp, s + w0 + w, s + hp + h
+        elif i == 5:  # bottom
+            c = s + w0 - w, s + h0, s + w0, s + h0 + h
+        elif i == 6:  # bottom left
+            c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+        elif i == 7:  # left
+            c = s - w, s + h0 - h, s, s + h0
+        else:  # top left
+            c = s - w, s + h0 - hp - h, s, s + h0 - hp
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(v, 0) for v in c)
+        x2, y2 = min(x2, 3 * s), min(y2, 3 * s)
+        canvas[y1:y2, x1:x2] = img[y1 - padh : y2 - padh, x1 - padw : x2 - padw]
+        hp, wp = h, w
+        # labels shift by the tile origin minus the final s//2 ring crop
+        offx, offy = padw - s // 2, padh - s // 2
+        if len(sample["bboxes"]):
+            b = sample["bboxes"] * r
+            b[:, [0, 2]] += offx
+            b[:, [1, 3]] += offy
+            all_boxes.append(b)
+            all_cls.append(sample["cls"])
+            if all_segs is not None:
+                off = np.array([offx, offy], np.float32)
+                segs = sample.get("segments") or [
+                    np.array([[bb[0], bb[1]], [bb[2], bb[1]], [bb[2], bb[3]], [bb[0], bb[3]]],
+                             np.float32)
+                    for bb in sample["bboxes"]
+                ]
+                all_segs.extend([sg * r + off for sg in segs])
+            if all_kpts is not None:
+                offk = np.array([offx, offy, 0], np.float32)
+                for kp in sample.get("keypoints", []):
+                    all_kpts.append(kp * np.array([r, r, 1], np.float32) + offk)
+    crop = canvas[s // 2 : s // 2 + 2 * s, s // 2 : s // 2 + 2 * s]
+    if all_boxes:
+        boxes = np.concatenate(all_boxes, 0).clip(0, 2 * s)
+        cls = np.concatenate(all_cls, 0)
+        wh_ok = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        boxes, cls = boxes[wh_ok], cls[wh_ok]
+        if all_segs is not None:
+            all_segs = [np.clip(sg, 0, 2 * s) for sg, ok in zip(all_segs, wh_ok) if ok]
+        if all_kpts is not None:
+            all_kpts = [kp for kp, ok in zip(all_kpts, wh_ok) if ok]
+    else:
+        boxes, cls = np.zeros((0, 4), np.float32), np.zeros((0,), np.float32)
+        all_segs = [] if all_segs is not None else None
+        all_kpts = [] if all_kpts is not None else None
+    out = {"img": crop, "cls": cls, "bboxes": boxes}
+    if all_segs is not None:
+        out["segments"] = all_segs
+    if all_kpts is not None:
+        out["keypoints"] = all_kpts
+    return out
+
+
 def train_augment(
     get_sample,
     index: int,
@@ -423,8 +509,11 @@ def train_augment(
     """
     use_mosaic = mosaic_enabled and cfg.mosaic > 0 and rng.random() < cfg.mosaic
     if use_mosaic:
-        idxs = [index] + [int(rng.integers(0, n_total)) for _ in range(3)]
-        sample = mosaic4([get_sample(i) for i in idxs], imgsz, rng)
+        nine = cfg.mosaic9 > 0 and rng.random() < cfg.mosaic9
+        n_extra = 8 if nine else 3
+        idxs = [index] + [int(rng.integers(0, n_total)) for _ in range(n_extra)]
+        fn = mosaic9 if nine else mosaic4
+        sample = fn([get_sample(i) for i in idxs], imgsz, rng)
         border = (-imgsz // 2, -imgsz // 2)
         sample = random_perspective(sample, rng, cfg, border=border)
     else:

@@ -119,6 +119,11 @@ class YOLODataset:
         task: str = "detect",
         kpt_shape: tuple[int, int] = (17, 3),
         flip_idx: list[int] | None = None,
+        rect: bool = False,
+        stride: int = 32,
+        pad: float = 0.5,
+        batch_size: int = 16,
+        cache: str | None = None,
     ):
         self.imgsz = imgsz
         self.mode = mode
@@ -126,6 +131,10 @@ class YOLODataset:
         self.task = task
         self.kpt_shape = tuple(kpt_shape)
         self.flip_idx = flip_idx
+        self.rect = rect
+        self.stride = stride
+        self.pad = pad
+        self.batch_size = batch_size
         if task == "pose" and not flip_idx:
             # flips require the left/right keypoint swap map (reference
             # v8_transforms: disables flips when flip_idx is absent)
@@ -139,6 +148,93 @@ class YOLODataset:
         self.labels = self._load_labels(cache_labels)
         self.nc = nc if nc is not None else int(max((l["cls"].max() for l in self.labels if l["cls"].size), default=0) + 1)
         self._rng = np.random.default_rng(seed)
+        self.batch_shapes: np.ndarray | None = None
+        if rect:
+            self._set_rectangle()
+        self._ims: list | None = None
+        self._npy_files: list[Path] | None = None
+        self.cache = cache
+        if cache:
+            self._cache_images()
+
+    def _set_rectangle(self) -> None:
+        """Aspect-ratio sort + per-batch stride-aligned shape bins (reference
+        data/base.py:349 set_rectangle). Iterating in order with
+        ``shuffle=False`` then yields whole batches of one shape each — on
+        TPU every distinct bin compiles once and is then cached.
+        """
+        shapes = []
+        for f in self.im_files:
+            img = cv2.imread(f)
+            shapes.append(img.shape[:2] if img is not None else (self.imgsz, self.imgsz))
+        s = np.array(shapes, np.float64)  # (N, 2) hw
+        ar = s[:, 0] / s[:, 1]
+        irect = ar.argsort()
+        self.im_files = [self.im_files[i] for i in irect]
+        self.labels = [self.labels[i] for i in irect]
+        ar = ar[irect]
+
+        bi = np.floor(np.arange(len(self.im_files)) / self.batch_size).astype(int)
+        nb = int(bi[-1]) + 1
+        batch_shapes = [[1.0, 1.0]] * nb
+        for i in range(nb):
+            ari = ar[bi == i]
+            mini, maxi = ari.min(), ari.max()
+            if maxi < 1:
+                batch_shapes[i] = [maxi, 1.0]
+            elif mini > 1:
+                batch_shapes[i] = [1.0, 1.0 / mini]
+        self.batch_shapes = (
+            np.ceil(np.array(batch_shapes) * self.imgsz / self.stride + self.pad).astype(int)
+            * self.stride
+        )
+        self._batch_index = bi
+
+    def _mem_available(self) -> int:
+        try:
+            import psutil
+
+            return psutil.virtual_memory().available
+        except ImportError:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemAvailable"):
+                        return int(line.split()[1]) * 1024
+        return 0
+
+    def _cache_images(self) -> None:
+        """RAM or disk (.npy) image cache with the reference's safety margins
+        (data/base.py:263-347): sample 30 images, extrapolate total size, and
+        silently disable when space is short.
+        """
+        n = len(self.im_files)
+        sample_idx = self._rng.choice(n, size=min(n, 30), replace=False)
+        b = 0
+        for i in sample_idx:
+            img = cv2.imread(self.im_files[int(i)])
+            if img is not None:
+                b += img.nbytes
+        required = b * n / max(len(sample_idx), 1) * 1.5  # +50% safety margin
+        if self.cache == "disk":
+            import shutil
+
+            parent = Path(self.im_files[0]).parent
+            if not os.access(parent, os.W_OK) or required > shutil.disk_usage(parent).free:
+                self.cache = None
+                return
+            self._npy_files = []
+            for f in self.im_files:
+                npy = Path(f).with_suffix(".npy")
+                if not npy.exists():
+                    img = cv2.imread(f)
+                    if img is not None:
+                        np.save(str(npy), img, allow_pickle=False)
+                self._npy_files.append(npy)
+        else:  # ram
+            if required > self._mem_available():
+                self.cache = None
+                return
+            self._ims = [cv2.imread(f) for f in self.im_files]
 
     def _load_labels(self, use_cache: bool) -> list[dict]:
         # cache key covers paths + label mtimes/sizes + task, so edited label
@@ -226,7 +322,12 @@ class YOLODataset:
 
     def load_raw(self, i: int) -> dict:
         """Decode image i and return pixel-xyxy labels (+ pixel polygons)."""
-        img = cv2.imread(self.im_files[i])  # BGR HWC uint8
+        if self._ims is not None:  # RAM cache
+            img = self._ims[i]
+        elif self._npy_files is not None and self._npy_files[i].exists():  # disk cache
+            img = np.load(str(self._npy_files[i]))
+        else:
+            img = cv2.imread(self.im_files[i])  # BGR HWC uint8
         if img is None:
             raise FileNotFoundError(f"failed to read image {self.im_files[i]}")
         h, w = img.shape[:2]
@@ -248,10 +349,20 @@ class YOLODataset:
 
     def __getitem__(self, i: int) -> dict:
         if self.mode == "train":
-            return train_augment(
+            out = train_augment(
                 self.load_raw, i, len(self), self.imgsz, self.hyp, self._rng, self.mosaic_enabled
             )
-        return val_transform(self.load_raw(i), self.imgsz)
+        else:
+            if self.batch_shapes is not None:  # rect val: this image's bin shape
+                shape = tuple(int(v) for v in self.batch_shapes[self._batch_index[i]])
+            else:
+                shape = self.imgsz
+            out = val_transform(self.load_raw(i), shape)
+        # BGR -> RGB at the pipeline exit (reference Format transform,
+        # augment.py:2119 with bgr=0.0): the model consumes RGB; cv2-space
+        # augments (HSV) run on BGR before this point, like the reference.
+        out["img"] = np.ascontiguousarray(out["img"][..., ::-1])
+        return out
 
 
 def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb: bool = False) -> dict:
@@ -266,7 +377,7 @@ def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb
     matches reference cfg/default.yaml mask_ratio: 4).
     """
     b = len(samples)
-    s = samples[0]["img"].shape[0]
+    sh, sw = samples[0]["img"].shape[:2]
     img = np.stack([x["img"] for x in samples], 0)
     cls = np.zeros((b, max_labels), np.float32)
     bboxes = np.zeros((b, max_labels, 4), np.float32)
@@ -274,8 +385,8 @@ def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb
     has_segments = any("segments" in x for x in samples) and not obb
     has_kpts = any("keypoints" in x for x in samples)
     nk = max((len(x["keypoints"][0]) for x in samples if x.get("keypoints")), default=17) if has_kpts else 0
-    sm = s // mask_ratio
-    seg_masks = np.zeros((b, max_labels, sm, sm), np.float32) if has_segments else None
+    smh, smw = sh // mask_ratio, sw // mask_ratio
+    seg_masks = np.zeros((b, max_labels, smh, smw), np.float32) if has_segments else None
     kpts_arr = np.zeros((b, max_labels, nk, 3), np.float32) if has_kpts else None
     rboxes = np.zeros((b, max_labels, 5), np.float32) if obb else None
     for i, x in enumerate(samples):
@@ -291,7 +402,7 @@ def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb
             bboxes[i, :n] = np.stack([cx, cy, bw, bh], 1)
             mask[i, :n] = True
             if has_segments and "segments" in x:
-                scale = np.array([sm / w, sm / h], np.float32)
+                scale = np.array([smw / w, smh / h], np.float32)
                 for j, seg in enumerate(x["segments"][:n]):
                     pts = np.round(seg * scale).astype(np.int32)
                     if len(pts) >= 3:

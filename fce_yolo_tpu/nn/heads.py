@@ -209,3 +209,225 @@ class Classify(nn.Module):
         if train:
             return {"logits": logits}
         return {"probs": jax.nn.softmax(logits, axis=-1), "logits": logits}
+
+
+class RTDETRDecoder(nn.Module):
+    """Real-Time Deformable Transformer Decoder head (reference
+    nn/modules/head.py:812-1133).
+
+    Query selection over encoder scores, iterative box refinement through
+    ``ndl`` deformable decoder layers, per-layer aux heads for training.
+    Anchors are trace-time numpy constants (static shapes), the decoder loop
+    unrolls at trace time — one fused XLA graph, no dynamic shape anywhere.
+
+    Inputs are the NHWC P3/P4/P5 maps; outputs:
+      train=True  -> {"dec_bboxes" (ndl,B,nq,4) sigmoid-xywh [0,1],
+                      "dec_scores" (ndl,B,nq,nc) logits,
+                      "enc_bboxes" (B,nq,4), "enc_scores" (B,nq,nc),
+                      "dn_meta": None}  (+ cdn queries when batch given)
+      train=False -> {"preds": (B, nq, 4+nc) xywh [0,1] + sigmoid scores}
+    """
+
+    nc: int = 80
+    ch: Sequence[int] = (512, 1024, 2048)
+    hd: int = 256
+    nq: int = 300
+    ndp: int = 4
+    nh: int = 8
+    ndl: int = 6
+    d_ffn: int = 1024
+    eval_idx: int = -1
+    learnt_init_query: bool = False
+    strides: Sequence[int] | None = None  # unused (anchor-free); parser symmetry
+    export: bool = False
+    legacy: bool = False
+
+    @staticmethod
+    def generate_anchors(shapes, grid_size: float = 0.05, eps: float = 1e-2):
+        """Static anchor logits + validity (reference head.py:986-1023)."""
+        import numpy as np
+
+        anchors = []
+        for i, (h, w) in enumerate(shapes):
+            gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                                 np.arange(w, dtype=np.float32), indexing="ij")
+            xy = (np.stack([gx, gy], -1) + 0.5) / np.asarray([w, h], np.float32)
+            wh = np.ones_like(xy) * grid_size * (2.0 ** i)
+            anchors.append(np.concatenate([xy, wh], -1).reshape(h * w, 4))
+        a = np.concatenate(anchors, 0)  # (LV, 4)
+        valid = ((a > eps) & (a < 1 - eps)).all(-1, keepdims=True)  # (LV, 1)
+        a = np.log(a / (1 - a))
+        a = np.where(valid, a, np.inf)
+        return jnp.asarray(a)[None], jnp.asarray(valid.astype(np.float32))[None]
+
+    @nn.compact
+    def __call__(self, x: list[jnp.ndarray], train: bool = False,
+                 dn_embed=None, dn_bbox=None, attn_mask=None):
+        from fce_yolo_tpu.nn.transformer import (
+            MLP, DeformableTransformerDecoderLayer, inverse_sigmoid,
+        )
+
+        b = x[0].shape[0]
+        nl = len(self.ch)
+        # --- encoder input: 1x1 proj + BN per level (input_proj.i.{0,1}) ---
+        feats, shapes = [], []
+        for i, xi in enumerate(x):
+            p = Conv2d(c2=self.hd, k=1, use_bias=False, name=f"input_proj_{i}_0")(xi)
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"input_proj_{i}_1")(p)
+            h, w = p.shape[1:3]
+            shapes.append((h, w))
+            feats.append(p.reshape(b, h * w, self.hd))
+        feats = jnp.concatenate(feats, axis=1)  # (B, LV, hd)
+
+        anchors, valid_mask = self.generate_anchors(shapes)
+        anchors = anchors.astype(feats.dtype)
+
+        # --- encoder head + query selection (head.py:1052-1110) ---
+        f = nn.Dense(self.hd, name="enc_output_0")(valid_mask * feats)
+        f = nn.LayerNorm(name="enc_output_1")(f)
+        enc_scores_all = nn.Dense(self.nc, name="enc_score_head")(f)  # (B, LV, nc)
+
+        nq = min(self.nq, feats.shape[1])  # tiny probe inputs: LV < num_queries
+        _, topk_ind = jax.lax.top_k(enc_scores_all.max(-1), nq)  # (B, nq)
+        tk = lambda t: jnp.take_along_axis(t, topk_ind[..., None], axis=1)
+        top_feats = tk(f)  # (B, nq, hd)
+        top_anchors = jnp.take_along_axis(
+            jnp.broadcast_to(anchors, (b, anchors.shape[1], 4)), topk_ind[..., None], axis=1
+        )
+
+        refer = MLP(self.hd, 4, num_layers=3, name="enc_bbox_head")(top_feats) + top_anchors
+        enc_bboxes = jax.nn.sigmoid(refer)
+        enc_scores = tk(enc_scores_all)
+
+        embed = top_feats
+        if self.learnt_init_query:
+            tgt = self.param("tgt_embed", nn.initializers.xavier_uniform(), (self.nq, self.hd))
+            embed = jnp.broadcast_to(tgt[None, :nq], (b, nq, self.hd))
+        if train:
+            refer = jax.lax.stop_gradient(refer)
+            if not self.learnt_init_query:
+                embed = jax.lax.stop_gradient(embed)
+        # contrastive-denoising queries prepend (models/utils/ops.get_cdn_group)
+        if dn_bbox is not None:
+            refer = jnp.concatenate([dn_bbox, refer], axis=1)
+            embed = jnp.concatenate([dn_embed, embed], axis=1)
+        # denoising class embedding table: declared unconditionally so weight
+        # import and the cdn path share one tree
+        self.param("denoising_class_embed",
+                   nn.initializers.normal(1.0), (self.nc, self.hd))
+
+        # --- decoder with iterative refinement (transformer.py:712-793) ---
+        pos_mlp = MLP(2 * self.hd, self.hd, num_layers=2, name="query_pos_head")
+        eval_idx = self.eval_idx if self.eval_idx >= 0 else self.ndl + self.eval_idx
+        refer_sig = jax.nn.sigmoid(refer)
+        output = embed
+        dec_bboxes, dec_scores = [], []
+        last_refined = None
+        for i in range(self.ndl):
+            layer = DeformableTransformerDecoderLayer(
+                self.hd, self.nh, self.d_ffn, nl, self.ndp, name=f"decoder_layers_{i}"
+            )
+            output = layer(output, refer_sig, feats, shapes, attn_mask, pos_mlp(refer_sig))
+            bbox = MLP(self.hd, 4, num_layers=3, name=f"dec_bbox_head_{i}")(output)
+            refined = jax.nn.sigmoid(bbox + inverse_sigmoid(refer_sig))
+            if train:
+                dec_scores.append(nn.Dense(self.nc, name=f"dec_score_head_{i}")(output))
+                if i == 0:
+                    dec_bboxes.append(refined)
+                else:
+                    dec_bboxes.append(jax.nn.sigmoid(bbox + inverse_sigmoid(last_refined)))
+            elif i == eval_idx:
+                dec_scores.append(nn.Dense(self.nc, name=f"dec_score_head_{i}")(output))
+                dec_bboxes.append(refined)
+                break
+            last_refined = refined
+            refer_sig = jax.lax.stop_gradient(refined) if train else refined
+
+        dec_bboxes = jnp.stack(dec_bboxes)  # (ndl|1, B, nq(+dn), 4)
+        dec_scores = jnp.stack(dec_scores)
+        if train:
+            return {
+                "dec_bboxes": dec_bboxes, "dec_scores": dec_scores,
+                "enc_bboxes": enc_bboxes, "enc_scores": enc_scores,
+            }
+        preds = jnp.concatenate([dec_bboxes[0], jax.nn.sigmoid(dec_scores[0])], -1)
+        return {"preds": preds}
+
+
+class V10Detect(nn.Module):
+    """YOLOv10 NMS-free dual-assignment head (reference head.py:1134-1183 +
+    Detect.forward_end2end head.py:122-148).
+
+    Two parallel head sets: one2many (cv2/cv3, trained with topk-10 TAL) and
+    one2one (one2one_cv2/one2one_cv3, trained with topk-1 TAL on detached
+    features). The cls branch is the v10 "light" head: per-level
+    Sequential(Sequential(DW 3x3, 1x1), Sequential(DW 3x3, 1x1), 1x1).
+
+    Train output: {"feats": one2many, "one2one_feats": one2one}.
+    Eval output: {"preds6": (B, max_det, 6) xyxy+score+cls — topk selected,
+    NO NMS (reference Detect.postprocess head.py:191-212)} plus raw feats.
+    """
+
+    nc: int
+    ch: Sequence[int]
+    reg_max: int = 16
+    strides: Sequence[int] | None = None
+    max_det: int = 300
+    export: bool = False
+
+    def _branches(self, xs, prefix: str, train: bool):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        feats = []
+        for i, x in enumerate(xs):
+            box = ConvBNAct(c2, 3, name=f"{prefix}cv2_{i}_0")(x, train)
+            box = ConvBNAct(c2, 3, name=f"{prefix}cv2_{i}_1")(box, train)
+            box = Conv2d(4 * self.reg_max, 1, name=f"{prefix}cv2_{i}_2")(box)
+            cls = ConvBNAct(self.ch[i], 3, g=self.ch[i], name=f"{prefix}cv3_{i}_0_0")(x, train)
+            cls = ConvBNAct(c3, 1, name=f"{prefix}cv3_{i}_0_1")(cls, train)
+            cls = ConvBNAct(c3, 3, g=c3, name=f"{prefix}cv3_{i}_1_0")(cls, train)
+            cls = ConvBNAct(c3, 1, name=f"{prefix}cv3_{i}_1_1")(cls, train)
+            cls = Conv2d(self.nc, 1, name=f"{prefix}cv3_{i}_2")(cls)
+            feats.append(jnp.concatenate([box, cls], axis=-1))
+        return feats
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool = False):
+        one2many = self._branches(xs, "", train)
+        xs_det = [jax.lax.stop_gradient(x) for x in xs]
+        one2one = self._branches(xs_det, "one2one_", train)
+        if train:
+            return {"feats": one2many, "one2one_feats": one2one}
+
+        assert self.strides is not None
+        no = self.nc + self.reg_max * 4
+        b = one2one[0].shape[0]
+        flat = jnp.concatenate([f.reshape(b, -1, no) for f in one2one], axis=1)
+        box_logits, cls_logits = flat[..., : self.reg_max * 4], flat[..., self.reg_max * 4 :]
+        shapes = [(f.shape[1], f.shape[2]) for f in one2one]
+        anchors, stride_t = make_anchors(shapes, list(self.strides), 0.5, dtype=jnp.float32)
+        dist = dfl_expectation(box_logits.astype(jnp.float32), self.reg_max)
+        # end2end decodes xyxy, not xywh (reference decode_bboxes head.py:184-190)
+        dbox = dist2bbox(dist, anchors[None], xywh=False) * stride_t[None]
+        scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+
+        # Detect.postprocess topk selection (head.py:191-212), static shapes
+        k = min(self.max_det, dbox.shape[1])
+        best = jnp.max(scores, axis=-1)
+        _, idx = jax.lax.top_k(best, k)  # (B, k) anchor ids
+        boxes_k = jnp.take_along_axis(dbox, idx[..., None], axis=1)
+        scores_k = jnp.take_along_axis(scores, idx[..., None], axis=1)
+        flat_scores = scores_k.reshape(b, -1)  # (B, k*nc)
+        top_scores, flat_idx = jax.lax.top_k(flat_scores, k)
+        sel_anchor = flat_idx // self.nc
+        sel_cls = (flat_idx % self.nc).astype(jnp.float32)
+        sel_boxes = jnp.take_along_axis(boxes_k, sel_anchor[..., None], axis=1)
+        preds6 = jnp.concatenate(
+            [sel_boxes, top_scores[..., None], sel_cls[..., None]], axis=-1
+        )
+        out = {"preds6": preds6}
+        if not self.export:
+            out["feats"] = one2many
+            out["one2one_feats"] = one2one
+        return out

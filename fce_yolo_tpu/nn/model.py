@@ -25,6 +25,48 @@ from fce_yolo_tpu.nn import modules as M
 from fce_yolo_tpu.nn.parser import LayerSpec, ModelSpec, load_model_yaml, parse_model_yaml
 
 
+# Modules whose flax dataclass field order equals the reference constructor
+# arg order — instantiated positionally from the parsed args.
+_POSITIONAL: dict[str, Any] = {
+    "Conv2": M.Conv2,
+    "ConvTranspose": M.ConvTranspose,
+    "nn.ConvTranspose2d": M.ConvTranspose2d,
+    "Focus": M.Focus,
+    "GhostConv": M.GhostConv,
+    "GhostBottleneck": M.GhostBottleneck,
+    "SPP": M.SPP,
+    "C1": M.C1,
+    "C2": M.C2,
+    "C3x": M.C3x,
+    "C3Ghost": M.C3Ghost,
+    "BottleneckCSP": M.BottleneckCSP,
+    "ResNetLayer": M.ResNetLayer,
+    "RepNCSPELAN4": M.RepNCSPELAN4,
+    "ELAN1": M.ELAN1,
+    "AConv": M.AConv,
+    "ADown": M.ADown,
+    "SPPELAN": M.SPPELAN,
+    "CBLinear": M.CBLinear,
+    "CBFuse": M.CBFuse,
+    "RepVGGDW": M.RepVGGDW,
+    "CIB": M.CIB,
+    "C2fCIB": M.C2fCIB,
+    "PSA": M.PSA,
+    "C2fPSA": M.C2fPSA,
+    "SCDown": M.SCDown,
+    "A2C2f": M.A2C2f,
+    "CBAM": M.CBAM,
+    "ChannelAttention": M.ChannelAttention,
+    "SpatialAttention": M.SpatialAttention,
+    "Index": M.Index,
+    "nn.MaxPool2d": M.MaxPool2d,
+    "nn.ZeroPad2d": M.ZeroPad2d,
+    "nn.Identity": M.Identity,
+    "Bottleneck": M.Bottleneck,
+    "LightConv": M.LightConv,
+}
+
+
 def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = False, legacy: bool = False) -> nn.Module:
     """Instantiate the flax module for one LayerSpec (reference-arg convention)."""
     name = f"layers_{ls.i}"
@@ -39,6 +81,7 @@ def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = Fa
             p=a[4] if len(a) > 4 else None,
             g=a[5] if len(a) > 5 else 1,
             d=a[6] if len(a) > 6 else 1,
+            act=a[7] if len(a) > 7 else True,
             name=name,
         )
     if n == "DWConv":
@@ -101,6 +144,46 @@ def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = Fa
 
         return H.Classify(c2=a[1], k=a[2] if len(a) > 2 else 1,
                           s=a[3] if len(a) > 3 else 1, name=name)
+    if n == "RepC3":
+        return M.RepC3(c1=a[0], c2=a[1], n=a[2], e=a[3] if len(a) > 3 else 1.0, name=name)
+    if n == "RepConv":
+        return M.RepConv(c1=a[0], c2=a[1], k=a[2] if len(a) > 2 else 3,
+                         s=a[3] if len(a) > 3 else 1, name=name)
+    if n == "HGStem":
+        return M.HGStem(c1=a[0], cm=a[1], c2=a[2], name=name)
+    if n == "HGBlock":
+        # (c1, cm, c2, k, n, lightconv, shortcut)
+        return M.HGBlock(c1=a[0], cm=a[1], c2=a[2],
+                         k=a[3] if len(a) > 3 else 3,
+                         n=a[4] if len(a) > 4 else 6,
+                         lightconv=a[5] if len(a) > 5 else False,
+                         shortcut=a[6] if len(a) > 6 else False, name=name)
+    if n == "AIFI":
+        from fce_yolo_tpu.nn.transformer import AIFI
+
+        return AIFI(c1=a[0], cm=a[1] if len(a) > 1 else 2048,
+                    num_heads=a[2] if len(a) > 2 else 8, name=name)
+    if n == "RTDETRDecoder":
+        from fce_yolo_tpu.nn import heads as H
+
+        # optional extras beyond the reference's [nc]: hd, nq, ndl (tiny
+        # configs for tests / low-memory deployments)
+        return H.RTDETRDecoder(
+            nc=a[0], ch=tuple(a[1]),
+            hd=a[2] if len(a) > 2 else 256,
+            nq=a[3] if len(a) > 3 else 300,
+            ndl=a[4] if len(a) > 4 else 6,
+            export=export, name=name,
+        )
+    if n == "v10Detect":
+        from fce_yolo_tpu.nn import heads as H
+
+        return H.V10Detect(nc=a[0], ch=tuple(a[-1]), strides=strides, export=export,
+                           name=name)
+    if n in _POSITIONAL:
+        cls = _POSITIONAL[n]
+        clean = tuple(tuple(x) if isinstance(x, list) else x for x in a)
+        return cls(*clean, name=name)
     if n == "BiFPN_Concat":
         return fce.BiFPN_Concat(c1=tuple(a[0]), c2=a[1], name=name)
     if n == "CoordAtt":
@@ -130,9 +213,11 @@ class DetectionModel(nn.Module):
         out: Any = x
         for ls in self.spec.layers:
             if ls.is_multi_input:
-                inp = [out if j == -1 else saved[j] for j in ls.f]
+                # negative indices are relative to the current layer
+                # (reference savelist normalization x % i, tasks.py:1738)
+                inp = [out if j == -1 else saved[j % ls.i] for j in ls.f]
             else:
-                inp = out if ls.f == -1 else saved[ls.f]
+                inp = out if ls.f == -1 else saved[ls.f % ls.i]
             layer = make_layer(ls, self.strides, self.export, legacy=self.spec.legacy)
             out = layer(inp, train=train)
             if ls.i in self.spec.save:
@@ -144,6 +229,10 @@ def resolve_strides(spec: ModelSpec, probe: int = 256) -> tuple[int, ...]:
     """Infer per-level strides with an abstract (eval_shape) forward."""
     if spec.task == "classify":
         return ()
+    if spec.layers[-1].name == "RTDETRDecoder":
+        # anchor-free normalized-box head; strides only label the P3/P4/P5
+        # inputs (reference RTDETRDetectionModel skips the stride probe too)
+        return (8, 16, 32)
     model = DetectionModel(spec=spec, strides=None)
 
     def run(x):
@@ -199,3 +288,25 @@ def param_count(variables: dict) -> int:
     """Trainable parameter count (matches the reference's 'gradients' number —
     our DFL decode is parameter-free, like the frozen conv it replaces)."""
     return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+
+
+def estimate_flops(model: DetectionModel, imgsz: int = 640, batch: int = 1) -> float:
+    """FLOPs of one eval forward, from XLA's compiled-HLO cost analysis.
+
+    Analog of reference ``get_flops`` (utils/torch_utils.py:390, thop-based:
+    GFLOPs = 2 x MACs); XLA counts a fused multiply-add as 2 flops, so the
+    numbers are directly comparable (yolo11n @640 = ~6.5e9 both ways).
+    Requires a compile (~seconds); call on demand, not in hot paths.
+    """
+    x_s = jax.ShapeDtypeStruct((batch, imgsz, imgsz, 3), jnp.float32)
+    v_s = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False),
+        jax.random.PRNGKey(0),
+    )
+    compiled = (
+        jax.jit(lambda v, x: model.apply(v, x, train=False)).lower(v_s, x_s).compile()
+    )
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float(ca.get("flops", 0.0))

@@ -19,10 +19,21 @@ import yaml
 from fce_yolo_tpu.ops.boxes import make_divisible
 
 # Modules whose first YAML arg is the output-channel count and which take the
-# standard (c1, c2, ...) signature (reference base_modules frozenset).
-_BASE = {"Conv", "DWConv", "Bottleneck", "SPPF", "C2PSA", "C3", "C3k", "C3k2", "C2f"}
-# Modules with an insertable repeat count (reference repeat_modules frozenset).
-_REPEAT = {"C3", "C3k", "C3k2", "C2PSA", "C2f"}
+# standard (c1, c2, ...) signature (reference base_modules frozenset,
+# tasks.py:1524-1561).
+_BASE = {
+    "Conv", "Conv2", "DWConv", "ConvTranspose", "nn.ConvTranspose2d", "GhostConv",
+    "Focus", "Bottleneck", "GhostBottleneck", "SPP", "SPPF", "C2PSA", "C2fPSA",
+    "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3x", "C3Ghost",
+    "RepC3", "RepNCSPELAN4", "ELAN1", "ADown", "AConv", "SPPELAN", "PSA",
+    "SCDown", "C2fCIB", "A2C2f",
+}
+# Modules with an insertable repeat count (reference repeat_modules frozenset,
+# tasks.py:1563-1580).
+_REPEAT = {
+    "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3x", "C3Ghost",
+    "RepC3", "C2fPSA", "C2fCIB", "C2PSA", "A2C2f",
+}
 
 
 @dataclass
@@ -53,7 +64,8 @@ class ModelSpec:
         """Infer task from the head module (reference guess_model_task, tasks.py:1784)."""
         head = self.layers[-1].name
         return {"Detect": "detect", "Segment": "segment", "Pose": "pose",
-                "OBB": "obb", "Classify": "classify"}.get(head, "detect")
+                "OBB": "obb", "Classify": "classify",
+                "RTDETRDecoder": "rtdetr"}.get(head, "detect")
 
 
 def _adaptive_reduction(inp: int) -> int:
@@ -124,6 +136,26 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
                     while len(args) < 4:
                         args.append(False)
                     args[3] = True
+            if name == "A2C2f":
+                legacy = False
+                if scale in "lx":  # residual=True, mlp_ratio=1.2 (tasks.py:1611-1616)
+                    args.extend((True, 1.2))
+            if name == "C2fCIB":
+                legacy = False
+        elif name == "AIFI":
+            args = [ch_list[f], *args]
+            c2 = ch_list[f]
+        elif name in ("HGStem", "HGBlock"):
+            # (c1, cm, c2, ...) — no width scaling (reference tasks.py:1618-1623)
+            c1, cm, c2 = ch_list[f], args[0], args[1]
+            args = [c1, cm, c2, *args[2:]]
+            if name == "HGBlock":
+                args.insert(4, n_rep)  # number of inner convs
+                n_rep = 1
+        elif name == "RTDETRDecoder":
+            # channels arg at index 1 (reference tasks.py:1717-1718)
+            args.insert(1, [ch_list[x] for x in f])
+            c2 = args[0] if isinstance(args[0], int) else nc
         elif name == "Concat":
             c2 = sum(ch_list[x] for x in f)
         elif name == "BiFPN_Concat":
@@ -143,6 +175,23 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
                 heads = args[2] if len(args) > 2 else _adaptive_heads(inp, reduction)
                 args = [inp, oup, reduction, heads]
             c2 = oup
+        elif name == "ResNetLayer":
+            # YAML supplies (c1, c2, s, is_first, n); out = c2 or c2*4 (tasks.py:1624)
+            c2 = args[1] if args[3] else args[1] * 4
+        elif name == "CBLinear":
+            # output is a tuple of maps; ch entry holds the split list (tasks.py:1721)
+            c2 = list(args[0])
+            args = [ch_list[f], args[0], *args[1:]]
+        elif name == "CBFuse":
+            c2 = ch_list[f[-1]]
+        elif name == "Index":
+            c2 = args[0]
+            args = args[1:]
+        elif name in ("nn.MaxPool2d", "nn.ZeroPad2d", "nn.Identity"):
+            c2 = ch_list[f]
+        elif name == "v10Detect":
+            args = [*args, [ch_list[x] for x in f]]
+            c2 = ch_list[f[-1]]
         elif name in ("Detect", "Segment", "Pose", "OBB"):
             # head args per reference tasks.py head dispatch:
             # Detect [nc]; Segment [nc, nm, npr]; Pose [nc, kpt_shape]; OBB [nc, ne]
@@ -221,6 +270,3 @@ def count_params(spec_params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(spec_params))
 
 
-def estimate_flops(spec: ModelSpec, imgsz: int = 640) -> float:
-    """Rough FLOPs estimate via XLA cost analysis — filled in by model.py."""
-    raise NotImplementedError

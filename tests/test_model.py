@@ -57,8 +57,17 @@ def test_all_yamls_parse():
     yamls = glob.glob(os.path.join(CFG_DIR, "*.yaml"))
     assert yamls
     for y in yamls:
-        model, spec, strides = build_model(y, scale="n")
-        assert spec.layers[-1].name in ("Detect", "Segment", "Pose", "OBB", "Classify")
+        # use each YAML's own scale set: force "n" when available, else the
+        # YAML's default (reference test_all_model_yamls builds as-named)
+        import yaml as _yaml
+
+        with open(y) as f:
+            scales = (_yaml.safe_load(f) or {}).get("scales") or {}
+        scale = "n" if (not scales or "n" in scales) else next(iter(scales))
+        model, spec, strides = build_model(y, scale=scale)
+        assert spec.layers[-1].name in (
+            "Detect", "Segment", "Pose", "OBB", "Classify", "RTDETRDecoder", "v10Detect",
+        )
 
 
 def test_forward_shapes_train_eval():

@@ -1,0 +1,114 @@
+"""Build-and-forward sweep over the reference's full model-YAML zoo.
+
+Mirrors reference tests/test_python.py:237 (test_all_model_yamls): every
+detect/seg/pose/obb/cls config in the reference's cfg/models/{v3,v5,v6,v8,
+v9,v10,11,12,rt-detr} must parse through fce_yolo_tpu's YAML parser, build,
+and produce correctly-shaped outputs on a tiny input.
+
+Excluded (documented): world/yoloe text-prompt models (need CLIP weights —
+no egress, VERDICT §2.6 N.A.) and TorchVision-wrapper configs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fce_yolo_tpu.nn.model import build_model
+
+REF_CFG = "/root/reference/ultralytics/cfg/models"
+
+EXCLUDE = (
+    "yoloe",  # text/visual-prompt models: CLIP text encoder unavailable
+    "world",
+    "resnet18",  # TorchVision wrapper (torch-hub model zoo, out of scope)
+)
+
+
+def _ref_yamls():
+    if not os.path.isdir(REF_CFG):
+        return []
+    out = []
+    for sub in ("v3", "v5", "v6", "v8", "v9", "v10", "11", "12", "rt-detr"):
+        for y in sorted(glob.glob(os.path.join(REF_CFG, sub, "*.yaml"))):
+            if any(e in os.path.basename(y) for e in EXCLUDE):
+                continue
+            out.append(y)
+    return out
+
+
+YAMLS = _ref_yamls()
+
+
+def _build_and_check(path, abstract: bool):
+    import yaml as _yaml
+
+    with open(path) as f:
+        d = _yaml.safe_load(f)
+    scales = d.get("scales") or {}
+    scale = "n" if (not scales or "n" in scales) else next(iter(scales))
+    model, spec, strides = build_model(path, scale=scale)
+
+    imgsz = 64
+
+    def run(x):
+        variables = model.init(jax.random.PRNGKey(0), x, train=True)
+        out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        return out
+
+    if abstract:  # zero-FLOP trace: validates graph wiring + channel math
+        out = jax.eval_shape(run, jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), jnp.float32))
+    else:
+        out = run(jnp.zeros((1, imgsz, imgsz, 3), jnp.float32))
+
+    head = spec.layers[-1].name
+    if head == "Classify":
+        assert out["logits"].shape == (1, spec.nc)
+    elif head == "RTDETRDecoder":
+        assert out["dec_scores"].shape[-1] == spec.nc
+    elif head == "v10Detect":
+        assert len(out["feats"]) == len(out["one2one_feats"]) == 3
+        for f in out["feats"]:
+            assert f.shape[-1] == spec.nc + 64
+    else:
+        feats = out["feats"]
+        assert len(feats) >= 2
+        for f, s in zip(feats, strides):
+            assert f.shape[1] == imgsz // s
+
+
+@pytest.mark.skipif(not YAMLS, reason="reference checkout not present")
+@pytest.mark.parametrize("path", YAMLS, ids=[os.path.basename(p) for p in YAMLS])
+def test_reference_yaml_traces(path):
+    """Abstract (eval_shape) build of EVERY reference model YAML — fast tier."""
+    _build_and_check(path, abstract=True)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not YAMLS, reason="reference checkout not present")
+@pytest.mark.parametrize("path", YAMLS, ids=[os.path.basename(p) for p in YAMLS])
+def test_reference_yaml_builds(path):
+    """Concrete init + forward of every YAML — slow tier (XLA compiles)."""
+    _build_and_check(path, abstract=False)
+
+
+@pytest.mark.parametrize("name,scale", [("yolov9t", None), ("yolov10n", "n"), ("yolo12n", "n")])
+def test_new_family_eval_decode(name, scale):
+    """Eval-mode decode works for one config per new family."""
+    fam_dir = {"yolov9t": "v9", "yolov10n": "v10", "yolo12n": "12"}[name]
+    base = {"yolov9t": "yolov9t.yaml", "yolov10n": "yolov10n.yaml", "yolo12n": "yolo12.yaml"}[name]
+    path = os.path.join(REF_CFG, fam_dir, base)
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    model, spec, strides = build_model(path, scale=scale)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    out = model.apply(variables, x, train=False)
+    if name == "yolov10n":
+        assert out["preds6"].shape == (1, 84, 6)  # 84 anchors at 64px < max_det
+    else:
+        assert out["preds"].shape[-1] == 4 + spec.nc
