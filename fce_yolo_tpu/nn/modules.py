@@ -592,10 +592,8 @@ class Conv2(nn.Module):
         y = nn.Conv(self.c2, (self.k, self.k), (self.s, self.s),
                     padding=[(pad, pad), (pad, pad)], feature_group_count=self.g,
                     use_bias=False, name="conv")(x)
-        p1 = autopad(1, self.p, self.d)
-        y = y + nn.Conv(self.c2, (1, 1), (self.s, self.s),
-                        padding=[(p1, p1), (p1, p1)], feature_group_count=self.g,
-                        use_bias=False, name="cv2")(x)
+        y = y + Conv2d(self.c2, 1, self.s, autopad(1, self.p, self.d), self.g,
+                       use_bias=False, name="cv2")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, name="bn")(y)
         return apply_act(y, self.act)
@@ -678,7 +676,7 @@ class ChannelAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        gate = nn.Conv(self.channels, (1, 1), use_bias=True, name="fc")(pooled)
+        gate = Conv2d(self.channels, 1, use_bias=True, name="fc")(pooled)
         return x * jax.nn.sigmoid(gate)
 
 
@@ -693,8 +691,7 @@ class SpatialAttention(nn.Module):
             [jnp.mean(x, axis=-1, keepdims=True), jnp.max(x, axis=-1, keepdims=True)], axis=-1
         )
         pad = 3 if self.kernel_size == 7 else 1
-        gate = nn.Conv(1, (self.kernel_size, self.kernel_size),
-                       padding=[(pad, pad), (pad, pad)], use_bias=False, name="cv1")(stats)
+        gate = Conv2d(1, self.kernel_size, p=pad, use_bias=False, name="cv1")(stats)
         return x * jax.nn.sigmoid(gate)
 
 
@@ -846,8 +843,8 @@ class BottleneckCSP(nn.Module):
         a = ConvBNAct(c_, 1, 1, name="cv1")(x, train)
         for i in range(self.n):
             a = Bottleneck(c_, c_, self.shortcut, self.g, e=1.0, name=f"m_{i}")(a, train)
-        y1 = nn.Conv(c_, (1, 1), use_bias=False, name="cv3")(a)
-        y2 = nn.Conv(c_, (1, 1), use_bias=False, name="cv2")(x)
+        y1 = Conv2d(c_, 1, use_bias=False, name="cv3")(a)
+        y2 = Conv2d(c_, 1, use_bias=False, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, name="bn")(y)

@@ -377,3 +377,112 @@ def test_yolov8_seg_import_parity(ref_ultralytics):
     np.testing.assert_allclose(
         np.asarray(out["preds"]).transpose(0, 2, 1), dec.numpy(), rtol=1e-3, atol=5e-4
     )
+
+
+@pytest.mark.parametrize(
+    "rel,scale",
+    [
+        ("v9/yolov9t.yaml", None),
+        ("12/yolo12.yaml", "n"),
+        ("v8/yolov8-ghost.yaml", "n"),
+        ("v5/yolov5.yaml", "n"),
+        ("v3/yolov3-tiny.yaml", None),
+    ],
+)
+def test_new_family_forward_parity(ref_ultralytics, rel, scale):
+    """Weight-import activation parity for the v9/v12/ghost/v5/v3 module zoos."""
+    import yaml as pyyaml
+
+    import jax
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+
+    path = os.path.join(REF, "ultralytics/cfg/models", rel)
+    d = pyyaml.safe_load(open(path))
+    if scale:
+        d["scale"] = scale
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = ref_ultralytics(d, verbose=False)
+    tm.eval().float()
+
+    model, spec, strides = build_model(path, scale=scale)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True
+        )
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+    with torch.no_grad():
+        t_decoded, t_feats = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = model.apply(variables, x, train=False)
+    for lvl, tf in enumerate(t_feats):
+        ours = np.asarray(out["feats"][lvl]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, tf.numpy(), rtol=1e-3, atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["preds"]).transpose(0, 2, 1), t_decoded.numpy(), rtol=1e-3, atol=5e-4
+    )
+
+
+def test_yolov10_forward_parity(ref_ultralytics):
+    """v10Detect end2end head: one2one feats + NMS-free top-k output parity."""
+    import yaml as pyyaml
+
+    import jax
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+
+    path = os.path.join(REF, "ultralytics/cfg/models/v10/yolov10n.yaml")
+    d = pyyaml.safe_load(open(path))
+    d["scale"] = "n"
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = ref_ultralytics(d, verbose=False)
+    tm.eval().float()
+    # random-init scores tie at the shared cls-bias value, making top-k order
+    # undefined across frameworks — jitter the biases so ranking is unique
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(3)
+        for branch in tm.model[-1].one2one_cv3:
+            branch[-1].bias += torch.randn(branch[-1].bias.shape, generator=g) * 0.05
+
+    model, spec, strides = build_model(path, scale="n")
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True
+        )
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out, t_raw = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = model.apply(variables, x, train=False)
+
+    # raw one2many + one2one per-level maps match exactly
+    for lvl in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out["feats"][lvl]).transpose(0, 3, 1, 2),
+            t_raw["one2many"][lvl].numpy(), rtol=1e-3, atol=3e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["one2one_feats"][lvl]).transpose(0, 3, 1, 2),
+            t_raw["one2one"][lvl].numpy(), rtol=1e-3, atol=3e-4,
+        )
+
+    # NMS-free top-300: identical (box, score, cls) MULTISET. Random-init
+    # scores tie in droves (constant cls logits across anchors of a level),
+    # so row order is undefined — canonicalize both sides by a full
+    # lexicographic sort before comparing.
+    ours6 = np.asarray(out["preds6"][0])
+    ref6 = t_out[0].numpy()
+
+    def canon(a):
+        return a[np.lexsort(a.T[::-1])]
+
+    np.testing.assert_allclose(
+        np.sort(ours6[:, 4])[::-1], np.sort(ref6[:, 4])[::-1], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(canon(ours6), canon(ref6), rtol=1e-2, atol=5e-3)
