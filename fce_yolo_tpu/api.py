@@ -353,6 +353,10 @@ class YOLO:
             pose_cfg = PoseLossCfg(det=loss_cfg, kpt_shape=kpt_shape)
             task_loss = lambda out, batch, cfg, state: pose_loss(out, batch, pose_cfg, state)
             batch_keys.append("keypoints")
+        elif self.spec.layers[-1].name == "v10Detect":
+            from fce_yolo_tpu.train.task_losses import e2e_detect_loss
+
+            task_loss = e2e_detect_loss
         elif self.task == "rtdetr":
             from fce_yolo_tpu.train.detr_loss import DETRLossCfg, detr_loss
 

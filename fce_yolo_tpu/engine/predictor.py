@@ -150,6 +150,16 @@ class DetectionPredictor:
                 best = jnp.take_along_axis(best, order, axis=1)
                 cls = jnp.take_along_axis(cls, order, axis=1)
                 return {"boxes": boxes, "scores": best, "classes": cls, "valid": best > conf}
+            if "preds6" in out:
+                # v10Detect end2end: already top-k (B, max_det, 6), no NMS
+                # (reference v10 predict path)
+                p6 = out["preds6"]
+                return {
+                    "boxes": p6[..., :4],
+                    "scores": p6[..., 4],
+                    "classes": p6[..., 5].astype(jnp.int32),
+                    "valid": p6[..., 4] > conf,
+                }
             if task == "obb":
                 from fce_yolo_tpu.ops.nms import rotated_batched_nms
 

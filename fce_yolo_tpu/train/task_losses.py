@@ -284,3 +284,26 @@ def classification_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> tuple[jnp.n
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels.astype(jnp.int32)[:, None], axis=-1).mean()
     return nll, {"cls": nll}
+
+
+def e2e_detect_loss(out: dict, batch: dict, cfg, state):
+    """YOLOv10 dual-assignment loss (reference utils/loss.py:851-867
+    E2EDetectLoss): one2many branch with topk-10 TAL + one2one branch with
+    topk-1 TAL on detached features; totals summed. The one2one branch's
+    inputs are already stop_gradient-ed inside V10Detect, so the two losses
+    optimize disjoint heads over a shared (one2many-driven) backbone.
+    """
+    from fce_yolo_tpu.train.loss import detection_loss
+
+    many_total, many_parts, state = detection_loss(
+        out["feats"], batch, cfg._replace(tal_topk=10), state
+    )
+    one_total, one_parts, state = detection_loss(
+        out["one2one_feats"], batch, cfg._replace(tal_topk=1), state
+    )
+    parts = {f"one2many_{k}": v for k, v in many_parts.items()}
+    parts.update({f"one2one_{k}": v for k, v in one_parts.items()})
+    parts["box"] = many_parts["box"] + one_parts["box"]
+    parts["cls"] = many_parts["cls"] + one_parts["cls"]
+    parts["dfl"] = many_parts["dfl"] + one_parts["dfl"]
+    return many_total + one_total, parts, state
