@@ -89,7 +89,15 @@ def export_model(
         return _export_saved_model(fn, shape, out, meta, tflite=False)
     if fmt == "tflite":
         return _export_tflite(fn, shape, out, meta, int8=int8)
-    raise ValueError(f"unknown export format {fmt!r} (stablehlo|saved_model|tflite)")
+    if fmt == "native":
+        # .fyir/.fybin artifact for the zero-dependency C++ runtime
+        # (native/infer/fy_infer.cpp)
+        from fce_yolo_tpu.engine.export_native import export_native
+
+        return str(export_native(yolo.model, variables, out, imgsz=imgsz))
+    raise ValueError(
+        f"unknown export format {fmt!r} (stablehlo|saved_model|tflite|native)"
+    )
 
 
 @try_export
