@@ -101,3 +101,165 @@ def produce_all(runs: dict[str, str | Path], out_dir: str | Path, scale: str = "
         if f:
             figs.append(f)
     return figs
+
+
+# Bilingual label sets (the fork ships CN + EN figure variants,
+# paper_plots.py:94-134; CN rendering falls back to EN when no CJK font is
+# installed)
+_L10N = {
+    "en": {
+        "epoch": "Epoch", "map5095": "mAP@50-95 (%)", "map50": "mAP@50 (%)",
+        "precision": "Precision (%)", "recall": "Recall (%)",
+        "panels_title": "Training metric comparison",
+        "ablation_title": "Ablation: incremental module gains",
+    },
+    "cn": {
+        "epoch": "轮次", "map5095": "mAP@50-95 (%)", "map50": "mAP@50 (%)",
+        "precision": "精确率 (%)", "recall": "召回率 (%)",
+        "panels_title": "训练指标对比", "ablation_title": "消融实验：模块增益",
+    },
+}
+
+_PANEL_KEYS = (
+    ("metrics/mAP50-95(B)", "map5095"),
+    ("metrics/mAP50(B)", "map50"),
+    ("metrics/precision(B)", "precision"),
+    ("metrics/recall(B)", "recall"),
+)
+
+
+def _setup_font(lang: str):
+    """Register a CJK-capable font when plotting CN labels (fork
+    setup_cn_font, paper_plots.py:99-134); silently stays EN-font otherwise."""
+    if lang != "cn":
+        return
+    import glob as _glob
+
+    import matplotlib
+
+    for pat in ("/usr/share/fonts/**/*CJK*.tt?", "/usr/share/fonts/**/wqy*.tt?"):
+        hits = _glob.glob(pat, recursive=True)
+        if hits:
+            from matplotlib import font_manager
+
+            font_manager.fontManager.addfont(hits[0])
+            name = font_manager.FontProperties(fname=hits[0]).get_name()
+            matplotlib.rcParams["font.family"] = [name]
+            return
+
+
+def plot_metric_panels(
+    runs: dict[str, str | Path],
+    save_path: str | Path = "metric_panels.png",
+    scale: str = "m",
+    lang: str = "en",
+) -> str:
+    """2x2 panel comparison of mAP50-95 / mAP50 / P / R across variants
+    (fork produce_A / plot_comparison, paper_plots.py:155-233)."""
+    plt = _plt()
+    _setup_font(lang)
+    L = _L10N[lang]
+    fig, axes = plt.subplots(2, 2, figsize=(14, 10), tight_layout=True)
+    for idx, (col, label_key) in enumerate(_PANEL_KEYS):
+        ax = axes[idx // 2][idx % 2]
+        for name, run_dir in runs.items():
+            rows = load_results(run_dir)
+            xs = [r["epoch"] for r in rows if isinstance(r.get(col), (int, float))]
+            ys = [r[col] * 100 for r in rows if isinstance(r.get(col), (int, float))]
+            mc = MODEL_CONFIGS.get(name)
+            ax.plot(xs, ys, label=(mc.get_display_name(scale) if mc else name),
+                    color=(mc.color if mc else None), lw=1.5)
+        ax.set_title(L[label_key], fontsize=13, fontweight="bold")
+        ax.set_xlabel(L["epoch"])
+        ax.set_ylabel(L[label_key])
+        ax.grid(alpha=0.3)
+        ax.legend(fontsize=8)
+    fig.suptitle(L["panels_title"], fontsize=15, fontweight="bold")
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return str(save_path)
+
+
+def compose_panels(
+    panels: list[tuple[str, str | Path]],
+    out_path: str | Path,
+    fig_title: str = "",
+    vertical: bool = False,
+) -> str:
+    """Stack rendered figure images with per-panel subtitles (fork
+    produce_C/_hstack_with_titles, paper_plots.py:317-424). Pure-PIL."""
+    from PIL import Image, ImageDraw
+
+    imgs = [Image.open(str(p)).convert("RGB") for _, p in panels]
+    pad, title_h, sub_h = 12, (50 if fig_title else 0), 40
+    if vertical:
+        w = max(im.width for im in imgs)
+        h = sum(im.height for im in imgs) + (sub_h + pad) * len(imgs) + title_h + pad
+        canvas = Image.new("RGB", (w + 2 * pad, h), "white")
+        draw = ImageDraw.Draw(canvas)
+        y = pad + title_h
+        for (sub, _), im in zip(panels, imgs):
+            draw.text((pad, y), sub, fill="black")
+            y += sub_h
+            canvas.paste(im, (pad, y))
+            y += im.height + pad
+    else:
+        h = max(im.height for im in imgs)
+        w = sum(im.width for im in imgs) + pad * (len(imgs) + 1)
+        canvas = Image.new("RGB", (w, h + title_h + sub_h + 2 * pad), "white")
+        draw = ImageDraw.Draw(canvas)
+        x = pad
+        for (sub, _), im in zip(panels, imgs):
+            draw.text((x, title_h + pad), sub, fill="black")
+            canvas.paste(im, (x, title_h + sub_h + pad))
+            x += im.width + pad
+    if fig_title:
+        draw.text((pad, 8), fig_title, fill="black")
+    canvas.save(str(out_path))
+    return str(out_path)
+
+
+def model_complexity(cfgs: dict[str, str], scale: str = "n", imgsz: int = 640) -> list[dict]:
+    """Params + GFLOPs table per variant (fork _compute_model_complexity,
+    paper_plots.py:213-233) via the XLA cost model."""
+    from fce_yolo_tpu.nn.model import build_model, estimate_flops, param_count
+
+    import jax
+
+    out = []
+    for name, cfg in cfgs.items():
+        model, spec, strides = build_model(cfg, scale=scale)
+        v = jax.eval_shape(
+            lambda m=model: m.init(jax.random.PRNGKey(0),
+                                   np.zeros((1, 64, 64, 3), np.float32), train=True)
+        )
+        n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(v["params"]))
+        gflops = estimate_flops(model, imgsz=imgsz) / 1e9
+        out.append({"model": name, "params_M": n_params / 1e6, "GFLOPs": gflops})
+    return out
+
+
+def write_table(table: list[dict], out_path: str | Path, fmt: str = "markdown") -> str:
+    """Serialize an ablation/complexity table (fork result tables,
+    run_ablation.py:597-599) as markdown or LaTeX."""
+    if not table:
+        return str(out_path)
+    keys = list(table[0].keys())
+
+    def cell(v):
+        return f"{v:.2f}" if isinstance(v, float) else str(v)
+
+    lines = []
+    if fmt == "latex":
+        lines.append("\\begin{tabular}{" + "l" * len(keys) + "}")
+        lines.append(" & ".join(keys) + " \\\\\\hline")
+        for r in table:
+            lines.append(" & ".join(cell(r.get(k, "")) for k in keys) + " \\\\")
+        lines.append("\\end{tabular}")
+    else:
+        lines.append("| " + " | ".join(keys) + " |")
+        lines.append("|" + "---|" * len(keys))
+        for r in table:
+            lines.append("| " + " | ".join(cell(r.get(k, "")) for k in keys) + " |")
+    Path(out_path).write_text("\n".join(lines) + "\n")
+    return str(out_path)

@@ -50,3 +50,86 @@ def test_figures(tmp_path):
     assert len(figs) == 4
     assert (tmp_path / "figs" / "training_curves.png").stat().st_size > 1000
     assert (tmp_path / "figs" / "ablation_bars.png").stat().st_size > 1000
+
+
+def test_annotator_drawing(tmp_path):
+    """Annotator box/mask/kpt/text drawing mutates the image in place
+    (reference plotting.py:168-563)."""
+    import numpy as np
+
+    from fce_yolo_tpu.utils.annotator import Annotator, colors
+
+    im = np.full((120, 160, 3), 40, np.uint8)
+    ann = Annotator(im, line_width=2)
+    ann.box_label((10, 10, 60, 50), "person 0.91", colors(0, bgr=True))
+    ann.box_label(np.array([[80, 20], [120, 25], [115, 60], [78, 55]]), "obb", colors(1, True), rotated=True)
+    masks = np.zeros((1, 120, 160), np.float32)
+    masks[0, 70:100, 20:60] = 1.0
+    ann.masks(masks, [colors(2, True)], alpha=0.5)
+    kpts = np.stack([np.linspace(100, 150, 17), np.linspace(70, 110, 17), np.ones(17)], 1)
+    ann.kpts(kpts)
+    ann.text((5, 115), "fps 42", box_color=(0, 0, 0))
+    ann.circle_label((100, 80, 140, 110), "3")
+    assert (ann.result() != 40).any()
+    out = tmp_path / "ann.jpg"
+    ann.save(str(out))
+    assert out.exists()
+
+
+def test_plot_images_and_save_one_box(tmp_path):
+    import numpy as np
+
+    from fce_yolo_tpu.utils.annotator import plot_images, save_one_box
+
+    batch = {
+        "img": np.random.RandomState(0).randint(0, 255, (4, 64, 64, 3), np.uint8),
+        "cls": np.zeros((4, 3), np.float32),
+        "bboxes": np.tile(np.array([0.5, 0.5, 0.4, 0.3], np.float32), (4, 3, 1)),
+        "mask": np.ones((4, 3), bool),
+    }
+    f = plot_images(batch, {0: "obj"}, fname=tmp_path / "mosaic.jpg")
+    assert (tmp_path / "mosaic.jpg").exists()
+
+    im = np.random.RandomState(1).randint(0, 255, (80, 100, 3), np.uint8)
+    crop = save_one_box((20, 20, 60, 60), im, file=tmp_path / "crop.jpg", square=True)
+    assert crop.shape[0] == crop.shape[1]
+    assert (tmp_path / "crop.jpg").exists()
+
+
+def test_plot_tune_results(tmp_path):
+    from fce_yolo_tpu.utils.annotator import plot_tune_results
+
+    csv = tmp_path / "tune_results.csv"
+    csv.write_text("lr0,momentum,fitness\n0.01,0.9,0.31\n0.02,0.95,0.42\n0.005,0.85,0.28\n")
+    out = plot_tune_results(csv)
+    assert out and out.endswith(".png")
+
+
+def test_paper_figures_bilingual(tmp_path):
+    """Metric panels (EN + CN), panel composition, table writers (fork
+    paper_plots produce_A/C/D analogs)."""
+    from fce_yolo_tpu.experiments.figures import (
+        compose_panels,
+        plot_metric_panels,
+        write_table,
+    )
+
+    run = tmp_path / "run1"
+    run.mkdir()
+    hdr = "epoch,metrics/mAP50-95(B),metrics/mAP50(B),metrics/precision(B),metrics/recall(B)"
+    rows = [f"{e},{0.3 + 0.01 * e},{0.5 + 0.01 * e},{0.6},{0.55}" for e in range(5)]
+    (run / "results.csv").write_text(hdr + "\n" + "\n".join(rows) + "\n")
+
+    f_en = plot_metric_panels({"baseline": run}, tmp_path / "panels_en.png", lang="en")
+    f_cn = plot_metric_panels({"baseline": run}, tmp_path / "panels_cn.png", lang="cn")
+    assert all((tmp_path / n).exists() for n in ("panels_en.png", "panels_cn.png"))
+
+    comp = compose_panels([("EN", f_en), ("CN", f_cn)], tmp_path / "combined.png",
+                          fig_title="Figures")
+    assert (tmp_path / "combined.png").exists()
+
+    table = [{"model": "baseline", "mAP50-95": 34.0}, {"model": "fce", "mAP50-95": 36.5}]
+    md = write_table(table, tmp_path / "t.md")
+    tex = write_table(table, tmp_path / "t.tex", fmt="latex")
+    assert "| model |" in open(md).read()
+    assert "\\begin{tabular}" in open(tex).read()
