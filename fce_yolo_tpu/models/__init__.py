@@ -1,0 +1,7 @@
+"""Model-family facades beyond plain YOLO (reference models/ layer)."""
+
+from fce_yolo_tpu.models.fastsam import FastSAM
+from fce_yolo_tpu.models.nas import NAS
+from fce_yolo_tpu.models.rtdetr import RTDETR
+
+__all__ = ["FastSAM", "NAS", "RTDETR"]

@@ -11,11 +11,20 @@ f32 but stored bf16 — and runs every downstream decision on compact
 
   1. one fused pass emits metric = score^alpha * CIoU^beta and overlaps
      (both masked to anchors inside valid gt boxes);
-  2. ``top_k`` per gt gives (B, M, K) candidate anchor ids;
+  2. ``top_k`` per gt yields only the K-th VALUE; the candidate set is the
+     dense threshold mask ``metric >= kth`` — no index gathers;
   3. per-anchor claim counts + the reference's multi-claim resolution
-     (argmax over gts of overlap, tal.py:299-328) via scatter-add/argmax;
-  4. per-gt normalizers (pos_align/pos_overlap, tal.py:118-124) via
-     scatter-max over the final assignment.
+     (argmax over gts of overlap, tal.py:299-328) as dense reductions over
+     the already-materialized (B, M, A) tensors — TPU scatters serialize
+     and cost tens of ms at production shapes, so none are used;
+  4. per-gt normalizers (pos_align/pos_overlap, tal.py:118-124) as masked
+     maxes over the assignment-equality mask.
+
+Threshold-vs-explicit-topk divergence: anchors TIED at the K-th metric all
+become candidates (the reference keeps an arbitrary K of them), and a gt
+with < K live anchors admits its zero-metric in-box anchors. Both give the
+extra anchors zero target weight, so every loss term is unchanged; only
+the fg bitmask can differ on ties.
 
 Ground truths arrive pre-padded to ``max_boxes`` with a validity mask (the
 padded-batch contract the reference itself builds in loss.py:294-309).
@@ -57,51 +66,43 @@ class AssignResult(NamedTuple):
         return oh * self.target_norm[..., None].astype(dtype)
 
 
-def _topk_idx(metric: jnp.ndarray, topk: int) -> jnp.ndarray:
-    """Top-k anchor indices per gt.
+def _kth_value(metric: jnp.ndarray, topk: int) -> jnp.ndarray:
+    """K-th largest metric per gt, (B, M, 1).
 
     bf16 metric (production) uses the TPU's native approximate top-k
-    (jax.lax.approx_max_k, recall 0.99 with exact re-rank of the reduced
-    set) — 16x faster than the sort-based exact top_k at (64, 32, 8400).
-    f32 metric (oracle/parity mode) keeps the exact top_k.
+    (jax.lax.approx_max_k, recall 0.99) — far faster than the sort-based
+    exact top_k at (64, 32, 8400). f32 (oracle/parity mode) stays exact.
     """
     if metric.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
-        _, idx = jax.lax.approx_max_k(metric, topk, recall_target=0.99)
-        return idx
-    _, idx = jax.lax.top_k(metric, topk)
-    return idx
+        vals, _ = jax.lax.approx_max_k(metric, topk, recall_target=0.99)
+    else:
+        vals, _ = jax.lax.top_k(metric, topk)
+    return vals[..., -1:]
 
 
 def _finalize(
     metric: jnp.ndarray,  # (B, M, A) metric_dtype, masked to live candidates
     overlaps: jnp.ndarray,  # (B, M, A) metric_dtype, masked
-    cand_pos: jnp.ndarray,  # (B, M, K) bool — topk candidates that are live
-    topk_idx: jnp.ndarray,  # (B, M, K) int32 anchor ids
+    live: jnp.ndarray,  # (B, M, A) bool — anchor inside a valid gt box
+    kth: jnp.ndarray,  # (B, M, 1) K-th largest metric per gt
     labels: jnp.ndarray,  # (B, M) int32
     gt_bboxes: jnp.ndarray,  # (B, M, 4|5)
     eps: float,
 ) -> AssignResult:
-    """Steps 3-4: claim resolution + target gathering, all compact shapes."""
+    """Steps 3-4: claim resolution + target gathering — dense reductions
+    only (no TPU scatters)."""
     b, m, a_n = metric.shape
 
-    bidx = jnp.arange(b)[:, None, None]
-    midx = jnp.arange(m)[None, :, None]
+    # candidate mask: top-k by value threshold (reference mask_topk,
+    # tal.py:201-230); ties at the k-th value all qualify (zero-weight, see
+    # module docstring)
+    mask_pos = live & (metric >= kth)
 
-    # per-anchor claim count (reference mask_pos.sum(-2), tal.py:299)
-    count = (
-        jnp.zeros((b, a_n), jnp.int32)
-        .at[bidx, topk_idx]
-        .add(cand_pos.astype(jnp.int32))
-    )
-    # single-claim winner: at most one live candidate when count == 1
-    single_gt = (
-        jnp.zeros((b, a_n), jnp.int32)
-        .at[bidx, topk_idx]
-        .max(jnp.where(cand_pos, midx, 0))
-    )
+    count = mask_pos.sum(axis=1)  # (B, A) per-anchor claim count
+    single_gt = jnp.argmax(mask_pos, axis=1).astype(jnp.int32)  # first claimant
     # multi-claim winner: argmax over gts of overlap — the reference picks
     # this gt even if it never claimed the anchor via top-k (tal.py:313-317)
-    max_overlap_gt = jnp.argmax(overlaps, axis=1).astype(jnp.int32)  # (B, A)
+    max_overlap_gt = jnp.argmax(overlaps, axis=1).astype(jnp.int32)
 
     fg_mask = count > 0
     target_gt_idx = jnp.where(count > 1, max_overlap_gt, single_gt)
@@ -112,10 +113,15 @@ def _finalize(
     metric_at = jnp.where(fg_mask, metric_at.astype(jnp.float32), 0.0)
     overlap_at = jnp.where(fg_mask, overlap_at.astype(jnp.float32), 0.0)
 
-    # per-gt peak metric/overlap over its assigned anchors (tal.py:118-124)
-    ab = jnp.arange(b)[:, None]
-    pos_align = jnp.zeros((b, m), jnp.float32).at[ab, target_gt_idx].max(metric_at)
-    pos_overlap = jnp.zeros((b, m), jnp.float32).at[ab, target_gt_idx].max(overlap_at)
+    # per-gt peak metric/overlap over its assigned anchors (tal.py:118-124):
+    # masked max over the assignment-equality plane
+    assigned = fg_mask[:, None, :] & (
+        target_gt_idx[:, None, :] == jnp.arange(m, dtype=jnp.int32)[None, :, None]
+    )  # (B, M, A)
+    pos_align = jnp.max(
+        jnp.where(assigned, metric.astype(jnp.float32), 0.0), axis=2
+    )  # (B, M)
+    pos_overlap = jnp.max(jnp.where(assigned, overlaps.astype(jnp.float32), 0.0), axis=2)
     norm = (
         metric_at
         * jnp.take_along_axis(pos_overlap, target_gt_idx, axis=1)
@@ -182,24 +188,22 @@ def assign(
     )  # (B, M, A)
     if scores_logits:
         cls_sc = jax.nn.sigmoid(cls_sc)
+    # in bf16 mode the whole (B, M, A) CIoU pass runs in bf16 — every
+    # intermediate of the ~20-op CIoU chain halves its HBM traffic; ranking
+    # flips only between near-tied candidates (same tolerance the storage
+    # rounding already accepts)
+    bdt = jnp.dtype(metric_dtype)
     ov = bbox_iou(
-        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, mode="CIoU"
-    )
+        gt_bboxes.astype(bdt)[:, :, None, :], pd_bboxes.astype(bdt)[:, None, :, :],
+        xywh=False, mode="CIoU",
+    ).astype(jnp.float32)
     ov = jnp.clip(ov, 0.0, None)
     overlaps = jnp.where(live, ov, 0.0).astype(metric_dtype)
     metric = jnp.where(live, cls_sc**alpha * ov**beta, 0.0).astype(metric_dtype)
 
     # --- top-k candidates per gt (tal.py:201-230) --------------------------
-    topk_idx = _topk_idx(metric, topk)  # (B, M, K)
-    # candidate liveness recomputed pointwise at the K anchors (cheap; the
-    # reference keeps metric-0 anchors inside the box as candidates, so this
-    # is in_gts & mask_gt, NOT metric > 0)
-    cax = anc_points[topk_idx, 0]  # (B, M, K)
-    cay = anc_points[topk_idx, 1]
-    cand_in = (cax - gx1 > eps) & (cay - gy1 > eps) & (gx2 - cax > eps) & (gy2 - cay > eps)
-    cand_pos = cand_in & mask_gt[:, :, None]
-
-    return _finalize(metric, overlaps, cand_pos, topk_idx, labels, gt_bboxes, eps)
+    kth = _kth_value(metric, topk)  # (B, M, 1)
+    return _finalize(metric, overlaps, live, kth, labels, gt_bboxes, eps)
 
 
 def assign_rotated(
@@ -253,11 +257,14 @@ def assign_rotated(
     cls_sc = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), labels[:, :, None], axis=1)
     if scores_logits:
         cls_sc = jax.nn.sigmoid(cls_sc)
-    ov = jnp.clip(probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :]), 0.0, None)
+    bdt = jnp.dtype(metric_dtype)
+    ov = jnp.clip(
+        probiou(gt_rboxes.astype(bdt)[:, :, None, :], pd_rboxes.astype(bdt)[:, None, :, :])
+        .astype(jnp.float32),
+        0.0, None,
+    )
     overlaps = jnp.where(live, ov, 0.0).astype(metric_dtype)
     metric = jnp.where(live, cls_sc**alpha * ov**beta, 0.0).astype(metric_dtype)
 
-    topk_idx = _topk_idx(metric, topk)
-    cand_pos = contains(anc_points[topk_idx, 0], anc_points[topk_idx, 1]) & mask_gt[:, :, None]
-
-    return _finalize(metric, overlaps, cand_pos, topk_idx, labels, gt_rboxes, eps)
+    kth = _kth_value(metric, topk)
+    return _finalize(metric, overlaps, live, kth, labels, gt_rboxes, eps)

@@ -185,10 +185,22 @@ class TestParity:
             beta=6.0,
             metric_dtype=jnp.float32,  # bit-exact ranking for the oracle check
         )
-        np.testing.assert_array_equal(np.asarray(out.fg_mask), fg_.numpy().astype(bool))
+        # fg parity up to the documented threshold-topk divergence
+        # (train/tal.py module docstring): when a gt has fewer than K live
+        # anchors, its zero-metric in-box anchors qualify here but the
+        # reference keeps an arbitrary K — every reference-fg anchor must be
+        # ours, and any extra anchor must carry ZERO target weight (loss-
+        # equivalent).
+        ours_fg = np.asarray(out.fg_mask)
+        ref_fg = fg_.numpy().astype(bool)
+        assert (ref_fg <= ours_fg).all(), "reference fg anchor missing"
+        extra = ours_fg & ~ref_fg
+        assert (np.asarray(out.target_norm)[extra] == 0).all(), (
+            "extra fg anchors must be zero-weight"
+        )
         np.testing.assert_allclose(
-            np.asarray(out.target_bboxes) * np.asarray(out.fg_mask)[..., None],
-            tb_.numpy() * fg_.numpy().astype(np.float32)[..., None],
+            np.asarray(out.target_bboxes) * ref_fg[..., None],
+            tb_.numpy() * ref_fg[..., None],
             rtol=1e-4,
             atol=1e-4,
         )

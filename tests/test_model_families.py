@@ -1,0 +1,57 @@
+"""FastSAM / NAS / RTDETR facades (reference models/ layer)."""
+
+import numpy as np
+import pytest
+
+
+def test_rtdetr_facade_builds():
+    from fce_yolo_tpu.models import RTDETR
+
+    m = RTDETR("rtdetr-l.yaml")
+    assert m.task == "rtdetr"
+
+
+def test_nas_requires_checkpoint(tmp_path):
+    from fce_yolo_tpu.models import NAS
+
+    with pytest.raises(FileNotFoundError):
+        NAS("yolo_nas_s.pt")
+
+
+def test_fastsam_prompts():
+    """Box and point prompts select the right masks (reference
+    FastSAMPredictor.prompt semantics on synthetic results)."""
+    from fce_yolo_tpu.models.fastsam import FastSAM
+
+    class Boxes:
+        def __init__(self, n):
+            self.cls = np.zeros(n)
+            self.xyxy = np.array([[0, 0, 40, 40], [60, 60, 100, 100]], np.float32)
+        def __getitem__(self, i):
+            return self
+
+    class Masks:
+        def __init__(self):
+            self.data = np.zeros((2, 100, 100), np.float32)
+            self.data[0, 0:40, 0:40] = 1.0   # top-left object
+            self.data[1, 60:100, 60:100] = 1.0  # bottom-right object
+
+    class R:
+        def __init__(self):
+            self.boxes = Boxes(2)
+            self.masks = Masks()
+            self.orig_shape = (100, 100)
+
+    # box prompt around the top-left object -> selects mask 0
+    out = FastSAM.prompt([R()], bboxes=[[0, 0, 45, 45]])
+    assert np.asarray(out[0].masks.data).shape[0] == 1
+    assert out[0].masks.data[0, 10, 10] > 0.5
+
+    # point prompt in the bottom-right object -> selects mask 1
+    out = FastSAM.prompt([R()], points=[[80, 80]])
+    assert np.asarray(out[0].masks.data).shape[0] == 1
+    assert out[0].masks.data[0, 80, 80] > 0.5
+
+    # background point removes everything
+    out = FastSAM.prompt([R()], points=[[80, 80]], labels=[0])
+    assert np.asarray(out[0].masks.data).shape[0] == 1  # all-kept minus bg hit
