@@ -131,6 +131,9 @@ def main() -> dict:
 
     infer_stock = bench_infer(stock, rt=rt)
     infer_fce = bench_infer(fce, rt=rt)
+    # BASELINE config #5 analog: the fork's 1280px streaming resolution
+    # (single chip; the sp-sharded variant needs >1 device)
+    infer_fce_1280 = bench_infer(fce, batch=16, imgsz=1280, iters=16, rt=rt)
     train_stock = bench_train(stock, rt=rt)
 
     model, _, _ = build_model(stock, scale="n")
@@ -145,6 +148,7 @@ def main() -> dict:
         "vs_baseline": round(infer_stock / TORCH_CPU_BASELINE_IMG_S, 2),
         "extras": {
             "yolo11n-fce e2e infer img/s": round(infer_fce, 1),
+            "yolo11n-fce 1280px batch16 e2e infer img/s": round(infer_fce_1280, 1),
             "yolo11n train step img/s (batch64 bf16)": round(train_stock, 1),
             "infer MFU (v5e bf16 peak)": round(infer_mfu, 3),
             "train MFU (v5e bf16 peak)": round(train_mfu, 3),

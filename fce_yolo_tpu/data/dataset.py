@@ -365,7 +365,8 @@ class YOLODataset:
         return out
 
 
-def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb: bool = False) -> dict:
+def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb: bool = False,
+            mask_overlap: bool = True) -> dict:
     """Pad a list of samples into one static-shape batch.
 
     Output: img (B, S, S, 3) uint8 NHWC; cls (B, M); bboxes (B, M, 4)
@@ -422,6 +423,23 @@ def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb
                         theta += np.pi / 2
                     theta = (theta + np.pi / 4) % np.pi - np.pi / 4
                     rboxes[i, j] = [rcx / w, rcy / h, rw / w, rh / h, theta]
+    if seg_masks is not None and mask_overlap:
+        # reference polygons2masks_overlap semantics (data/utils.py): every
+        # pixel belongs to exactly ONE instance — draw area-descending so
+        # smaller instances overwrite larger ones. The reference uses this
+        # for train GT (overlap_mask default) AND val GT, so mask mAP parity
+        # requires it.
+        for i in range(b):
+            inst = seg_masks[i]  # (M, h, w)
+            areas = inst.reshape(inst.shape[0], -1).sum(1)
+            order = np.argsort(-areas)
+            plane = np.zeros(inst.shape[1:], np.int32)
+            for j in order:
+                if areas[j] > 0:
+                    plane[inst[j] > 0.5] = j + 1
+            for j in range(inst.shape[0]):
+                if areas[j] > 0:
+                    inst[j] = (plane == j + 1).astype(np.float32)
     out = {"img": img, "cls": cls, "bboxes": bboxes, "mask": mask}
     if seg_masks is not None:
         out["masks"] = seg_masks

@@ -26,7 +26,7 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = [pytest.mark.parity, pytest.mark.slow]
+pytestmark = pytest.mark.parity  # ~40 s — runs in the default tier
 
 if not os.path.isdir(os.path.join(REF, "ultralytics")):
     pytest.skip("reference repo unavailable", allow_module_level=True)
@@ -254,3 +254,133 @@ def test_e2e_map_parity_detect(dataset_and_model, tmp_path):
     assert abs(our_map50 - ref_map50) <= 0.02, (our_map50, ref_map50)
     # the BASELINE.json contract itself
     assert abs(our_map5095 - ref_map5095) <= 0.1
+
+
+# ---------------------------------------------------------------------------
+# segmentation: box + mask mAP vs the reference SegmentationValidator
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_seg_model(ref_pkg, img_paths):
+    import yaml as pyyaml
+
+    from ultralytics.nn.tasks import SegmentationModel
+
+    d = pyyaml.safe_load(open(os.path.join(REF, "ultralytics/cfg/models/11/yolo11-seg.yaml")))
+    d["scale"] = "n"
+    d["nc"] = NC
+    torch.manual_seed(5)
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = SegmentationModel(d, verbose=False)
+    tm.float()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.momentum = 1.0
+    tm.train()
+    with torch.no_grad():
+        imgs = []
+        for p in img_paths[:8]:
+            img, _, _ = _letterbox_np(cv2.imread(str(p)))
+            imgs.append(img[..., ::-1].transpose(2, 0, 1).astype(np.float32) / 255.0)
+        tm(torch.from_numpy(np.stack(imgs)))
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.model[-1].detect_head_cv3() if hasattr(tm.model[-1], "detect_head_cv3") else tm.model[-1].cv3:
+            m[-1].bias += 2.0
+    return tm
+
+
+def _generate_seg_labels(tm, img_paths, root):
+    """GT polygons = contours of the torch model's own confident masks."""
+    from ultralytics.utils.nms import non_max_suppression
+    from ultralytics.utils.ops import process_mask
+
+    n_total = 0
+    for p in img_paths:
+        img = cv2.imread(str(p))
+        h, w = img.shape[:2]
+        lb, r, (px, py) = _letterbox_np(img)
+        x = lb[..., ::-1].transpose(2, 0, 1)[None].astype(np.float32) / 255.0
+        with torch.no_grad():
+            preds = tm(torch.from_numpy(x.copy()))
+        # eval SegmentationModel: (cat(decoded, mc), (feats, mc, proto))
+        decoded, (feats, mc, proto) = preds[0], preds[1]
+        dets = non_max_suppression(
+            decoded, conf_thres=0.05, iou_thres=0.7, max_det=12, nc=NC, max_time_img=60.0
+        )[0]
+        lines = []
+        if len(dets):
+            masks = process_mask(proto[0], dets[:, 6:], dets[:, :4], (IMGSZ, IMGSZ), upsample=True)
+            for j in range(len(dets)):
+                m = (masks[j].numpy() > 0.5).astype(np.uint8)
+                contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+                if not contours:
+                    continue
+                poly = max(contours, key=cv2.contourArea).reshape(-1, 2).astype(np.float64)
+                if len(poly) < 3 or cv2.contourArea(poly.astype(np.float32)) < 64:
+                    continue
+                # letterbox frame -> original pixels -> normalized
+                poly[:, 0] = np.clip((poly[:, 0] - px) / r, 0, w) / w
+                poly[:, 1] = np.clip((poly[:, 1] - py) / r, 0, h) / h
+                cls = int(dets[j, 5])
+                coords = " ".join(f"{v:.6g}" for v in poly.reshape(-1))
+                lines.append(f"{cls} {coords}")
+        n_total += len(lines)
+        (root / "labels" / "val" / (p.stem + ".txt")).write_text("\n".join(lines))
+    return n_total
+
+
+@pytest.fixture(scope="module")
+def seg_dataset_and_model(ref_pkg, tmp_path_factory):
+    root = tmp_path_factory.mktemp("map_parity_seg")
+    paths = _make_images(root)
+    tm = _build_torch_seg_model(ref_pkg, paths)
+    n_labels = _generate_seg_labels(tm, paths, root)
+    assert n_labels >= 15, f"dataset degenerate: only {n_labels} GT instances"
+    yaml_path = root / "data.yaml"
+    names = "\n".join(f"  {i}: c{i}" for i in range(NC))
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/val\nval: images/val\nnames:\n{names}\n"
+    )
+    return root, yaml_path, tm
+
+
+def test_e2e_map_parity_segment(seg_dataset_and_model, tmp_path):
+    """Box AND mask mAP parity for the segmentation pipeline (VERDICT #1:
+    'detect AND seg')."""
+    root, yaml_path, tm = seg_dataset_and_model
+
+    import jax
+
+    from fce_yolo_tpu.engine.seg_validator import SegmentationValidator
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "fce_yolo_tpu", "cfg", "models")
+    model, spec, strides = build_model(os.path.join(cfg_dir, "yolo11-seg.yaml"), scale="n", nc=NC)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+    val = SegmentationValidator(
+        model, names={i: f"c{i}" for i in range(NC)}, imgsz=IMGSZ,
+        conf=0.01, iou=0.7, max_det=300, batch_size=4, workers=0,
+    )
+    ours = val(variables, data=str(yaml_path), verbose=False)
+
+    from ultralytics.models.yolo.segment import SegmentationValidator as RefValidator
+
+    args = dict(
+        model=None, data=str(yaml_path), imgsz=IMGSZ, batch=4, conf=0.01,
+        iou=0.7, max_det=300, rect=False, plots=False, save_json=False,
+        device="cpu", half=False, workers=0, verbose=False, mode="val",
+        task="segment", project=str(tmp_path / "refval"), exist_ok=True,
+    )
+    v = RefValidator(args=args)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref = v(model=tm.float())
+
+    for key in ("metrics/mAP50(B)", "metrics/mAP50-95(B)", "metrics/mAP50(M)", "metrics/mAP50-95(M)"):
+        r, o = float(ref[key]), float(ours[key])
+        assert abs(o - r) <= 0.1, (key, o, r)  # BASELINE contract
+    assert float(ref["metrics/mAP50(B)"]) > 0.3, "degenerate reference box mAP"
