@@ -1,0 +1,59 @@
+"""YOLO-World facade (reference WorldModel, nn/tasks.py:824-950 +
+models/yolo/model.py YOLOWorld): open-vocabulary detection with text-defined
+classes. Text embeddings come from the offline hash encoder
+(nn/text_model.py) — stable but NOT semantic; plug a real CLIP encoder by
+overriding :meth:`get_text_pe`."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fce_yolo_tpu.api import YOLO
+
+__all__ = ["YOLOWorld"]
+
+
+class YOLOWorld(YOLO):
+    """Open-vocab detect facade over the WorldDetect graph."""
+
+    def __init__(self, model: str = "/root/reference/ultralytics/cfg/models/v8/yolov8-world.yaml",
+                 **kw):
+        super().__init__(model, **kw)
+        assert self.spec.needs_text, f"not a world config: {model}"
+        # reference placeholder: random text features until set_classes
+        self.txt_feats = np.random.RandomState(0).randn(1, self.spec.nc, 512).astype(np.float32)
+
+    def get_text_pe(self, text: list[str]) -> np.ndarray:
+        from fce_yolo_tpu.nn.text_model import build_text_model
+
+        enc = build_text_model("hash:512")
+        return enc.encode_text(enc.tokenize(text))[None]
+
+    def set_classes(self, text: list[str]) -> None:
+        """Bind class names -> embeddings for offline inference
+        (reference WorldModel.set_classes, tasks.py:861-870)."""
+        self.txt_feats = np.asarray(self.get_text_pe(text), np.float32)
+        self.names = dict(enumerate(text))
+
+    def predict(self, source, **kw):
+        import jax.numpy as jnp
+
+        outer = self.model
+        txt = jnp.asarray(self.txt_feats)
+
+        class _TextBound:
+            """Adapter: injects txt_feats into every apply (the predictor is
+            text-agnostic)."""
+
+            def apply(self, variables, x, train=False, **akw):
+                t = jnp.broadcast_to(txt, (x.shape[0],) + txt.shape[1:])
+                return outer.apply(variables, x, train=train, txt_feats=t, **akw)
+
+        # materialize variables with the REAL model before shimming
+        self._ensure_variables(kw.get("imgsz", 640))
+        real = self.model
+        try:
+            self.model = _TextBound()
+            return super().predict(source, **kw)
+        finally:
+            self.model = real

@@ -98,7 +98,23 @@ def torch_key_to_flax(key: str) -> tuple[str, tuple[str, ...], str] | None:
         if leaf == "weight":
             return ("params", tuple(body + ["kernel"]), "dense_kernel")
         return ("params", tuple(body + [leaf]), "tensor")
-    if parent.startswith("norm"):  # LayerNorm (no running stats)
+    # world-model Linears (MaxSigmoidAttnBlock.gl, ImagePoolingAttn
+    # query/key/value Sequential index 1 + proj)
+    # (a bare "proj" parent only occurs on ImagePoolingAttn's Linear — conv
+    # projs elsewhere are Conv modules whose keys end in .conv.weight)
+    if parent in ("gl", "query_1", "key_1", "value_1", "proj"):
+        if leaf == "weight":
+            return ("params", tuple(body + ["kernel"]), "dense_kernel")
+        return ("params", tuple(body + [leaf]), "tensor")
+    if parent in ("query_0", "key_0", "value_0"):  # world LayerNorms
+        if leaf == "weight":
+            return ("params", tuple(body + ["scale"]), "tensor")
+        return ("params", tuple(body + [leaf]), "tensor")
+    if parent.startswith("norm"):  # LayerNorm, or BatchNorm (BNContrastiveHead)
+        if leaf == "running_mean":
+            return ("batch_stats", tuple(body + ["mean"]), "tensor")
+        if leaf == "running_var":
+            return ("batch_stats", tuple(body + ["var"]), "tensor")
         if leaf == "weight":
             return ("params", tuple(body + ["scale"]), "tensor")
         return ("params", tuple(body + [leaf]), "tensor")
@@ -121,6 +137,10 @@ def torch_key_to_flax(key: str) -> tuple[str, tuple[str, ...], str] | None:
     if parent == "conv":  # ConvBNAct inner conv (bias=False)
         if leaf == "weight":
             return ("params", tuple(body + ["kernel"]), "conv_kernel")
+        return ("params", tuple(body + [leaf]), "tensor")
+    # raw nn.Parameter biases (world MaxSigmoidAttnBlock.bias, ContrastiveHead
+    # cv4_N.bias) — not conv biases
+    if leaf == "bias" and (parent == "attn" or re.fullmatch(r"cv4_\d+", parent or "")):
         return ("params", tuple(body + [leaf]), "tensor")
     if leaf == "weight":
         # bare torch Conv2d (wrapped as our Conv2d module -> "conv2d" scope)

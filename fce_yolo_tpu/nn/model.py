@@ -180,6 +180,27 @@ def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = Fa
 
         return H.V10Detect(nc=a[0], ch=tuple(a[-1]), strides=strides, export=export,
                            name=name)
+    if n == "C2fAttn":
+        from fce_yolo_tpu.nn import world as W
+
+        return W.C2fAttn(c1=a[0], c2=a[1], n=a[2], ec=a[3], nh=a[4],
+                         gc=a[5] if len(a) > 5 else 512, name=name)
+    if n == "ImagePoolingAttn":
+        from fce_yolo_tpu.nn import world as W
+
+        return W.ImagePoolingAttn(
+            ec=a[0], ch=tuple(a[1]), ct=a[2] if len(a) > 2 else 512,
+            nh=a[3] if len(a) > 3 else 8, k=a[4] if len(a) > 4 else 3,
+            scale=a[5] if len(a) > 5 else False, name=name,
+        )
+    if n == "WorldDetect":
+        from fce_yolo_tpu.nn import world as W
+
+        return W.WorldDetect(
+            nc=a[0], embed=a[1] if len(a) > 2 else 512,
+            with_bn=a[2] if len(a) > 3 else False, ch=tuple(a[-1]),
+            strides=strides, export=export, name=name,
+        )
     if n in _POSITIONAL:
         cls = _POSITIONAL[n]
         clean = tuple(tuple(x) if isinstance(x, list) else x for x in a)
@@ -208,9 +229,13 @@ class DetectionModel(nn.Module):
     export: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False, txt_feats: jnp.ndarray | None = None):
         saved: dict[int, jnp.ndarray] = {}
         out: Any = x
+        # open-vocab threading (reference WorldModel.predict, tasks.py:896-940):
+        # C2fAttn consumes the running (possibly ImagePoolingAttn-enhanced)
+        # embeddings; WorldDetect always sees the originals
+        txt = txt0 = txt_feats
         for ls in self.spec.layers:
             if ls.is_multi_input:
                 # negative indices are relative to the current layer
@@ -219,7 +244,15 @@ class DetectionModel(nn.Module):
             else:
                 inp = out if ls.f == -1 else saved[ls.f % ls.i]
             layer = make_layer(ls, self.strides, self.export, legacy=self.spec.legacy)
-            out = layer(inp, train=train)
+            if ls.name == "C2fAttn":
+                out = layer(inp, txt, train=train)
+            elif ls.name == "ImagePoolingAttn":
+                txt = layer(inp, txt, train=train)
+                out = txt
+            elif ls.name == "WorldDetect":
+                out = layer(inp, txt0, train=train)
+            else:
+                out = layer(inp, train=train)
             if ls.i in self.spec.save:
                 saved[ls.i] = out
         return out
@@ -234,10 +267,14 @@ def resolve_strides(spec: ModelSpec, probe: int = 256) -> tuple[int, ...]:
         # inputs (reference RTDETRDetectionModel skips the stride probe too)
         return (8, 16, 32)
     model = DetectionModel(spec=spec, strides=None)
+    txt = (
+        jax.ShapeDtypeStruct((1, spec.nc, 512), jnp.float32) if spec.needs_text else None
+    )
 
     def run(x):
-        variables = model.init(jax.random.PRNGKey(0), x, train=True)
-        out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        t = jnp.zeros(txt.shape, txt.dtype) if txt is not None else None
+        variables = model.init(jax.random.PRNGKey(0), x, train=True, txt_feats=t)
+        out, _ = model.apply(variables, x, train=True, txt_feats=t, mutable=["batch_stats"])
         return out
 
     shapes = jax.eval_shape(run, jax.ShapeDtypeStruct((1, probe, probe, 3), jnp.float32))
@@ -274,13 +311,23 @@ def init_variables(
 ) -> dict:
     """Initialize variables and apply the Detect bias priors (head.py:169-188)."""
     x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
-    variables = unfreeze(model.init(rng, x, train=True))
+    txt = (
+        jnp.zeros((1, model.spec.nc, 512), jnp.float32) if model.spec.needs_text else None
+    )
+    variables = unfreeze(model.init(rng, x, train=True, txt_feats=txt))
     head_ls = model.spec.layers[-1]
     if bias_prior and head_ls.name in ("Detect", "Segment", "Pose", "OBB"):
         prefix = f"layers_{head_ls.i}"
         if head_ls.name != "Detect":  # nested Detect submodule in task heads
             prefix += "/detect"
         variables = M.Detect.bias_init_fn(variables, model.spec.nc, model.strides, prefix)
+    elif bias_prior and head_ls.name == "WorldDetect":
+        # box-branch prior only (reference WorldDetect.bias_init, head.py:487)
+        head = variables["params"][f"layers_{head_ls.i}"]
+        for i in range(len(model.strides)):
+            head[f"cv2_{i}_2"]["conv2d"]["bias"] = jnp.ones_like(
+                head[f"cv2_{i}_2"]["conv2d"]["bias"]
+            )
     return variables
 
 

@@ -26,13 +26,13 @@ _BASE = {
     "Focus", "Bottleneck", "GhostBottleneck", "SPP", "SPPF", "C2PSA", "C2fPSA",
     "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3x", "C3Ghost",
     "RepC3", "RepNCSPELAN4", "ELAN1", "ADown", "AConv", "SPPELAN", "PSA",
-    "SCDown", "C2fCIB", "A2C2f",
+    "SCDown", "C2fCIB", "A2C2f", "C2fAttn",
 }
 # Modules with an insertable repeat count (reference repeat_modules frozenset,
 # tasks.py:1563-1580).
 _REPEAT = {
     "BottleneckCSP", "C1", "C2", "C2f", "C3", "C3k", "C3k2", "C3x", "C3Ghost",
-    "RepC3", "C2fPSA", "C2fCIB", "C2PSA", "A2C2f",
+    "RepC3", "C2fPSA", "C2fCIB", "C2PSA", "A2C2f", "C2fAttn",
 }
 
 
@@ -66,6 +66,13 @@ class ModelSpec:
         return {"Detect": "detect", "Segment": "segment", "Pose": "pose",
                 "OBB": "obb", "Classify": "classify",
                 "RTDETRDecoder": "rtdetr"}.get(head, "detect")
+
+    @property
+    def needs_text(self) -> bool:
+        """True for open-vocab graphs whose forward takes text embeddings."""
+        return any(
+            ls.name in ("C2fAttn", "ImagePoolingAttn", "WorldDetect") for ls in self.layers
+        )
 
 
 def _adaptive_reduction(inp: int) -> int:
@@ -142,6 +149,12 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
                     args.extend((True, 1.2))
             if name == "C2fCIB":
                 legacy = False
+            if name == "C2fAttn":  # embed channels + heads scaling (tasks.py:1599-1601)
+                args[3] = make_divisible(min(args[3], max_channels // 2) * width, 8)
+                args[4] = int(
+                    max(round(min(args[4], max_channels // 2 // 32) * width), 1)
+                    if args[4] > 1 else args[4]
+                )
         elif name == "AIFI":
             args = [ch_list[f], *args]
             c2 = ch_list[f]
@@ -190,6 +203,13 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
         elif name in ("nn.MaxPool2d", "nn.ZeroPad2d", "nn.Identity"):
             c2 = ch_list[f]
         elif name == "v10Detect":
+            args = [*args, [ch_list[x] for x in f]]
+            c2 = ch_list[f[-1]]
+        elif name == "ImagePoolingAttn":
+            # (ec, ch, ct, nh, k, scale) — text passthrough, c2 irrelevant
+            args = [args[0] if args else 256, [ch_list[x] for x in f], *args[1:]]
+            c2 = ch_list[f[-1]]
+        elif name == "WorldDetect":
             args = [*args, [ch_list[x] for x in f]]
             c2 = ch_list[f[-1]]
         elif name in ("Detect", "Segment", "Pose", "OBB"):

@@ -55,3 +55,17 @@ def test_fastsam_prompts():
     # background point removes everything
     out = FastSAM.prompt([R()], points=[[80, 80]], labels=[0])
     assert np.asarray(out[0].masks.data).shape[0] == 1  # all-kept minus bg hit
+
+
+def test_yoloworld_set_classes_and_predict():
+    """Open-vocab facade: set_classes rebinds names + embeddings; predict
+    runs the text-conditioned graph end-to-end (offline hash embeddings)."""
+    from fce_yolo_tpu.models import YOLOWorld
+
+    m = YOLOWorld()
+    m.set_classes(["cat", "dog", "bird"])
+    assert m.names == {0: "cat", 1: "dog", 2: "bird"}
+    assert m.txt_feats.shape == (1, 3, 512)
+    img = np.full((96, 128, 3), 120, np.uint8)
+    results = m.predict(img, imgsz=64, conf=0.0)
+    assert len(results) == 1

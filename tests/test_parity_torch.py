@@ -486,3 +486,51 @@ def test_yolov10_forward_parity(ref_ultralytics):
         np.sort(ours6[:, 4])[::-1], np.sort(ref6[:, 4])[::-1], rtol=1e-3, atol=1e-4
     )
     np.testing.assert_allclose(canon(ours6), canon(ref6), rtol=1e-2, atol=5e-3)
+
+
+@pytest.mark.parametrize("rel", ["v8/yolov8-world.yaml", "v8/yolov8-worldv2.yaml"])
+def test_world_forward_parity(ref_ultralytics, rel):
+    """YOLO-World: C2fAttn guidance + ImagePoolingAttn text enhancement +
+    WorldDetect contrastive scores match torch bit-for-bit on shared weights
+    and the SAME (random) text embeddings — the blocks need no CLIP."""
+    import yaml as pyyaml
+
+    import jax
+    import jax.numpy as jnp
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+    from ultralytics.nn.tasks import WorldModel
+
+    path = os.path.join(REF, "ultralytics/cfg/models", rel)
+    d = pyyaml.safe_load(open(path))
+    d["scale"] = "n"
+    torch.manual_seed(2)
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = WorldModel(d, verbose=False)
+    tm.eval().float()
+
+    model, spec, strides = build_model(path, scale="n")
+    txt_np = np.random.RandomState(9).randn(1, spec.nc, 512).astype(np.float32)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True,
+            txt_feats=jnp.zeros((1, spec.nc, 512), jnp.float32),
+        )
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+    with torch.no_grad():
+        t_decoded, t_feats = tm.predict(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), txt_feats=torch.from_numpy(txt_np)
+        )
+    out = model.apply(variables, x, train=False, txt_feats=jnp.asarray(txt_np))
+    for lvl, tf in enumerate(t_feats):
+        np.testing.assert_allclose(
+            np.asarray(out["feats"][lvl]).transpose(0, 3, 1, 2), tf.numpy(),
+            rtol=1e-3, atol=3e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["preds"]).transpose(0, 2, 1), t_decoded.numpy(), rtol=1e-3, atol=5e-4
+    )

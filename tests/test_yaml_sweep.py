@@ -23,8 +23,7 @@ from fce_yolo_tpu.nn.model import build_model
 REF_CFG = "/root/reference/ultralytics/cfg/models"
 
 EXCLUDE = (
-    "yoloe",  # text/visual-prompt models: CLIP text encoder unavailable
-    "world",
+    "yoloe",  # visual-prompt blocks (SAVPE/LRPC) not yet built
     "resnet18",  # TorchVision wrapper (torch-hub model zoo, out of scope)
 )
 
@@ -55,9 +54,13 @@ def _build_and_check(path, abstract: bool):
 
     imgsz = 64
 
+    txt = (
+        jnp.zeros((1, spec.nc, 512), jnp.float32) if spec.needs_text else None
+    )
+
     def run(x):
-        variables = model.init(jax.random.PRNGKey(0), x, train=True)
-        out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        variables = model.init(jax.random.PRNGKey(0), x, train=True, txt_feats=txt)
+        out, _ = model.apply(variables, x, train=True, txt_feats=txt, mutable=["batch_stats"])
         return out
 
     if abstract:  # zero-FLOP trace: validates graph wiring + channel math
