@@ -1347,7 +1347,7 @@ MODULE_REGISTRY: dict[str, Any] = {}
 
 def register_modules() -> dict[str, Any]:
     """Name -> constructor registry used by the YAML parser."""
-    from fce_yolo_tpu.nn import fce, heads, transformer
+    from fce_yolo_tpu.nn import fce, heads, transformer, world
 
     MODULE_REGISTRY.update(
         {
@@ -1424,6 +1424,80 @@ def register_modules() -> dict[str, Any]:
             "nn.ConvTranspose2d": ConvTranspose2d,
             "nn.Identity": Identity,
             "nn.ZeroPad2d": ZeroPad2d,
+            "AGLU": AGLU,
+            "C3TR": C3TR,
+            "DWConvTranspose2d": DWConvTranspose2d,
+            "TransformerLayer": transformer.TransformerLayer,
+            "TransformerBlock": transformer.TransformerBlock,
+            "C2fAttn": world.C2fAttn,
+            "ImagePoolingAttn": world.ImagePoolingAttn,
+            "WorldDetect": world.WorldDetect,
+            "MaxSigmoidAttnBlock": world.MaxSigmoidAttnBlock,
+            "ContrastiveHead": world.ContrastiveHead,
+            "BNContrastiveHead": world.BNContrastiveHead,
         }
     )
     return MODULE_REGISTRY
+
+
+class AGLU(nn.Module):
+    """Adaptive Gated Linear Unit activation (reference nn/modules/
+    activation.py:8-55): exp((1/lambda) * softplus_{beta=-1}(kappa*x -
+    log(lambda))) with learnable scalar lambda/kappa."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        lambd = self.param("lambd", lambda k: jax.random.uniform(k, (1,)))
+        kappa = self.param("kappa", lambda k: jax.random.uniform(k, (1,)))
+        lam = jnp.clip(lambd, 0.0001, None)
+        # torch Softplus(beta=-1): -log(1 + exp(-x))
+        y = self.kappa_softplus(kappa * x - jnp.log(lam))
+        return jnp.exp(y / lam)
+
+    @staticmethod
+    def kappa_softplus(x):
+        return -jnp.log1p(jnp.exp(-x))
+
+
+class C3TR(C3):
+    """C3 with a TransformerBlock inner (reference block.py:394-404)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from fce_yolo_tpu.nn.transformer import TransformerBlock
+
+        c_ = int(self.c2 * self.e)
+        a = ConvBNAct(c_, 1, 1, name="cv1")(x, train)
+        b = ConvBNAct(c_, 1, 1, name="cv2")(x, train)
+        a = TransformerBlock(c_, c_, 4, self.n, name="m")(a, train)
+        return ConvBNAct(self.c2, 1, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class DWConvTranspose2d(nn.Module):
+    """Depthwise transposed conv (reference conv.py:202-218)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    p1: int = 0
+    p2: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # flax ConvTranspose has no grouping — run per-group slices (the
+        # depthwise case is tiny; this module exists for API completeness)
+        g = math.gcd(self.c1, self.c2)
+        cin, cout = self.c1 // g, self.c2 // g
+        parts = []
+        for gi in range(g):
+            parts.append(nn.ConvTranspose(
+                cout, (self.k, self.k), (self.s, self.s), padding="VALID",
+                use_bias=True, name=f"conv_transpose2d_g{gi}",
+            )(x[..., gi * cin : (gi + 1) * cin]))
+        y = jnp.concatenate(parts, axis=-1)
+        if self.p1:
+            y = y[:, self.p1 : y.shape[1] - self.p1, self.p1 : y.shape[2] - self.p1, :]
+        if self.p2:
+            y = jnp.pad(y, ((0, 0), (0, self.p2), (0, self.p2), (0, 0)))
+        return y

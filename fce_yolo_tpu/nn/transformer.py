@@ -288,3 +288,45 @@ class DeformableTransformerDecoderLayer(nn.Module):
         ffn = nn.Dense(self.d_ffn, name="linear1")(embed)
         ffn = nn.Dense(self.d_model, name="linear2")(getattr(jax.nn, self.act)(ffn))
         return nn.LayerNorm(name="norm3")(embed + ffn)
+
+
+class TransformerLayer(nn.Module):
+    """LayerNorm-free ViT layer (reference transformer.py:243-271): separate
+    q/k/v Linears feeding a torch-layout MHA, then a bias-free 2-layer FFN,
+    both with residuals."""
+
+    c: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        q = nn.Dense(self.c, use_bias=False, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, name="v")(x)
+        x = _TorchMHA(self.c, self.num_heads, name="ma")(q, k, v) + x
+        y = nn.Dense(self.c, use_bias=False, name="fc1")(x)
+        return nn.Dense(self.c, use_bias=False, name="fc2")(y) + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT block over the flattened grid (reference transformer.py:274-330):
+    optional channel-matching Conv, learned position embedding Linear, then
+    n TransformerLayers."""
+
+    c1: int
+    c2: int
+    num_heads: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from fce_yolo_tpu.nn.modules import ConvBNAct
+
+        if self.c1 != self.c2:
+            x = ConvBNAct(self.c2, 1, name="conv")(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        p = p + nn.Dense(self.c2, name="linear")(p)  # learned position embedding
+        for i in range(self.num_layers):
+            p = TransformerLayer(self.c2, self.num_heads, name=f"tr_{i}")(p, train)
+        return p.reshape(b, h, w, self.c2)

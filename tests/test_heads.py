@@ -82,3 +82,26 @@ def test_scale_letter_resolution():
 
     spec = load_model_yaml("yolo11s-seg.yaml")
     assert spec.scale == "s" and spec.task == "segment"
+
+
+def test_small_fry_modules():
+    """AGLU / C3TR / DWConvTranspose2d / TransformerLayer forward shapes
+    (reference activation.py:8, block.py:394, conv.py:202, transformer.py:243)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fce_yolo_tpu.nn.modules import AGLU, C3TR, DWConvTranspose2d
+    from fce_yolo_tpu.nn.transformer import TransformerBlock
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 16), jnp.float32)
+    cases = [
+        (AGLU(), (1, 8, 8, 16)),
+        (C3TR(c1=16, c2=16, n=1), (1, 8, 8, 16)),
+        (DWConvTranspose2d(c1=16, c2=16, k=2, s=2), (1, 16, 16, 16)),
+        (TransformerBlock(c1=16, c2=32, num_heads=4, num_layers=2), (1, 8, 8, 32)),
+    ]
+    for m, shape in cases:
+        v = m.init(jax.random.PRNGKey(0), x, train=True)
+        y = m.apply(v, x, train=False)
+        assert y.shape == shape and bool(jnp.isfinite(y).all()), type(m).__name__
