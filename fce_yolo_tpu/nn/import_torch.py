@@ -102,7 +102,7 @@ def torch_key_to_flax(key: str) -> tuple[str, tuple[str, ...], str] | None:
     # query/key/value Sequential index 1 + proj)
     # (a bare "proj" parent only occurs on ImagePoolingAttn's Linear — conv
     # projs elsewhere are Conv modules whose keys end in .conv.weight)
-    if parent in ("gl", "query_1", "key_1", "value_1", "proj"):
+    if parent in ("gl", "query_1", "key_1", "value_1", "proj", "w12", "w3"):
         if leaf == "weight":
             return ("params", tuple(body + ["kernel"]), "dense_kernel")
         return ("params", tuple(body + [leaf]), "tensor")
@@ -192,7 +192,15 @@ def state_dict_to_variables(
                 if not isinstance(t_layer, (dict,)) or not isinstance(sub, dict):
                     continue
                 if "detect" in t_layer and "detect" not in sub:
-                    moved = {k: sub.pop(k) for k in list(sub) if k.startswith(("cv2_", "cv3_"))}
+                    # move any flat torch key that the template nests under
+                    # the detect scope (cv2_/cv3_ trunks; YOLOE adds cv4_,
+                    # reprta, savpe)
+                    t_det = t_layer["detect"]
+                    moved = {
+                        k: sub.pop(k)
+                        for k in list(sub)
+                        if k not in t_layer and k in t_det
+                    }
                     if moved:
                         sub["detect"] = moved
 

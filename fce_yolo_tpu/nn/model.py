@@ -201,6 +201,22 @@ def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = Fa
             with_bn=a[2] if len(a) > 3 else False, ch=tuple(a[-1]),
             strides=strides, export=export, name=name,
         )
+    if n == "YOLOEDetect":
+        from fce_yolo_tpu.nn import yoloe as Y
+
+        return Y.YOLOEDetect(
+            nc=a[0], embed=a[1] if len(a) > 2 else 512,
+            with_bn=a[2] if len(a) > 3 else True, ch=tuple(a[-1]),
+            strides=strides, export=export, name=name,
+        )
+    if n == "YOLOESegment":
+        from fce_yolo_tpu.nn import yoloe as Y
+
+        return Y.YOLOESegment(
+            nc=a[0], nm=a[1] if len(a) > 2 else 32, npr=a[2] if len(a) > 3 else 256,
+            embed=a[3] if len(a) > 4 else 512, with_bn=a[4] if len(a) > 5 else True,
+            ch=tuple(a[-1]), strides=strides, export=export, name=name,
+        )
     if n in _POSITIONAL:
         cls = _POSITIONAL[n]
         clean = tuple(tuple(x) if isinstance(x, list) else x for x in a)
@@ -249,7 +265,7 @@ class DetectionModel(nn.Module):
             elif ls.name == "ImagePoolingAttn":
                 txt = layer(inp, txt, train=train)
                 out = txt
-            elif ls.name == "WorldDetect":
+            elif ls.name in ("WorldDetect", "YOLOEDetect", "YOLOESegment"):
                 out = layer(inp, txt0, train=train)
             else:
                 out = layer(inp, train=train)

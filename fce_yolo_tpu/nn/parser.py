@@ -65,13 +65,16 @@ class ModelSpec:
         head = self.layers[-1].name
         return {"Detect": "detect", "Segment": "segment", "Pose": "pose",
                 "OBB": "obb", "Classify": "classify",
-                "RTDETRDecoder": "rtdetr"}.get(head, "detect")
+                "RTDETRDecoder": "rtdetr",
+                "YOLOESegment": "segment"}.get(head, "detect")
 
     @property
     def needs_text(self) -> bool:
         """True for open-vocab graphs whose forward takes text embeddings."""
         return any(
-            ls.name in ("C2fAttn", "ImagePoolingAttn", "WorldDetect") for ls in self.layers
+            ls.name in ("C2fAttn", "ImagePoolingAttn", "WorldDetect",
+                        "YOLOEDetect", "YOLOESegment")
+            for ls in self.layers
         )
 
 
@@ -210,6 +213,13 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
             args = [args[0] if args else 256, [ch_list[x] for x in f], *args[1:]]
             c2 = ch_list[f[-1]]
         elif name == "WorldDetect":
+            args = [*args, [ch_list[x] for x in f]]
+            c2 = ch_list[f[-1]]
+        elif name in ("YOLOEDetect", "YOLOESegment"):
+            # YOLOEDetect [nc, embed, with_bn]; YOLOESegment [nc, nm, npr,
+            # embed, with_bn] (npr width-scales like Segment, tasks.py:1712)
+            if name == "YOLOESegment" and len(args) > 2:
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)
             args = [*args, [ch_list[x] for x in f]]
             c2 = ch_list[f[-1]]
         elif name in ("Detect", "Segment", "Pose", "OBB"):

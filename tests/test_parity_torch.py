@@ -534,3 +534,138 @@ def test_world_forward_parity(ref_ultralytics, rel):
     np.testing.assert_allclose(
         np.asarray(out["preds"]).transpose(0, 2, 1), t_decoded.numpy(), rtol=1e-3, atol=5e-4
     )
+
+
+@pytest.mark.parametrize("rel,seg", [("11/yoloe-11.yaml", False), ("11/yoloe-11-seg.yaml", True)])
+def test_yoloe_forward_parity(ref_ultralytics, rel, seg):
+    """YOLOE prompt heads: reprta text adapter + contrastive scores (and the
+    seg variant's proto/coef branches) match torch on shared weights + raw
+    text embeddings. Visual-prompt SAVPE parity is covered separately."""
+    import yaml as pyyaml
+
+    import jax
+    import jax.numpy as jnp
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+    from ultralytics.nn.tasks import YOLOEModel
+
+    path = os.path.join(REF, "ultralytics/cfg/models", rel)
+    d = pyyaml.safe_load(open(path))
+    d["scale"] = "n"
+    torch.manual_seed(6)
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = YOLOEModel(d, verbose=False)
+    tm.eval().float()
+
+    model, spec, strides = build_model(path, scale="n")
+    txt_np = np.random.RandomState(12).randn(1, spec.nc, 512).astype(np.float32)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True,
+            txt_feats=jnp.zeros((1, spec.nc, 512), jnp.float32),
+        )
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    rng = np.random.RandomState(8)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm.predict(torch.from_numpy(x.transpose(0, 3, 1, 2)), tpe=torch.from_numpy(txt_np))
+    out = model.apply(variables, x, train=False, txt_feats=jnp.asarray(txt_np))
+
+    if seg:
+        dec, (feats, mc, proto) = t_out
+        np.testing.assert_allclose(
+            np.asarray(out["proto"]).transpose(0, 3, 1, 2), proto.numpy(), rtol=1e-3, atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["preds"]).transpose(0, 2, 1), dec.numpy(), rtol=1e-3, atol=7e-4
+        )
+    else:
+        dec, feats = t_out
+        for lvl, tf in enumerate(feats):
+            np.testing.assert_allclose(
+                np.asarray(out["feats"][lvl]).transpose(0, 3, 1, 2), tf.numpy(),
+                rtol=1e-3, atol=3e-4,
+            )
+        np.testing.assert_allclose(
+            np.asarray(out["preds"]).transpose(0, 2, 1), dec.numpy(), rtol=1e-3, atol=5e-4
+        )
+
+
+def test_yoloe_savpe_visual_prompt_parity(ref_ultralytics):
+    """SAVPE visual-prompt embeddings match torch get_vpe on shared weights."""
+    import yaml as pyyaml
+
+    import jax
+    import jax.numpy as jnp
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+    from ultralytics.nn.tasks import YOLOEModel
+
+    path = os.path.join(REF, "ultralytics/cfg/models/11/yoloe-11.yaml")
+    d = pyyaml.safe_load(open(path))
+    d["scale"] = "n"
+    torch.manual_seed(6)
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = YOLOEModel(d, verbose=False)
+    tm.eval().float()
+
+    model, spec, strides = build_model(path, scale="n")
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True,
+            txt_feats=jnp.zeros((1, spec.nc, 512), jnp.float32),
+        )
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 160, 160, 3).astype(np.float32)
+    # two visual prompts as binary masks on the P3 (stride-8) grid
+    vp = np.zeros((1, 2, 20, 20), np.float32)
+    vp[0, 0, 2:8, 3:9] = 1.0
+    vp[0, 1, 10:18, 10:16] = 1.0
+
+    with torch.no_grad():
+        t_vpe = tm.predict(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), vpe=torch.from_numpy(vp),
+            return_vpe=True,
+        )
+    out = model.apply(
+        variables, x, train=False,
+        txt_feats=jnp.zeros((1, spec.nc, 512), jnp.float32),
+    )
+    # drive SAVPE via the head with visual prompts and compare the resulting
+    # contrastive scores? simpler: run the full model with visual prompts and
+    # the torch model with cls_pe = its own vpe — both heads then score
+    # against identical embeddings, so compare the vpe tensors directly.
+    # our executor path doesn't expose vpe; recompute via the head module.
+    from fce_yolo_tpu.nn.yoloe import SAVPE
+
+    head_ls = spec.layers[-1]
+    ch = tuple(head_ls.args[-1])
+    c3 = max(ch[0], min(spec.nc, 100))
+    sav = SAVPE(ch, c3, 512)
+    sav_params = {
+        "params": variables["params"][f"layers_{head_ls.i}"]["savpe"],
+        "batch_stats": variables["batch_stats"][f"layers_{head_ls.i}"]["savpe"],
+    }
+    # P3/P4/P5 features: re-run the backbone up to the head inputs
+    inter = {}
+    feats_idx = head_ls.f
+    # reuse torch intermediate features for exactness of SAVPE input
+    acts = {}
+    def hook(i):
+        def fn(m, inp, out):
+            acts[i] = out
+        return fn
+    hs = [tm.model[i].register_forward_hook(hook(i)) for i in feats_idx]
+    with torch.no_grad():
+        tm.predict(torch.from_numpy(x.transpose(0, 3, 1, 2)), tpe=torch.from_numpy(
+            np.zeros((1, spec.nc, 512), np.float32)))
+    for h in hs:
+        h.remove()
+    xs = [jnp.asarray(acts[i].numpy().transpose(0, 2, 3, 1)) for i in feats_idx]
+    ours_vpe = sav.apply(sav_params, xs, jnp.asarray(vp), False)
+    np.testing.assert_allclose(np.asarray(ours_vpe), t_vpe.numpy(), rtol=1e-3, atol=1e-4)

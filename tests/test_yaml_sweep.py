@@ -23,8 +23,9 @@ from fce_yolo_tpu.nn.model import build_model
 REF_CFG = "/root/reference/ultralytics/cfg/models"
 
 EXCLUDE = (
-    "yoloe",  # visual-prompt blocks (SAVPE/LRPC) not yet built
-    "resnet18",  # TorchVision wrapper (torch-hub model zoo, out of scope)
+    # TorchVision wrapper config: loads torch-hub resnet18 weights at build
+    # time — a torch-model-zoo passthrough, not an architecture to rebuild
+    "resnet18",
 )
 
 
