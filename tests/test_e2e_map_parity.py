@@ -384,3 +384,218 @@ def test_e2e_map_parity_segment(seg_dataset_and_model, tmp_path):
         r, o = float(ref[key]), float(ours[key])
         assert abs(o - r) <= 0.1, (key, o, r)  # BASELINE contract
     assert float(ref["metrics/mAP50(B)"]) > 0.3, "degenerate reference box mAP"
+
+
+# ---------------------------------------------------------------------------
+# pose: box + OKS-pose mAP vs the reference PoseValidator
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_task_model(ref_pkg, img_paths, yaml_rel, cls_name, seed):
+    import yaml as pyyaml
+
+    from ultralytics.nn import tasks as ref_tasks
+
+    d = pyyaml.safe_load(open(os.path.join(REF, "ultralytics/cfg/models/11", yaml_rel)))
+    d["scale"] = "n"
+    d["nc"] = NC
+    torch.manual_seed(seed)
+    with contextlib.redirect_stdout(io.StringIO()):
+        tm = getattr(ref_tasks, cls_name)(d, verbose=False)
+    tm.float()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.momentum = 1.0
+    tm.train()
+    with torch.no_grad():
+        imgs = []
+        for p in img_paths[:8]:
+            img, _, _ = _letterbox_np(cv2.imread(str(p)))
+            imgs.append(img[..., ::-1].transpose(2, 0, 1).astype(np.float32) / 255.0)
+        tm(torch.from_numpy(np.stack(imgs)))
+    tm.eval()
+    with torch.no_grad():
+        for m in tm.model[-1].cv3:
+            m[-1].bias += 2.0
+    return tm
+
+
+def _generate_pose_labels(tm, img_paths, root):
+    """GT = the pose model's own confident predictions (box + 17 kpts)."""
+    from ultralytics.utils.nms import non_max_suppression
+
+    n_total = 0
+    for p in img_paths:
+        img = cv2.imread(str(p))
+        h, w = img.shape[:2]
+        lb, r, (px, py) = _letterbox_np(img)
+        x = lb[..., ::-1].transpose(2, 0, 1)[None].astype(np.float32) / 255.0
+        with torch.no_grad():
+            preds = tm(torch.from_numpy(x.copy()))
+        dets = non_max_suppression(
+            preds[0], conf_thres=0.05, iou_thres=0.7, max_det=12, nc=NC, max_time_img=60.0
+        )[0].numpy()
+        lines = []
+        for row in dets:
+            x1, y1, x2, y2, conf, cls = row[:6]
+            kpts = row[6:].reshape(17, 3)
+            x1 = np.clip((x1 - px) / r, 0, w); x2 = np.clip((x2 - px) / r, 0, w)
+            y1 = np.clip((y1 - py) / r, 0, h); y2 = np.clip((y2 - py) / r, 0, h)
+            bw, bh = (x2 - x1) / w, (y2 - y1) / h
+            if bw <= 0.01 or bh <= 0.01:
+                continue
+            parts = [f"{int(cls)} {(x1+x2)/2/w:.6f} {(y1+y2)/2/h:.6f} {bw:.6f} {bh:.6f}"]
+            for kx, ky, kv in kpts:
+                kx = np.clip((kx - px) / r, 0, w) / w
+                ky = np.clip((ky - py) / r, 0, h) / h
+                parts.append(f"{kx:.6f} {ky:.6f} {2 if kv > 0.5 else 1}")
+            lines.append(" ".join(parts))
+        n_total += len(lines)
+        (root / "labels" / "val" / (p.stem + ".txt")).write_text("\n".join(lines))
+    return n_total
+
+
+def test_e2e_map_parity_pose(ref_pkg, tmp_path_factory, tmp_path):
+    """Box AND OKS-pose mAP parity vs the reference PoseValidator."""
+    root = tmp_path_factory.mktemp("map_parity_pose")
+    paths = _make_images(root)
+    tm = _build_torch_task_model(ref_pkg, paths, "yolo11-pose.yaml", "PoseModel", 11)
+    n = _generate_pose_labels(tm, paths, root)
+    assert n >= 15, f"degenerate pose dataset: {n}"
+    yaml_path = root / "data.yaml"
+    names = "\n".join(f"  {i}: c{i}" for i in range(NC))
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/val\nval: images/val\nkpt_shape: [17, 3]\n"
+        f"flip_idx: [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]\n"
+        f"names:\n{names}\n"
+    )
+
+    import jax
+
+    from fce_yolo_tpu.engine.task_validators import PoseValidator
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "fce_yolo_tpu", "cfg", "models")
+    model, spec, strides = build_model(os.path.join(cfg_dir, "yolo11-pose.yaml"), scale="n", nc=NC)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+    val = PoseValidator(
+        model, names={i: f"c{i}" for i in range(NC)}, imgsz=IMGSZ,
+        conf=0.01, iou=0.7, max_det=300, batch_size=4, workers=0,
+    )
+    ours = val(variables, data=str(yaml_path), verbose=False)
+
+    from ultralytics.models.yolo.pose import PoseValidator as RefValidator
+
+    args = dict(
+        model=None, data=str(yaml_path), imgsz=IMGSZ, batch=4, conf=0.01,
+        iou=0.7, max_det=300, rect=False, plots=False, save_json=False,
+        device="cpu", half=False, workers=0, verbose=False, mode="val",
+        task="pose", project=str(tmp_path / "refval"), exist_ok=True,
+    )
+    v = RefValidator(args=args)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref = v(model=tm.float())
+
+    for key in ("metrics/mAP50(B)", "metrics/mAP50-95(B)", "metrics/mAP50(P)", "metrics/mAP50-95(P)"):
+        r, o = float(ref[key]), float(ours[key])
+        assert abs(o - r) <= 0.1, (key, o, r)
+    assert float(ref["metrics/mAP50(B)"]) > 0.3, "degenerate reference pose box mAP"
+
+
+# ---------------------------------------------------------------------------
+# obb: rotated-box mAP vs the reference OBBValidator
+# ---------------------------------------------------------------------------
+
+
+def _generate_obb_labels(tm, img_paths, root):
+    """GT = the OBB model's own confident rotated predictions as DOTA
+    8-corner label rows."""
+    from ultralytics.utils.nms import non_max_suppression
+    from ultralytics.utils.ops import xywhr2xyxyxyxy
+
+    n_total = 0
+    for p in img_paths:
+        img = cv2.imread(str(p))
+        h, w = img.shape[:2]
+        lb, r, (px, py) = _letterbox_np(img)
+        x = lb[..., ::-1].transpose(2, 0, 1)[None].astype(np.float32) / 255.0
+        with torch.no_grad():
+            preds = tm(torch.from_numpy(x.copy()))
+        dets = non_max_suppression(
+            preds[0], conf_thres=0.05, iou_thres=0.7, max_det=12, nc=NC,
+            rotated=True, max_time_img=60.0,
+        )[0]
+        lines = []
+        if len(dets):
+            rbox = torch.cat([dets[:, :4], dets[:, 6:7]], dim=-1)  # xywhr
+            corners = xywhr2xyxyxyxy(rbox).numpy()  # (N, 4, 2) letterbox frame
+            for j in range(len(dets)):
+                c = corners[j].astype(np.float64)
+                c[:, 0] = np.clip((c[:, 0] - px) / r, 0, w) / w
+                c[:, 1] = np.clip((c[:, 1] - py) / r, 0, h) / h
+                bw = c[:, 0].max() - c[:, 0].min()
+                bh = c[:, 1].max() - c[:, 1].min()
+                if bw <= 0.01 or bh <= 0.01:
+                    continue
+                cls = int(dets[j, 5])
+                coords = " ".join(f"{v:.6f}" for v in c.reshape(-1))
+                lines.append(f"{cls} {coords}")
+        n_total += len(lines)
+        (root / "labels" / "val" / (p.stem + ".txt")).write_text("\n".join(lines))
+    return n_total
+
+
+def test_e2e_map_parity_obb(ref_pkg, tmp_path_factory, tmp_path):
+    """Rotated (probiou-matched) mAP parity vs the reference OBBValidator."""
+    root = tmp_path_factory.mktemp("map_parity_obb")
+    paths = _make_images(root)
+    tm = _build_torch_task_model(ref_pkg, paths, "yolo11-obb.yaml", "OBBModel", 13)
+    n = _generate_obb_labels(tm, paths, root)
+    assert n >= 15, f"degenerate obb dataset: {n}"
+    yaml_path = root / "data.yaml"
+    names = "\n".join(f"  {i}: c{i}" for i in range(NC))
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/val\nval: images/val\nnames:\n{names}\n"
+    )
+
+    import jax
+
+    from fce_yolo_tpu.engine.task_validators import OBBValidator
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "fce_yolo_tpu", "cfg", "models")
+    model, spec, strides = build_model(os.path.join(cfg_dir, "yolo11-obb.yaml"), scale="n", nc=NC)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+    # conf=0.15: the reference's rotated NMS is a sequential CPU loop with a
+    # 2.2 s time limit that silently truncates at conf=0.01 candidate counts,
+    # corrupting its own mAP — both validators use the same raised threshold
+    val = OBBValidator(
+        model, names={i: f"c{i}" for i in range(NC)}, imgsz=IMGSZ,
+        conf=0.15, iou=0.7, max_det=300, batch_size=4, workers=0,
+    )
+    ours = val(variables, data=str(yaml_path), verbose=False)
+
+    from ultralytics.models.yolo.obb import OBBValidator as RefValidator
+
+    args = dict(
+        model=None, data=str(yaml_path), imgsz=IMGSZ, batch=4, conf=0.15,
+        iou=0.7, max_det=300, rect=False, plots=False, save_json=False,
+        device="cpu", half=False, workers=0, verbose=False, mode="val",
+        task="obb", project=str(tmp_path / "refval"), exist_ok=True,
+    )
+    v = RefValidator(args=args)
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref = v(model=tm.float())
+
+    for key in ("metrics/mAP50(B)", "metrics/mAP50-95(B)"):
+        r, o = float(ref[key]), float(ours[key])
+        assert abs(o - r) <= 0.1, (key, o, r)
+    assert float(ref["metrics/mAP50(B)"]) > 0.3, "degenerate reference obb mAP"
