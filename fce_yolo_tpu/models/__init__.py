@@ -3,6 +3,6 @@
 from fce_yolo_tpu.models.fastsam import FastSAM
 from fce_yolo_tpu.models.nas import NAS
 from fce_yolo_tpu.models.rtdetr import RTDETR
-from fce_yolo_tpu.models.world import YOLOWorld
+from fce_yolo_tpu.models.world import YOLOWorld, YOLOWorldTrainable
 
-__all__ = ["FastSAM", "NAS", "RTDETR", "YOLOWorld"]
+__all__ = ["FastSAM", "NAS", "RTDETR", "YOLOWorld", "YOLOWorldTrainable"]

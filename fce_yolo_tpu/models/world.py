@@ -57,3 +57,54 @@ class YOLOWorld(YOLO):
             return super().predict(source, **kw)
         finally:
             self.model = real
+
+
+class _TextBoundModel:
+    """Module adapter binding txt_feats for text-agnostic engine code
+    (trainer/predictor/validator jit the wrapped apply at trace time)."""
+
+    def __init__(self, model, txt):
+        self._model = model
+        self._txt = txt
+
+    def __getattr__(self, k):
+        return getattr(self._model, k)
+
+    def apply(self, variables, x, train=False, **kw):
+        import jax.numpy as jnp
+
+        t = jnp.broadcast_to(self._txt, (x.shape[0],) + self._txt.shape[1:])
+        return self._model.apply(variables, x, train=train, txt_feats=t, **kw)
+
+
+def _bind_text(fn):
+    """Run a facade method with the model swapped for its text-bound shim."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        import jax.numpy as jnp
+
+        self._ensure_variables(kw.get("imgsz", 640))
+        real = self.model
+        try:
+            self.model = _TextBoundModel(real, jnp.asarray(self.txt_feats))
+            return fn(self, *a, **kw)
+        finally:
+            self.model = real
+
+    return wrapper
+
+
+class YOLOWorldTrainable(YOLOWorld):
+    """YOLOWorld whose train/val also run with the bound class embeddings
+    (reference WorldTrainer: standard v8 detection loss over text-scored
+    logits, models/yolo/world/train.py)."""
+
+    @_bind_text
+    def train(self, *a, **kw):
+        return YOLO.train(self, *a, **kw)
+
+    @_bind_text
+    def val(self, *a, **kw):
+        return YOLO.val(self, *a, **kw)

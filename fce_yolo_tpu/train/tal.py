@@ -183,9 +183,10 @@ def assign(
     in_gts = (ax - gx1 > eps) & (ay - gy1 > eps) & (gx2 - ax > eps) & (gy2 - ay > eps)
     live = in_gts & mask_gt[:, :, None]  # (B, M, A)
 
-    cls_sc = jnp.take_along_axis(
-        pd_scores.transpose(0, 2, 1), labels[:, :, None], axis=1
-    )  # (B, M, A)
+    # class-score gather as an MXU one-hot matmul: (B, A, nc) x (B, nc, M)
+    # — avoids materializing the (B, nc, A) transpose + serial gather
+    onehot = jax.nn.one_hot(labels, nc, dtype=pd_scores.dtype)  # (B, M, nc)
+    cls_sc = jnp.einsum("bac,bmc->bma", pd_scores, onehot)  # (B, M, A)
     if scores_logits:
         cls_sc = jax.nn.sigmoid(cls_sc)
     # in bf16 mode the whole (B, M, A) CIoU pass runs in bf16 — every
@@ -254,7 +255,8 @@ def assign_rotated(
     ay = anc_points[None, None, :, 1]
     live = contains(ax, ay) & mask_gt[:, :, None]  # (B, M, A)
 
-    cls_sc = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), labels[:, :, None], axis=1)
+    onehot = jax.nn.one_hot(labels, nc, dtype=pd_scores.dtype)
+    cls_sc = jnp.einsum("bac,bmc->bma", pd_scores, onehot)
     if scores_logits:
         cls_sc = jax.nn.sigmoid(cls_sc)
     bdt = jnp.dtype(metric_dtype)

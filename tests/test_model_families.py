@@ -69,3 +69,14 @@ def test_yoloworld_set_classes_and_predict():
     img = np.full((96, 128, 3), 120, np.uint8)
     results = m.predict(img, imgsz=64, conf=0.0)
     assert len(results) == 1
+
+
+def test_yoloworld_train_one_epoch(tiny_dataset):
+    """World training: standard detection loss over text-scored class logits
+    (reference WorldTrainer semantics) with bound hash embeddings."""
+    from fce_yolo_tpu.models import YOLOWorldTrainable
+
+    m = YOLOWorldTrainable(nc=3)
+    m.set_classes(["circle", "square", "tri"])
+    res = m.train(data=tiny_dataset, epochs=1, batch=4, imgsz=64, workers=1, val=False)
+    assert res is not None
