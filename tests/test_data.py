@@ -363,3 +363,34 @@ def test_split_dota(tmp_path):
             vals = np.array(row.split()[1:], np.float64)
             assert len(vals) == 8
             assert (vals >= -0.5).all() and (vals <= 1.5).all()
+
+
+def test_autosplit_and_classify_split(tmp_path):
+    """Dataset splitting utilities (reference data/split.py)."""
+    import cv2
+
+    from fce_yolo_tpu.data.split import autosplit, split_classify_dataset
+
+    img_dir = tmp_path / "ds" / "images"
+    lbl_dir = tmp_path / "ds" / "labels"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(20):
+        cv2.imwrite(str(img_dir / f"{i:02d}.jpg"), np.full((16, 16, 3), i * 10, np.uint8))
+        if i % 2 == 0:
+            (lbl_dir / f"{i:02d}.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    txts = autosplit(img_dir, weights=(0.8, 0.2, 0.0))
+    lines = sum(len(t.read_text().splitlines()) for t in txts)
+    assert lines == 20
+    txts2 = autosplit(img_dir, annotated_only=True)
+    lines2 = sum(len(t.read_text().splitlines()) for t in txts2)
+    assert lines2 == 10
+
+    cls_root = tmp_path / "cls"
+    for c in ("a", "b"):
+        (cls_root / c).mkdir(parents=True)
+        for i in range(10):
+            cv2.imwrite(str(cls_root / c / f"{i}.jpg"), np.zeros((8, 8, 3), np.uint8))
+    out = split_classify_dataset(cls_root, train_ratio=0.8)
+    assert len(list((out / "train" / "a").iterdir())) == 8
+    assert len(list((out / "val" / "b").iterdir())) == 2
