@@ -5,9 +5,9 @@ The reference materializes ~15 dense (batch, max_boxes, anchors) f32 tensors
 (candidate masks, one-hots, scatter masks); at production shapes
 (B=64, M=32, A=8400) that is >1 GB of HBM traffic per step and dominated the
 round-1 train step (133 ms of a 218 ms step). This re-design stores exactly
-TWO (B, M, A) tensors — the alignment metric and the overlaps, computed in
-f32 but stored bf16 — and runs every downstream decision on compact
-(B, M, topk) candidate lists and (B, A) per-anchor arrays via scatters:
+TWO (B, M, A) tensors — the f32 ranking metric and the (metric_dtype,
+default bf16) overlaps — and resolves every downstream decision with dense
+reductions:
 
   1. one fused pass emits metric = score^alpha * CIoU^beta and overlaps
      (both masked to anchors inside valid gt boxes);
@@ -67,16 +67,10 @@ class AssignResult(NamedTuple):
 
 
 def _kth_value(metric: jnp.ndarray, topk: int) -> jnp.ndarray:
-    """K-th largest metric per gt, (B, M, 1).
-
-    bf16 metric (production) uses the TPU's native approximate top-k
-    (jax.lax.approx_max_k, recall 0.99) — far faster than the sort-based
-    exact top_k at (64, 32, 8400). f32 (oracle/parity mode) stays exact.
-    """
-    if metric.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
-        vals, _ = jax.lax.approx_max_k(metric, topk, recall_target=0.99)
-    else:
-        vals, _ = jax.lax.top_k(metric, topk)
+    """K-th largest metric per gt, (B, M, 1) — exact f32 top_k (the value
+    is a THRESHOLD, so approx_max_k's missed maxima would silently widen
+    the candidate set)."""
+    vals, _ = jax.lax.top_k(metric, topk)
     return vals[..., -1:]
 
 
@@ -93,10 +87,20 @@ def _finalize(
     only (no TPU scatters)."""
     b, m, a_n = metric.shape
 
-    # candidate mask: top-k by value threshold (reference mask_topk,
-    # tal.py:201-230); ties at the k-th value all qualify (zero-weight, see
-    # module docstring)
-    mask_pos = live & (metric >= kth)
+    # candidate mask: top-k by value threshold, restricted to STRICTLY
+    # POSITIVE metrics. This reproduces the reference's effective rule
+    # (tal.py:201-230): top-10 of (metric * in_gts) keeps the positive
+    # in-box anchors, while its zero-metric tie-fills land on arbitrary
+    # low-index anchors that mask_in_gts then removes. Without the
+    # ``metric > 0`` term a gt whose in-box anchors are ALL zero-metric
+    # gets kth == 0 and claims every live anchor; the multi-claim
+    # overlap-argmax then reassigns genuinely-positive anchors to that
+    # zero-metric gt, zeroing their weights — measured as a training
+    # collapse (best_fitness 0.68 -> 0.016). NOTE ``> 0``, not ``> eps``:
+    # early-training metrics sit at 1e-13 and are real signal (the
+    # reference's eps gate is dead code — its caller always supplies
+    # topk_mask=mask_gt).
+    mask_pos = live & (metric >= kth) & (metric > 0)
 
     count = mask_pos.sum(axis=1)  # (B, A) per-anchor claim count
     single_gt = jnp.argmax(mask_pos, axis=1).astype(jnp.int32)  # first claimant
@@ -189,18 +193,16 @@ def assign(
     cls_sc = jnp.einsum("bac,bmc->bma", pd_scores, onehot)  # (B, M, A)
     if scores_logits:
         cls_sc = jax.nn.sigmoid(cls_sc)
-    # in bf16 mode the whole (B, M, A) CIoU pass runs in bf16 — every
-    # intermediate of the ~20-op CIoU chain halves its HBM traffic; ranking
-    # flips only between near-tied candidates (same tolerance the storage
-    # rounding already accepts)
-    bdt = jnp.dtype(metric_dtype)
     ov = bbox_iou(
-        gt_bboxes.astype(bdt)[:, :, None, :], pd_bboxes.astype(bdt)[:, None, :, :],
-        xywh=False, mode="CIoU",
-    ).astype(jnp.float32)
+        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, mode="CIoU"
+    )
     ov = jnp.clip(ov, 0.0, None)
     overlaps = jnp.where(live, ov, 0.0).astype(metric_dtype)
-    metric = jnp.where(live, cls_sc**alpha * ov**beta, 0.0).astype(metric_dtype)
+    # the RANKING metric stays f32: the candidate set is "metric >= kth", and
+    # reduced precision makes k-th-value ties ubiquitous early in training
+    # (near-uniform scores), exploding the positive set — measured as a
+    # convergence regression when this was bf16
+    metric = jnp.where(live, cls_sc**alpha * ov**beta, 0.0)
 
     # --- top-k candidates per gt (tal.py:201-230) --------------------------
     kth = _kth_value(metric, topk)  # (B, M, 1)
@@ -259,14 +261,9 @@ def assign_rotated(
     cls_sc = jnp.einsum("bac,bmc->bma", pd_scores, onehot)
     if scores_logits:
         cls_sc = jax.nn.sigmoid(cls_sc)
-    bdt = jnp.dtype(metric_dtype)
-    ov = jnp.clip(
-        probiou(gt_rboxes.astype(bdt)[:, :, None, :], pd_rboxes.astype(bdt)[:, None, :, :])
-        .astype(jnp.float32),
-        0.0, None,
-    )
+    ov = jnp.clip(probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :]), 0.0, None)
     overlaps = jnp.where(live, ov, 0.0).astype(metric_dtype)
-    metric = jnp.where(live, cls_sc**alpha * ov**beta, 0.0).astype(metric_dtype)
+    metric = jnp.where(live, cls_sc**alpha * ov**beta, 0.0)  # f32 ranking (see assign)
 
     kth = _kth_value(metric, topk)
     return _finalize(metric, overlaps, live, kth, labels, gt_rboxes, eps)

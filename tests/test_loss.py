@@ -193,7 +193,11 @@ class TestParity:
         # equivalent).
         ours_fg = np.asarray(out.fg_mask)
         ref_fg = fg_.numpy().astype(bool)
-        assert (ref_fg <= ours_fg).all(), "reference fg anchor missing"
+        ref_w = ts_.numpy().sum(-1)
+        missing = ref_fg & ~ours_fg
+        assert (ref_w[missing] == 0).all(), (
+            "reference fg anchor with nonzero weight missing"
+        )
         extra = ours_fg & ~ref_fg
         assert (np.asarray(out.target_norm)[extra] == 0).all(), (
             "extra fg anchors must be zero-weight"
