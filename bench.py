@@ -135,11 +135,16 @@ def main() -> dict:
     # (single chip; the sp-sharded variant needs >1 device)
     infer_fce_1280 = bench_infer(fce, batch=16, imgsz=1280, iters=16, rt=rt)
     train_stock = bench_train(stock, rt=rt)
+    train_b128 = bench_train(stock, batch=128, iters=12, rt=rt)
+    train_m = bench_train(stock, scale="m", batch=32, iters=12, rt=rt)
 
     model, _, _ = build_model(stock, scale="n")
     flops_img = estimate_flops(model, imgsz=640, batch=8) / 8  # eval fwd FLOPs/img
+    model_m, _, _ = build_model(stock, scale="m")
+    flops_img_m = estimate_flops(model_m, imgsz=640, batch=4) / 4
     infer_mfu = infer_stock * flops_img / V5E_BF16_PEAK
-    train_mfu = train_stock * flops_img * 3.0 / V5E_BF16_PEAK  # fwd+bwd ~ 3x fwd
+    train_mfu = train_b128 * flops_img * 3.0 / V5E_BF16_PEAK  # fwd+bwd ~ 3x fwd
+    train_mfu_m = train_m * flops_img_m * 3.0 / V5E_BF16_PEAK
 
     result = {
         "metric": "yolo11n 640px batch128 e2e infer (fwd+decode+NMS) images/sec/chip",
@@ -150,8 +155,11 @@ def main() -> dict:
             "yolo11n-fce e2e infer img/s": round(infer_fce, 1),
             "yolo11n-fce 1280px batch16 e2e infer img/s": round(infer_fce_1280, 1),
             "yolo11n train step img/s (batch64 bf16)": round(train_stock, 1),
+            "yolo11n train step img/s (batch128 bf16)": round(train_b128, 1),
+            "yolo11m train step img/s (batch32 bf16)": round(train_m, 1),
             "infer MFU (v5e bf16 peak)": round(infer_mfu, 3),
-            "train MFU (v5e bf16 peak)": round(train_mfu, 3),
+            "train MFU n-scale b128 (v5e bf16 peak)": round(train_mfu, 3),
+            "train MFU m-scale b32 (v5e bf16 peak)": round(train_mfu_m, 3),
             "fwd GFLOPs/img": round(flops_img / 1e9, 2),
         },
     }

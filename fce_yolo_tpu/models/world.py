@@ -16,8 +16,7 @@ __all__ = ["YOLOWorld"]
 class YOLOWorld(YOLO):
     """Open-vocab detect facade over the WorldDetect graph."""
 
-    def __init__(self, model: str = "/root/reference/ultralytics/cfg/models/v8/yolov8-world.yaml",
-                 **kw):
+    def __init__(self, model: str = "yolov8-world.yaml", **kw):
         super().__init__(model, **kw)
         assert self.spec.needs_text, f"not a world config: {model}"
         # reference placeholder: random text features until set_classes

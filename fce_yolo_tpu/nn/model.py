@@ -251,6 +251,11 @@ class DetectionModel(nn.Module):
         # open-vocab threading (reference WorldModel.predict, tasks.py:896-940):
         # C2fAttn consumes the running (possibly ImagePoolingAttn-enhanced)
         # embeddings; WorldDetect always sees the originals
+        if txt_feats is None and self.spec.needs_text:
+            # open-vocab graph driven without explicit text: zero embeddings
+            # (the reference keeps a random txt_feats buffer on the model;
+            # zeros keep init/forward well-defined and shape-stable)
+            txt_feats = jnp.zeros((1, self.spec.nc, 512), x.dtype)
         txt = txt0 = txt_feats
         for ls in self.spec.layers:
             if ls.is_multi_input:
@@ -263,8 +268,10 @@ class DetectionModel(nn.Module):
             if ls.name == "C2fAttn":
                 out = layer(inp, txt, train=train)
             elif ls.name == "ImagePoolingAttn":
+                # updates only the threaded text features; the running output
+                # stays the previous layer's value (reference WorldModel
+                # forward leaves x unchanged, tasks.py:893-899)
                 txt = layer(inp, txt, train=train)
-                out = txt
             elif ls.name in ("WorldDetect", "YOLOEDetect", "YOLOESegment"):
                 out = layer(inp, txt0, train=train)
             else:

@@ -39,8 +39,9 @@ class DETRLossCfg(NamedTuple):
     cost_class: float = 2.0
     cost_bbox: float = 5.0
     cost_giou: float = 2.0
-    gamma: float = 1.5  # focal focusing
+    gamma: float = 1.5  # focal focusing (DETRLoss FocalLoss default)
     alpha: float = 0.25  # focal balance
+    matcher_gamma: float = 2.0  # reference HungarianMatcher gamma (ops.py:54)
     aux_loss: bool = True
 
 
@@ -61,8 +62,8 @@ def hungarian_match(
     ps = jnp.take_along_axis(
         scores, jnp.clip(gt_cls, 0, cfg.nc - 1)[:, None, :].astype(jnp.int32), axis=2
     )  # (B, nq, M)
-    neg = (1 - cfg.alpha) * ps**cfg.gamma * (-jnp.log(1 - ps + 1e-8))
-    pos = cfg.alpha * (1 - ps) ** cfg.gamma * (-jnp.log(ps + 1e-8))
+    neg = (1 - cfg.alpha) * ps**cfg.matcher_gamma * (-jnp.log(1 - ps + 1e-8))
+    pos = cfg.alpha * (1 - ps) ** cfg.matcher_gamma * (-jnp.log(ps + 1e-8))
     cost_class = pos - neg
 
     cost_bbox = jnp.abs(pred_bboxes[:, :, None, :] - gt_bboxes[:, None, :, :]).sum(-1)

@@ -186,46 +186,40 @@ def detection_loss(
 
     # cls: BCE-with-logits against one_hot(label) * norm — closed form that
     # never materializes the (B, A, nc) soft-target tensor (loss.py:361):
-    # sum_t bce(x, t) = sum softplus(x) - sum_fg norm * x[label]
-    x_at_label = jnp.take_along_axis(
-        pred_scores, assign_out.target_labels[..., None], axis=-1
-    )[..., 0]
+    # sum_t bce(x, t) = sum softplus(x) - sum_fg norm * x[label].
+    # The label select is an iota-compare reduction, not take_along_axis
+    # (that gather was 11 ms/step on v5e — TPU gathers serialize).
+    iota_c = jnp.arange(nc, dtype=jnp.int32)
+    x_at_label = jnp.where(
+        iota_c == assign_out.target_labels[..., None], pred_scores, 0.0
+    ).sum(-1)
     loss_cls = (
         jax.nn.softplus(pred_scores).sum() - (norm * x_at_label).sum()
     ) / target_scores_sum
 
-    # box + dfl on foreground anchors, in feature units (loss.py:364-374).
-    # Positive-weight anchors number at most ~M*topk, so gather a static
-    # top-K-by-weight subset and compute both losses compactly — the dense
-    # (B, A) CIoU + (B, A, 4, reg_max) DFL cross-entropy were ~35 ms of the
-    # 640px/64-batch step on v5e; the compact forms are ~6% of that work.
-    # Zero-weight anchors contribute exactly zero either way, so this is
-    # loss-preserving (ties beyond the cap drop lowest-weight duplicates).
+    # box + dfl, DENSE over all anchors weighted by norm (zero off-fg, so
+    # background contributes exactly zero). The round-2 compact-fg gather
+    # variant (top_k + take_along_axis) cost ~25 ms/step in gather kernels
+    # plus their scatter transposes in the backward; the dense forms are
+    # pure fused elementwise/reduction passes (~2 ms). target_bboxes from
+    # the assigner are all-zero off-fg (one-hot matmul) — every IoU term is
+    # eps-guarded so those lanes stay finite under the zero weight.
     tb = target_bboxes / stride_tensor[None]
-    m_pad = batch["cls"].shape[1]
-    a_n = pred_bboxes.shape[1]
-    k_fg = min(a_n, ((m_pad * cfg.tal_topk + 127) // 128) * 128)
-    weight_k, fg_idx = jax.lax.top_k(norm, k_fg)  # (B, K)
-    pb_k = jnp.take_along_axis(pred_bboxes, fg_idx[..., None], axis=1)
-    tb_k = jnp.take_along_axis(tb, fg_idx[..., None], axis=1)
-    anchor_k = anchor_points[fg_idx]  # (B, K, 2)
-    dist4_k = jnp.take_along_axis(
-        pred_dist4.reshape(b, a_n, 4 * reg_max), fg_idx[..., None], axis=1
-    ).reshape(b, k_fg, 4, reg_max)
-    fgk = weight_k > 0
+    weight = norm  # (B, A)
+    fg = fg_mask
 
     if cfg.iou_type == "WIoU":
-        w_iou = bbox_wiou(pb_k, tb_k, xywh=False)
+        w_iou = bbox_wiou(pred_bboxes, tb, xywh=False)
         li = 1.0 - w_iou
-        r, state = wiouv3_focusing(li, fgk, state)
-        loss_box = (r * li * weight_k).sum() / target_scores_sum
+        r, state = wiouv3_focusing(li, fg, state)
+        loss_box = (r * li * weight).sum() / target_scores_sum
     else:
-        iou = bbox_iou(pb_k, tb_k, xywh=False, mode=cfg.iou_type)
-        loss_box = ((1.0 - iou) * weight_k).sum() / target_scores_sum
+        iou = bbox_iou(pred_bboxes, tb, xywh=False, mode=cfg.iou_type)
+        loss_box = ((1.0 - iou) * weight).sum() / target_scores_sum
 
-    target_ltrb = bbox2dist(anchor_k, tb_k, reg_max)
-    dfl = _dfl_loss(dist4_k, target_ltrb, reg_max)  # (B, K)
-    loss_dfl = (dfl * weight_k).sum() / target_scores_sum
+    target_ltrb = bbox2dist(anchor_points[None], tb, reg_max)
+    dfl = _dfl_loss(pred_dist4, target_ltrb, reg_max)  # (B, A)
+    loss_dfl = (dfl * weight).sum() / target_scores_sum
 
     parts = {
         "box": loss_box * cfg.box_gain,

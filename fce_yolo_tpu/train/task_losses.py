@@ -242,10 +242,12 @@ def obb_loss(
     norm = assign_out.target_norm
     target_scores_sum = jnp.maximum(norm.sum(), 1.0)
 
-    # closed-form BCE vs one_hot(label) * norm (see train/loss.py)
-    x_at_label = jnp.take_along_axis(
-        pred_scores, assign_out.target_labels[..., None], axis=-1
-    )[..., 0]
+    # closed-form BCE vs one_hot(label) * norm; iota-compare select, not
+    # take_along_axis — TPU gathers serialize (see train/loss.py)
+    x_at_label = jnp.where(
+        jnp.arange(nc, dtype=jnp.int32) == assign_out.target_labels[..., None],
+        pred_scores, 0.0,
+    ).sum(-1)
     loss_cls = (
         jax.nn.softplus(pred_scores).sum() - (norm * x_at_label).sum()
     ) / target_scores_sum
@@ -255,6 +257,11 @@ def obb_loss(
         [assign_out.target_bboxes[..., :4] / stride_tensor[None], assign_out.target_bboxes[..., 4:]],
         axis=-1,
     )
+    # off-fg target rboxes are all-zero (one-hot matmul in the assigner);
+    # probiou's backward hits 0/0 on zero-area boxes even under zero loss
+    # weight (NaN * 0 = NaN), so substitute a unit box there
+    safe = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0], tb.dtype)
+    tb = jnp.where(assign_out.fg_mask[..., None], tb, safe)
     weight = norm
 
     iou = probiou(jnp.concatenate([pred_rb, angle.astype(dtype)], -1), tb)
