@@ -1,0 +1,287 @@
+"""SAM family: random-weight activation parity vs the torch reference
+(VERDICT r2 next-step #2 — the world/yoloe import-parity pattern applied to
+SAM), plus the promptable predict plumbing.
+
+Reference modules: models/sam/modules/{encoders,decoders,transformer}.py.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.parity
+
+if not os.path.isdir(os.path.join(REF, "ultralytics")):
+    pytest.skip("reference repo unavailable", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_sam():
+    """Import the reference SAM modules (torchvision shim as in
+    test_e2e_map_parity — the models/sam package pulls sam3 which imports
+    torchvision at module scope)."""
+    import importlib.metadata as md
+    import types
+
+    orig = md.version
+
+    def fake_version(name, *a, **k):
+        try:
+            return orig(name)
+        except Exception:
+            return "0.23.0"
+
+    md.version = fake_version
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__version__ = "0.23.0"
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_roi = types.ModuleType("torchvision.ops.roi_align")
+
+        class _RoIAlign:  # only referenced by sam3's decoder at build time
+            def __init__(self, *a, **k):
+                raise NotImplementedError
+
+        tv_roi.RoIAlign = _RoIAlign
+        tv_ops.roi_align = tv_roi
+        tv_ops.nms = None
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+        sys.modules["torchvision.ops.roi_align"] = tv_roi
+    sys.path.insert(0, REF)
+    try:
+        from ultralytics.models.sam.modules import decoders, encoders, transformer
+
+        yield {"encoders": encoders, "decoders": decoders, "transformer": transformer}
+    finally:
+        sys.path.remove(REF)
+
+
+def _prefix_sd(module, prefix):
+    return {f"{prefix}.{k}": v for k, v in module.state_dict().items()}
+
+
+def _seeded(module, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    return module
+
+
+class TestSAMParity:
+    def test_image_encoder_parity(self, ref_sam):
+        from fce_yolo_tpu.nn.sam import ImageEncoderViT, sam_state_dict_to_variables
+
+        t_enc = ref_sam["encoders"].ImageEncoderViT(
+            img_size=64,
+            patch_size=16,
+            embed_dim=40,
+            depth=3,
+            num_heads=2,
+            mlp_ratio=2.0,
+            out_chans=16,
+            use_rel_pos=True,
+            window_size=2,
+            global_attn_indexes=(1,),
+        )
+        _seeded(t_enc, 1).eval()
+        # the reference forward rescales pos_embed by img_size/1024 (it
+        # assumes the stored table is the 1024-px pretrain grid); our table
+        # matches the build size here, so pin img_size to skip the rescale
+        t_enc.img_size = 1024
+        x = np.random.RandomState(0).rand(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = t_enc(torch.from_numpy(x)).numpy()  # (B, 16, 4, 4)
+
+        ours = ImageEncoderViT(
+            img_size=64,
+            embed_dim=40,
+            depth=3,
+            num_heads=2,
+            mlp_ratio=2.0,
+            out_chans=16,
+            use_rel_pos=True,
+            window_size=2,
+            global_attn_indexes=(1,),
+            pretrain_img_size=64,
+        )
+        variables = sam_state_dict_to_variables(_prefix_sd(t_enc, "image_encoder"))
+        out = ours.apply(
+            {"params": variables["params"]["image_encoder"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=2e-4, atol=2e-5
+        )
+
+    def test_prompt_encoder_parity(self, ref_sam):
+        from fce_yolo_tpu.nn.sam import PromptEncoder, sam_state_dict_to_variables
+
+        t_pe = ref_sam["encoders"].PromptEncoder(
+            embed_dim=32,
+            image_embedding_size=(4, 4),
+            input_image_size=(64, 64),
+            mask_in_chans=16,
+        )
+        _seeded(t_pe, 2).eval()
+        rng = np.random.RandomState(1)
+        pts = rng.uniform(0, 64, (2, 3, 2)).astype(np.float32)
+        lab = np.array([[1, 0, -1], [1, 1, 1]], np.float32)
+        boxes = np.sort(rng.uniform(0, 64, (2, 1, 4)).astype(np.float32).reshape(2, 1, 2, 2), axis=2)
+        masks = rng.rand(2, 1, 16, 16).astype(np.float32)
+        with torch.no_grad():
+            ref_sparse, ref_dense = t_pe(
+                (torch.from_numpy(pts), torch.from_numpy(lab)),
+                torch.from_numpy(boxes.reshape(2, 1, 4)),
+                torch.from_numpy(masks),
+            )
+            ref_pe = t_pe.get_dense_pe().numpy()
+
+        ours = PromptEncoder(
+            embed_dim=32, input_image_size=(64, 64), image_embedding_size=(4, 4)
+        )
+        variables = sam_state_dict_to_variables(_prefix_sd(t_pe, "prompt_encoder"))
+        params = {"params": variables["params"]["prompt_encoder"]}
+        sparse, dense = ours.apply(
+            params,
+            points=(jnp.asarray(pts), jnp.asarray(lab)),
+            boxes=jnp.asarray(boxes.reshape(2, 1, 4)),
+            masks=jnp.asarray(masks.transpose(0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(sparse), ref_sparse.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dense).transpose(0, 3, 1, 2), ref_dense.numpy(), rtol=1e-4, atol=1e-5
+        )
+        our_pe = ours.apply(params, method=ours.dense_pe)
+        np.testing.assert_allclose(
+            np.asarray(our_pe).transpose(0, 3, 1, 2), ref_pe, rtol=1e-4, atol=1e-5
+        )
+
+    def test_mask_decoder_parity(self, ref_sam):
+        from fce_yolo_tpu.nn.sam import MaskDecoder, sam_state_dict_to_variables
+
+        t_dec = ref_sam["decoders"].MaskDecoder(
+            transformer_dim=32,
+            transformer=ref_sam["transformer"].TwoWayTransformer(
+                depth=2, embedding_dim=32, mlp_dim=64, num_heads=2
+            ),
+            iou_head_hidden_dim=32,
+        )
+        _seeded(t_dec, 3).eval()
+        rng = np.random.RandomState(2)
+        img_emb = rng.rand(1, 32, 4, 4).astype(np.float32)
+        img_pe = rng.rand(1, 32, 4, 4).astype(np.float32)
+        sparse = rng.rand(2, 3, 32).astype(np.float32)
+        dense = rng.rand(2, 32, 4, 4).astype(np.float32)
+        with torch.no_grad():
+            ref_masks, ref_iou = t_dec(
+                torch.from_numpy(img_emb),
+                torch.from_numpy(img_pe),
+                torch.from_numpy(sparse),
+                torch.from_numpy(dense),
+                multimask_output=True,
+            )
+
+        ours = MaskDecoder(
+            transformer_dim=32,
+            transformer_mlp_dim=64,
+            transformer_num_heads=2,
+            iou_head_hidden_dim=32,
+        )
+        variables = sam_state_dict_to_variables(_prefix_sd(t_dec, "mask_decoder"))
+        masks, iou = ours.apply(
+            {"params": variables["params"]["mask_decoder"]},
+            jnp.asarray(img_emb.transpose(0, 2, 3, 1)),
+            jnp.asarray(img_pe.transpose(0, 2, 3, 1)),
+            jnp.asarray(sparse),
+            jnp.asarray(dense.transpose(0, 2, 3, 1)),
+            multimask_output=True,
+        )
+        np.testing.assert_allclose(np.asarray(masks), ref_masks.numpy(), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(iou), ref_iou.numpy(), rtol=2e-4, atol=2e-5)
+
+    @pytest.mark.slow
+    def test_sam_b_full_parity(self, ref_sam):
+        """Full-architecture SAM-B random-weight parity at 256 px."""
+        sys.path.insert(0, REF)
+        try:
+            from ultralytics.models.sam.build import _build_sam
+        finally:
+            sys.path.remove(REF)
+        t_sam = _build_sam(
+            encoder_embed_dim=768,
+            encoder_depth=12,
+            encoder_num_heads=12,
+            encoder_global_attn_indexes=[2, 5, 8, 11],
+        )
+        t_sam.eval()
+        t_sam.set_imgsz((256, 256))
+        from fce_yolo_tpu.nn.sam import SAMModel, sam_state_dict_to_variables
+
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 255, (1, 256, 256, 3)).astype(np.float32)
+        pts = np.array([[[100.0, 120.0]]], np.float32)
+        lab = np.array([[1.0]], np.float32)
+
+        with torch.no_grad():
+            t_in = (
+                (torch.from_numpy(img.transpose(0, 3, 1, 2)) - t_sam.pixel_mean)
+                / t_sam.pixel_std
+            )
+            emb = t_sam.image_encoder(t_in)
+            sparse, dense = t_sam.prompt_encoder(
+                (torch.from_numpy(pts), torch.from_numpy(lab)), None, None
+            )
+            ref_masks, ref_iou = t_sam.mask_decoder(
+                emb,
+                t_sam.prompt_encoder.get_dense_pe(),
+                sparse,
+                dense,
+                multimask_output=True,
+            )
+
+        ours = SAMModel(img_size=256)
+        variables = sam_state_dict_to_variables(t_sam.state_dict())
+        masks, iou = ours.apply(
+            variables,
+            jnp.asarray(img),
+            points=(jnp.asarray(pts), jnp.asarray(lab)),
+            multimask_output=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(emb := np.asarray(iou)), ref_iou.numpy(), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(masks), ref_masks.numpy(), rtol=1e-3, atol=2e-3
+        )
+
+
+class TestSAMFacade:
+    def test_point_prompt_pipeline(self):
+        """e2e: image -> point prompt -> binary mask at original resolution."""
+        from fce_yolo_tpu.models.sam import SAM
+
+        sam = SAM(variant="sam_b", img_size=128, _random_init=True)
+        img = np.random.RandomState(0).randint(0, 255, (96, 80, 3), np.uint8)
+        res = sam.predict(img, points=[[40, 50]], labels=[1])
+        assert res.masks.shape[1:] == (96, 80)
+        assert res.masks.dtype == bool
+        assert res.scores.shape[0] == res.masks.shape[0]
+
+    def test_box_prompt_pipeline(self):
+        from fce_yolo_tpu.models.sam import SAM
+
+        sam = SAM(variant="sam_b", img_size=128, _random_init=True)
+        img = np.random.RandomState(1).randint(0, 255, (64, 128, 3), np.uint8)
+        res = sam.predict(img, bboxes=[[10, 10, 60, 50]])
+        assert res.masks.shape[1:] == (64, 128)
