@@ -353,11 +353,38 @@ class YOLODataset:
                 self.load_raw, i, len(self), self.imgsz, self.hyp, self._rng, self.mosaic_enabled
             )
         else:
+            raw = self.load_raw(i)
             if self.batch_shapes is not None:  # rect val: this image's bin shape
                 shape = tuple(int(v) for v in self.batch_shapes[self._batch_index[i]])
+                # reference rect-val semantics (base.py:240-244): the image is
+                # FIRST resized long-side -> imgsz (ceil, INTER_LINEAR), then
+                # the letterbox only PADS to the batch bin (scaleup=False, so
+                # its second ratio is ~1) — NOT a direct min-scale to the bin.
+                orig_shape = raw["img"].shape[:2]
+                h0, w0 = orig_shape
+                r0 = self.imgsz / max(h0, w0)
+                if r0 != 1.0:
+                    import math as _math
+
+                    nw = min(_math.ceil(w0 * r0), self.imgsz)
+                    nh = min(_math.ceil(h0 * r0), self.imgsz)
+                    sx, sy = nw / w0, nh / h0
+                    raw = dict(raw)
+                    raw["img"] = cv2.resize(raw["img"], (nw, nh), interpolation=cv2.INTER_LINEAR)
+                    scale4 = np.array([sx, sy, sx, sy], np.float32)
+                    raw["bboxes"] = raw["bboxes"] * scale4
+                    if "segments" in raw:
+                        raw["segments"] = [s * np.array([sx, sy], np.float32) for s in raw["segments"]]
+                    if "keypoints" in raw:
+                        raw["keypoints"] = [
+                            k * np.array([sx, sy, 1], np.float32) for k in raw["keypoints"]
+                        ]
+                out = val_transform(raw, shape)
+                # compose the scale-back mapping to TRUE original pixels
+                out["ratio"] = out["ratio"] * r0 if r0 != 1.0 else out["ratio"]
+                out["orig_shape"] = orig_shape
             else:
-                shape = self.imgsz
-            out = val_transform(self.load_raw(i), shape)
+                out = val_transform(raw, self.imgsz)
         # BGR -> RGB at the pipeline exit (reference Format transform,
         # augment.py:2119 with bgr=0.0): the model consumes RGB; cv2-space
         # augments (HSV) run on BGR before this point, like the reference.

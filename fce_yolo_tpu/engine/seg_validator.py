@@ -35,7 +35,8 @@ def mask_iou_np(a: np.ndarray, b: np.ndarray, eps: float = 1e-7) -> np.ndarray:
 class SegmentationValidator(DetectionValidator):
     def get_dataloader(self, data: str | dict, split: str = "val") -> DataLoader:
         d = check_det_dataset(data)
-        ds = YOLODataset(d[split], imgsz=self.imgsz, mode="val", nc=d["nc"], task="segment")
+        ds = YOLODataset(d[split], imgsz=self.imgsz, mode="val", nc=d["nc"], task="segment",
+                         rect=self.rect, batch_size=self.batch_size)
         return DataLoader(ds, batch_size=self.batch_size, shuffle=False, workers=self.workers, drop_last=False)
 
     def _build_predict(self):
@@ -55,10 +56,12 @@ class SegmentationValidator(DetectionValidator):
                 out["preds"], conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc,
                 pre_nms_topk=self.pre_nms_topk,
             )
-            # masks at prototype resolution (= GT bitmap resolution)
+            # masks at prototype resolution (= GT bitmap resolution); the
+            # network-input shape comes from the traced batch so rect
+            # (non-square) val bins work (x.shape is static per trace)
             nms["masks"] = jax.vmap(
                 lambda coefs, proto, boxes: process_mask(
-                    coefs, proto, boxes, (imgsz, imgsz), upsample=False
+                    coefs, proto, boxes, (x.shape[1], x.shape[2]), upsample=False
                 )
             )(nms.pop("extra"), out["proto"], nms["boxes"])
             return nms
@@ -101,7 +104,10 @@ class SegmentationValidator(DetectionValidator):
         return results
 
     def _update_seg(self, out, batch, box_m: DetMetrics, mask_m: DetMetrics):
-        s = self.imgsz
+        # GT boxes are normalized by the letterboxed image dims (collate) —
+        # for rect batches that is NOT imgsz x imgsz, so lift per-axis
+        bh_img, bw_img = batch["img"].shape[1:3]
+        s = np.array([bw_img, bh_img, bw_img, bh_img], np.float32)
         for i in range(batch["n_valid"]):
             valid = np.asarray(out["valid"][i])
             pboxes_lb = np.asarray(out["boxes"][i])[valid]  # letterbox space

@@ -44,7 +44,11 @@ class DetectionValidator:
         batch_size: int = 16,
         workers: int = 8,
         pre_nms_topk: int = 4096,
+        infer_fn=None,
+        rect: bool = False,
     ):
+        self.infer_fn = infer_fn  # AutoBackend override: images -> raw preds
+        self.rect = rect  # reference val default: rect batch-shape binning
         self.model = model
         self.names = names
         self.nc = len(names)
@@ -70,6 +74,25 @@ class DetectionValidator:
 
         nc = self.nc
 
+        if self.infer_fn is not None:
+            # exported-artifact path (AutoBackend): the external runtime
+            # produces raw preds; NMS still runs in-JAX for mAP parity
+            post = jax.jit(
+                lambda preds: batched_nms(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=nc,
+                    pre_nms_topk=topk,
+                )
+            )
+            infer = self.infer_fn
+
+            def predict_backend(variables, img_u8):
+                preds = infer(np.asarray(img_u8))
+                if isinstance(preds, dict):  # NMS baked into the artifact
+                    return preds
+                return post(jnp.asarray(preds))
+
+            return predict_backend
+
         @jax.jit
         def predict(variables, img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
@@ -85,7 +108,10 @@ class DetectionValidator:
 
     def get_dataloader(self, data: str | dict, split: str = "val") -> DataLoader:
         d = check_det_dataset(data)
-        ds = YOLODataset(d[split], imgsz=self.imgsz, mode="val", nc=d["nc"])
+        ds = YOLODataset(
+            d[split], imgsz=self.imgsz, mode="val", nc=d["nc"],
+            rect=self.rect, batch_size=self.batch_size,
+        )
         return DataLoader(
             ds, batch_size=self.batch_size, shuffle=False, workers=self.workers, drop_last=False
         )
@@ -158,10 +184,29 @@ class DetectionValidator:
         if plots_dir:
             from pathlib import Path
 
-            from fce_yolo_tpu.utils.plotting import plot_confusion_matrix
+            from fce_yolo_tpu.utils.plotting import (
+                plot_confusion_matrix,
+                plot_mc_curve,
+                plot_pr_curve,
+            )
 
-            Path(plots_dir).mkdir(parents=True, exist_ok=True)
-            plot_confusion_matrix(cm.matrix, self.names, Path(plots_dir) / "confusion_matrix.png")
+            out = Path(plots_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            plot_confusion_matrix(cm.matrix, self.names, out / "confusion_matrix.png",
+                                  normalize=False)
+            plot_confusion_matrix(cm.matrix, self.names, out / "confusion_matrix_normalized.png",
+                                  normalize=True)
+            cv = metrics.curves
+            if cv is not None:
+                # the reference's four val curve figures (detect/val.py plots)
+                plot_pr_curve(cv["x"], cv["prec_values"], metrics.all_ap,
+                              self.names, out / "PR_curve.png")
+                plot_mc_curve(cv["x"], cv["f1_curve"], self.names,
+                              out / "F1_curve.png", ylabel="F1")
+                plot_mc_curve(cv["x"], cv["p_curve"], self.names,
+                              out / "P_curve.png", ylabel="Precision")
+                plot_mc_curve(cv["x"], cv["r_curve"], self.names,
+                              out / "R_curve.png", ylabel="Recall")
         results["confusion_matrix"] = cm
         results["metrics"] = metrics
         return results
@@ -181,7 +226,10 @@ class DetectionValidator:
         scales GT by imgsz); scale-back to original space happens only for
         JSON/plot outputs. Matching in original space with clipping skews
         IoUs for boxes crossing the letterbox pad."""
-        s = self.imgsz
+        # GT boxes are normalized by the letterboxed image dims (collate) —
+        # for rect batches that is NOT imgsz x imgsz, so lift per-axis
+        bh_img, bw_img = batch["img"].shape[1:3]
+        s = np.array([bw_img, bh_img, bw_img, bh_img], np.float32)
         for i in range(batch["n_valid"]):
             valid = np.asarray(out["valid"][i])
             pboxes = np.asarray(out["boxes"][i])[valid]  # letterbox-pixel xyxy

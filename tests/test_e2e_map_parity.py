@@ -137,28 +137,78 @@ def _build_torch_model(ref_pkg, img_paths):
 
 
 def _letterbox_np(img, new=IMGSZ):
-    """Reference LetterBox(auto=False, scaleup=False) math (augment.py:1509)."""
+    """Reference val preprocessing math. ``new`` may be a square int or an
+    (h, w) rect-bin shape. Two stages, like the reference dataloader:
+    1. load_image (base.py:240-244): resize long side -> IMGSZ (ceil,
+       INTER_LINEAR) — applied for RECT bins (the square path folds it into
+       the letterbox, same geometry).
+    2. LetterBox(auto=False, scaleup=False) (augment.py:1509): scale
+       clamped <=1 (so for rect bins it only PADS), center padding.
+    Returns (img, effective_ratio, (padx, pady))."""
+    import math
+
+    h0, w0 = img.shape[:2]
+    r0 = 1.0
+    if not isinstance(new, int):  # rect bin: reference pre-resize stage
+        r0 = IMGSZ / max(h0, w0)
+        if r0 != 1.0:
+            nw0 = min(math.ceil(w0 * r0), IMGSZ)
+            nh0 = min(math.ceil(h0 * r0), IMGSZ)
+            img = cv2.resize(img, (nw0, nh0), interpolation=cv2.INTER_LINEAR)
+    nh_t, nw_t = (new, new) if isinstance(new, int) else new
     h, w = img.shape[:2]
-    r = min(new / h, new / w, 1.0)
+    r = min(nh_t / h, nw_t / w, 1.0)
     nh, nw = round(h * r), round(w * r)
-    dw, dh = (new - nw) / 2, (new - nh) / 2
+    dw, dh = (nw_t - nw) / 2, (nh_t - nh) / 2
     if (h, w) != (nh, nw):
         img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    r = r * r0
     top, bottom = round(dh - 0.1), round(dh + 0.1)
     left, right = round(dw - 0.1), round(dw + 0.1)
     img = cv2.copyMakeBorder(img, top, bottom, left, right, cv2.BORDER_CONSTANT, value=(114, 114, 114))
     return img, r, (left, top)
 
 
+def _rect_shapes(img_paths, batch=4, imgsz=IMGSZ, stride=32, pad=0.5):
+    """Per-image rect val bin shape, replicating reference
+    BaseDataset.set_rectangle (base.py:349-372) / data/dataset.py:160 —
+    GT must be generated at the SAME shapes the rect validators will feed
+    the model (random-init predictions are resolution-sensitive)."""
+    shapes = []
+    for p in img_paths:
+        shapes.append(cv2.imread(str(p)).shape[:2])
+    s = np.array(shapes, np.float64)
+    ar = s[:, 0] / s[:, 1]
+    irect = ar.argsort()
+    ar_sorted = ar[irect]
+    bi = np.floor(np.arange(len(img_paths)) / batch).astype(int)
+    nb = int(bi[-1]) + 1
+    bs = [[1.0, 1.0]] * nb
+    for i in range(nb):
+        ari = ar_sorted[bi == i]
+        mini, maxi = ari.min(), ari.max()
+        if maxi < 1:
+            bs[i] = [maxi, 1.0]
+        elif mini > 1:
+            bs[i] = [1.0, 1.0 / mini]
+    bshape = np.ceil(np.array(bs) * imgsz / stride + pad).astype(int) * stride
+    return {
+        str(img_paths[idx]): tuple(int(v) for v in bshape[bi[pos]])
+        for pos, idx in enumerate(irect)
+    }
+
+
 def _generate_labels(tm, img_paths, root):
-    """GT = the torch model's own confident predictions, in label-txt format."""
+    """GT = the torch model's own confident predictions, in label-txt format,
+    generated at each image's rect val bin shape."""
     from ultralytics.utils.nms import non_max_suppression
 
+    rect_shape = _rect_shapes(img_paths)
     n_total = 0
     for p in img_paths:
         img = cv2.imread(str(p))
         h, w = img.shape[:2]
-        lb, r, (px, py) = _letterbox_np(img)
+        lb, r, (px, py) = _letterbox_np(img, rect_shape[str(p)])
         x = lb[..., ::-1].transpose(2, 0, 1)[None].astype(np.float32) / 255.0
         with torch.no_grad():
             preds, _ = tm(torch.from_numpy(x.copy()))
@@ -195,22 +245,48 @@ def dataset_and_model(ref_pkg, tmp_path_factory):
     return root, yaml_path, tm
 
 
+@contextlib.contextmanager
+def _patched_nms_time_limit():
+    """Lift the reference NMS 2.2 s CPU time limit (utils/nms.py:81,162).
+
+    At conf=0.001 a random-init model floods NMS with ~10k candidates/img;
+    on this CPU that exceeds the reference's hardcoded time budget and the
+    reference SILENTLY TRUNCATES its own output (mAP collapses to ~0.06).
+    On the reference's own GPU target the limit is never hit, so the
+    *intended* reference behavior — the parity target — needs the limit
+    lifted. The call sites never pass max_time_img, so patching the
+    module-level default is sufficient.
+    """
+    import functools
+
+    from ultralytics.utils import nms as ref_nms
+
+    orig = ref_nms.non_max_suppression
+    ref_nms.non_max_suppression = functools.partial(orig, max_time_img=120.0)
+    try:
+        yield
+    finally:
+        ref_nms.non_max_suppression = orig
+
+
 def _run_reference_val(tm, yaml_path, tmp_path):
     from ultralytics.models.yolo.detect import DetectionValidator as RefValidator
 
+    # the REFERENCE'S OWN val defaults (cfg/default.yaml): conf=0.001 and
+    # rect=True batch-shape binning — VERDICT r2 next-step #5
     args = dict(
-        model=None, data=str(yaml_path), imgsz=IMGSZ, batch=4, conf=0.01,
-        iou=0.7, max_det=300, rect=False, plots=False, save_json=False,
+        model=None, data=str(yaml_path), imgsz=IMGSZ, batch=4, conf=0.001,
+        iou=0.7, max_det=300, rect=True, plots=False, save_json=False,
         device="cpu", half=False, workers=0, verbose=False, mode="val",
         task="detect", project=str(tmp_path / "refval"), exist_ok=True,
     )
     v = RefValidator(args=args)
-    with contextlib.redirect_stdout(io.StringIO()):
+    with contextlib.redirect_stdout(io.StringIO()), _patched_nms_time_limit():
         stats = v(model=tm.float())
     return stats
 
 
-def _run_our_val(tm, yaml_path):
+def _run_our_val(tm, yaml_path, conf=0.001, rect=True, pre_nms_topk=4096):
     import jax
 
     from fce_yolo_tpu.engine.validator import DetectionValidator
@@ -225,7 +301,8 @@ def _run_our_val(tm, yaml_path):
     variables = state_dict_to_variables(tm.state_dict(), template=template)
     val = DetectionValidator(
         model, names={i: f"c{i}" for i in range(NC)}, imgsz=IMGSZ,
-        conf=0.01, iou=0.7, max_det=300, batch_size=4, workers=0,
+        conf=conf, iou=0.7, max_det=300, batch_size=4, workers=0,
+        rect=rect, pre_nms_topk=pre_nms_topk,
     )
     return val(variables, data=str(yaml_path), verbose=False)
 
@@ -239,6 +316,7 @@ def test_e2e_map_parity_detect(dataset_and_model, tmp_path):
     # import weights into JAX FIRST: the reference validator fuses Conv+BN
     # in place, which would strip the BN stats the importer needs
     ours = _run_our_val(tm, yaml_path)
+    ours_1024 = _run_our_val(tm, yaml_path, pre_nms_topk=1024)
     ref = _run_reference_val(tm, yaml_path, tmp_path)
 
     ref_map5095 = float(ref["metrics/mAP50-95(B)"])
@@ -254,6 +332,13 @@ def test_e2e_map_parity_detect(dataset_and_model, tmp_path):
     assert abs(our_map50 - ref_map50) <= 0.02, (our_map50, ref_map50)
     # the BASELINE.json contract itself
     assert abs(our_map5095 - ref_map5095) <= 0.1
+
+    # quantify the pre_nms_topk candidate-pool tail at conf=0.001 (VERDICT
+    # r2 #5): a 1024 pool truncates low-confidence candidates vs the
+    # reference's max_nms=30000; the default 4096 pool must make that tail
+    # negligible on this fixture set (computed above, before the fuse)
+    tail = abs(float(ours_1024["metrics/mAP50-95(B)"]) - our_map5095)
+    assert tail <= 0.02, f"pre_nms_topk=1024 tail shifted mAP by {tail}"
 
 
 # ---------------------------------------------------------------------------
@@ -291,15 +376,17 @@ def _build_torch_seg_model(ref_pkg, img_paths):
 
 
 def _generate_seg_labels(tm, img_paths, root):
-    """GT polygons = contours of the torch model's own confident masks."""
+    """GT polygons = contours of the torch model's own confident masks,
+    generated at each image's rect val bin shape."""
     from ultralytics.utils.nms import non_max_suppression
     from ultralytics.utils.ops import process_mask
 
+    rect_shape = _rect_shapes(img_paths)
     n_total = 0
     for p in img_paths:
         img = cv2.imread(str(p))
         h, w = img.shape[:2]
-        lb, r, (px, py) = _letterbox_np(img)
+        lb, r, (px, py) = _letterbox_np(img, rect_shape[str(p)])
         x = lb[..., ::-1].transpose(2, 0, 1)[None].astype(np.float32) / 255.0
         with torch.no_grad():
             preds = tm(torch.from_numpy(x.copy()))
@@ -310,7 +397,7 @@ def _generate_seg_labels(tm, img_paths, root):
         )[0]
         lines = []
         if len(dets):
-            masks = process_mask(proto[0], dets[:, 6:], dets[:, :4], (IMGSZ, IMGSZ), upsample=True)
+            masks = process_mask(proto[0], dets[:, 6:], dets[:, :4], lb.shape[:2], upsample=True)
             for j in range(len(dets)):
                 m = (masks[j].numpy() > 0.5).astype(np.uint8)
                 contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
@@ -362,28 +449,37 @@ def test_e2e_map_parity_segment(seg_dataset_and_model, tmp_path):
         lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
     )
     variables = state_dict_to_variables(tm.state_dict(), template=template)
+    # reference val defaults: conf=0.001, rect=True (VERDICT r2 #5)
     val = SegmentationValidator(
         model, names={i: f"c{i}" for i in range(NC)}, imgsz=IMGSZ,
-        conf=0.01, iou=0.7, max_det=300, batch_size=4, workers=0,
+        conf=0.001, iou=0.7, max_det=300, batch_size=4, workers=0, rect=True,
     )
     ours = val(variables, data=str(yaml_path), verbose=False)
 
     from ultralytics.models.yolo.segment import SegmentationValidator as RefValidator
 
     args = dict(
-        model=None, data=str(yaml_path), imgsz=IMGSZ, batch=4, conf=0.01,
-        iou=0.7, max_det=300, rect=False, plots=False, save_json=False,
+        model=None, data=str(yaml_path), imgsz=IMGSZ, batch=4, conf=0.001,
+        iou=0.7, max_det=300, rect=True, plots=False, save_json=False,
         device="cpu", half=False, workers=0, verbose=False, mode="val",
         task="segment", project=str(tmp_path / "refval"), exist_ok=True,
     )
     v = RefValidator(args=args)
-    with contextlib.redirect_stdout(io.StringIO()):
+    with contextlib.redirect_stdout(io.StringIO()), _patched_nms_time_limit():
         ref = v(model=tm.float())
 
     for key in ("metrics/mAP50(B)", "metrics/mAP50-95(B)", "metrics/mAP50(M)", "metrics/mAP50-95(M)"):
         r, o = float(ref[key]), float(ours[key])
         assert abs(o - r) <= 0.1, (key, o, r)  # BASELINE contract
-    assert float(ref["metrics/mAP50(B)"]) > 0.3, "degenerate reference box mAP"
+    # Non-vacuousness floor. Seg GT boxes are mask-CONTOUR bboxes — for a
+    # random-init model those are noisy sub-boxes of the regression box
+    # (and RETR_EXTERNAL fills the noisy masks' holes), so the reference
+    # scores itself ~0.17 box mAP50 here (measured; GT from a fused copy is
+    # bit-identical, so it is fixture noise, not a pipeline drift). The
+    # parity deltas above are the real contract; the floors only guard
+    # against BOTH pipelines degenerating to zero.
+    assert float(ref["metrics/mAP50(B)"]) > 0.12, "degenerate reference box mAP"
+    assert float(ours["metrics/mAP50(B)"]) > 0.05, "degenerate rebuilt box mAP"
 
 
 # ---------------------------------------------------------------------------
