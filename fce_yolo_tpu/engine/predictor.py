@@ -110,7 +110,9 @@ class DetectionPredictor:
         max_det: int = 300,
         batch_size: int = 1,
         task: str = "detect",
+        infer_fn=None,
     ):
+        self.infer_fn = infer_fn  # AutoBackend override: images -> raw preds
         self.model = model
         self.names = names
         self.nc = len(names)
@@ -128,6 +130,25 @@ class DetectionPredictor:
 
         model, conf, iou, max_det = self.model, self.conf, self.iou, self.max_det
         nc, task, imgsz = self.nc, self.task, self.imgsz
+
+        if self.infer_fn is not None:
+            # exported-artifact path (AutoBackend): external runtime -> raw
+            # preds; single-label NMS in-JAX (predict default, nms.py:19)
+            post = jax.jit(
+                lambda preds: batched_nms(
+                    preds, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                    multi_label=False,
+                )
+            )
+            infer = self.infer_fn
+
+            def predict_backend(variables, img_u8):
+                preds = infer(np.asarray(img_u8))
+                if isinstance(preds, dict):  # NMS baked into the artifact
+                    return preds
+                return post(jnp.asarray(preds))
+
+            return predict_backend
 
         @jax.jit
         def predict(variables, img_u8):

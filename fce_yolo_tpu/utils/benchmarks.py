@@ -69,14 +69,40 @@ def profile_inference(
     }
 
 
+EXPORT_FORMATS = ("stablehlo", "saved_model", "tflite")
+
+
+def _bench_backend(backend, imgsz: int, iters: int = 8, warmup: int = 2) -> float:
+    """ms/img through an AutoBackend runtime."""
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 255, (backend.batch, imgsz, imgsz, 3)).astype(np.float32)
+    for _ in range(warmup):
+        backend(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        backend(x)
+    return (time.perf_counter() - t0) / iters / backend.batch * 1000
+
+
 def benchmark(
     yolo,
     data: str | None = None,
     imgsz: int = 640,
     batch: int = 16,
+    formats: tuple[str, ...] | None = None,
+    export_dir: str | None = None,
     verbose: bool = True,
 ) -> list[dict[str, Any]]:
-    """Benchmark the native JAX path (and report mAP if ``data`` given)."""
+    """Export every format, then time + (optionally) val each through its own
+    runtime (reference utils/benchmarks.py:54: `benchmark()` = export matrix
+    x AutoBackend val). The native JAX row is always first. A format that
+    fails to export or run gets a FAILED row, like the reference's
+    pandas-table contract.
+    """
+    import tempfile
+
+    from fce_yolo_tpu.api import YOLO
+
     rows = []
     prof = profile_inference(yolo, imgsz=imgsz, batch=batch)
     row = {
@@ -92,6 +118,26 @@ def benchmark(
         res = yolo.val(data=data, imgsz=imgsz, batch=batch, verbose=False)
         row["mAP50-95"] = round(res["metrics/mAP50-95(B)"], 4)
     rows.append(row)
+
+    tmp = tempfile.mkdtemp(prefix="fy_bench_") if export_dir is None else export_dir
+    for fmt in formats if formats is not None else EXPORT_FORMATS:
+        row = {"format": fmt, "status": "OK", "imgsz": imgsz, "batch": 1,
+               "ms/img": None, "images/sec": None, "mAP50-95": None}
+        try:
+            from fce_yolo_tpu.engine.exporter import export_model
+
+            path = export_model(yolo, fmt=fmt, imgsz=imgsz, out_dir=tmp)
+            m = YOLO(path)  # routes through AutoBackend
+            ms = _bench_backend(m.backend, imgsz)
+            row["ms/img"] = round(ms, 2)
+            row["images/sec"] = round(1000.0 / ms, 1)
+            if data:
+                res = m.val(data=data, imgsz=imgsz, batch=batch, verbose=False)
+                row["mAP50-95"] = round(res["metrics/mAP50-95(B)"], 4)
+        except Exception as e:  # keep the matrix going (reference try_export)
+            row["status"] = f"FAILED: {type(e).__name__}: {e}"[:60]
+        rows.append(row)
+
     if verbose:
         keys = list(rows[0].keys())
         print(" | ".join(f"{k:>12}" for k in keys))
