@@ -1,15 +1,19 @@
-"""`YOLO` user facade: load / train / val / predict / save.
+"""`YOLO` user facade: load / train / val / predict / track / save.
 
 Mirrors the reference's engine/model.py Model API (train:711, val:580,
-predict:477, task_map:1061) for the detect task, on the functional JAX
-core: the facade owns the (model, variables) pair and wires the data
-pipeline, jitted train step, validator and checkpoints together.
+predict:477, task_map:1061) on the functional JAX core, dispatching every
+task (detect / segment / pose / obb / classify, plus rtdetr / world / v10
+graphs) to its trainer, validator and predictor: the facade owns the
+(model, variables) pair and wires the data pipeline, jitted train step,
+validator and checkpoints together.
 
 Model sources accepted:
 - "yolo11n.yaml" / "yolo11s-fce.yaml"... -> built from the packaged cfg
   (scale letter parsed from the stem, reference nn/tasks.py:1769).
 - a checkpoint directory produced by .save()/.train() -> weights + meta.
 - a torch .pt file -> imported via nn/import_torch (reference-weight interop).
+- an exported artifact (.tflite / SavedModel dir / .stablehlo / .fyir) ->
+  predict/val through nn/autobackend (reference nn/autobackend.py:71).
 """
 
 from __future__ import annotations
@@ -78,11 +82,36 @@ class YOLO:
 
         self.ckpt_meta: dict[str, Any] = {}
         self.names: dict[int, str] = names or {}
+        self.backend = None  # AutoBackend when constructed from an export
+        from fce_yolo_tpu.nn.autobackend import is_exported_artifact
+
+        if isinstance(model, str) and is_exported_artifact(model):
+            # exported artifact (.tflite / SavedModel / .stablehlo / .fyir):
+            # predict/val route through AutoBackend (reference autobackend.py:71)
+            from fce_yolo_tpu.nn.autobackend import AutoBackend
+
+            self.backend = AutoBackend(model)
+            self.names = self.names or self.backend.names
+            self.model, self.spec, self.strides = None, None, tuple(self.backend.strides)
+            self.variables = {}
+            self.cfg_yaml, self.scale = model, None
+            self._rng = jax.random.PRNGKey(0)
+            return
         if isinstance(model, str) and is_checkpoint(model):
             tree, meta = load_checkpoint(model)
-            self.model, self.spec, self.strides = build_model(
-                meta["cfg_yaml"], scale=meta.get("scale"), nc=meta.get("nc")
-            )
+            over = meta.get("yaml_overrides") or {}
+            if over:  # train-time model-yaml overrides (e.g. data kpt_shape)
+                import yaml as _yaml
+
+                ydict = _yaml.safe_load(open(meta["cfg_yaml"]))
+                ydict.update(over)
+                ydict["nc"] = meta.get("nc", ydict.get("nc"))
+                self.model, self.spec, self.strides = build_model(ydict, scale=meta.get("scale"))
+            else:
+                self.model, self.spec, self.strides = build_model(
+                    meta["cfg_yaml"], scale=meta.get("scale"), nc=meta.get("nc")
+                )
+            self.yaml_overrides = over
             self.variables = {"params": tree["params"], "batch_stats": tree.get("batch_stats", {})}
             self.names = {int(k): v for k, v in meta.get("names", {}).items()}
             self.ckpt_meta = meta
@@ -141,6 +170,7 @@ class YOLO:
             "scale": self.scale,
             "nc": self.nc,
             "names": self.names,
+            **({"yaml_overrides": self.yaml_overrides} if getattr(self, "yaml_overrides", None) else {}),
             **(extra_meta or {}),
         }
         return save_checkpoint(path, {"params": v["params"], "batch_stats": v.get("batch_stats", {})}, meta)
@@ -148,19 +178,43 @@ class YOLO:
     # ------------------------------------------------------------- predict
     @property
     def task(self) -> str:
+        if self.spec is None:  # exported artifact: detect-graph exports only
+            return self.backend.meta.get("task", "detect")
         return self.spec.task
 
     def predict(self, source, conf: float = 0.25, iou: float = 0.7, imgsz: int = 640,
                 max_det: int = 300, batch: int = 1, stream: bool = False):
+        if self.task == "classify":
+            gen = self._predict_classify(source, imgsz=imgsz if imgsz != 640 else 224)
+            return gen if stream else list(gen)
         from fce_yolo_tpu.engine.predictor import DetectionPredictor
 
+        if self.backend is not None:
+            imgsz = self.backend.imgsz
         predictor = DetectionPredictor(
             self.model, self.names, imgsz=imgsz, conf=conf, iou=iou, max_det=max_det,
-            batch_size=batch, task=self.task,
+            batch_size=batch, task=self.task, infer_fn=self.backend,
         )
-        v = self._ensure_variables(imgsz)
+        v = self._ensure_variables(imgsz) if self.backend is None else {}
         gen = predictor.stream(v, source)
         return gen if stream else list(gen)
+
+    def _predict_classify(self, source, imgsz: int = 224):
+        """Classification predict: val-transform -> softmax -> Results.probs
+        (reference ClassificationPredictor, models/yolo/classify/predict.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from fce_yolo_tpu.data.classify import val_transform
+        from fce_yolo_tpu.engine.predictor import load_source
+        from fce_yolo_tpu.engine.results import Results
+
+        v = self._ensure_variables(imgsz)
+        fwd = jax.jit(lambda var, x: self.model.apply(var, x, train=False)["probs"])
+        for img, path in load_source(source):
+            x = val_transform(img, imgsz)[..., ::-1]  # BGR -> RGB
+            probs = fwd(v, jnp.asarray(x[None].astype(np.float32) / 255.0))
+            yield Results(img, path=path, names=self.names, probs=np.asarray(probs)[0])
 
     def __call__(self, source, **kw):
         return self.predict(source, **kw)
@@ -180,16 +234,70 @@ class YOLO:
     # ----------------------------------------------------------------- val
     def val(self, data: str, imgsz: int = 640, batch: int = 16, conf: float = 0.001,
             iou: float = 0.7, max_det: int = 300, workers: int = 8, verbose: bool = True) -> dict:
+        if self.task == "classify":
+            return self._val_classify(data, imgsz=imgsz if imgsz != 640 else 224, batch=batch,
+                                      verbose=verbose)
         from fce_yolo_tpu.data import check_det_dataset
         from fce_yolo_tpu.engine.validator import DetectionValidator
 
         d = check_det_dataset(data)
         if not self.names or all(v.startswith("class_") for v in self.names.values()):
             self.names = d["names"]
+        if self.backend is not None:
+            imgsz = self.backend.imgsz
+            validator = DetectionValidator(
+                None, self.names, imgsz=imgsz, conf=conf, iou=iou, max_det=max_det,
+                batch_size=batch, workers=workers, infer_fn=self.backend,
+            )
+            return validator({}, data=data, verbose=verbose)
         validator = self._make_validator(
             imgsz=imgsz, conf=conf, iou=iou, max_det=max_det, batch_size=batch, workers=workers
         )
         return validator(self._ensure_variables(imgsz), data=data, verbose=verbose)
+
+    def _val_classify(self, data: str, imgsz: int = 224, batch: int = 16,
+                      verbose: bool = True) -> dict:
+        """Standalone classification val: top-1/top-5 on the val/test split
+        (reference ClassificationValidator, models/yolo/classify/val.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from fce_yolo_tpu.data.classify import ClassificationDataset, classify_collate
+
+        root = Path(data)
+        split = next((root / s for s in ("val", "test") if (root / s).is_dir()), root)
+        ds = ClassificationDataset(str(split), imgsz=imgsz, mode="val")
+        if not self.names or all(v.startswith("class_") for v in self.names.values()):
+            self.names = dict(ds.names)
+        v = self._ensure_variables(imgsz)
+
+        @jax.jit
+        def eval_batch(var, x, y):
+            probs = self.model.apply(var, x, train=False)["probs"]
+            top5 = jnp.argsort(-probs, axis=-1)[:, :5]
+            t1 = (top5[:, 0] == y).astype(jnp.float32)
+            t5 = (top5 == y[:, None]).any(-1).astype(jnp.float32)
+            return t1, t5
+
+        t1s, t5s = [], []
+        for i in range(0, len(ds), batch):
+            items = [ds[j] for j in range(i, min(i + batch, len(ds)))]
+            n_real = len(items)
+            while len(items) < batch:
+                items.append(items[-1])
+            b = classify_collate(items)
+            t1, t5 = eval_batch(v, jnp.asarray(b["img"].astype(np.float32) / 255.0),
+                                jnp.asarray(b["label"]))
+            t1s.extend(np.asarray(t1)[:n_real].tolist())
+            t5s.extend(np.asarray(t5)[:n_real].tolist())
+        res = {
+            "metrics/accuracy_top1": float(np.mean(t1s)) if t1s else 0.0,
+            "metrics/accuracy_top5": float(np.mean(t5s)) if t5s else 0.0,
+        }
+        if verbose:
+            print(f"top1 {res['metrics/accuracy_top1']:.3f}  "
+                  f"top5 {res['metrics/accuracy_top5']:.3f}  ({len(t1s)} images)")
+        return res
 
     def _make_validator(self, **vkw):
         """Task-dispatched validator (reference task_map, engine/model.py:1061)."""
@@ -272,9 +380,19 @@ class YOLO:
 
         d = check_det_dataset(data)
         self.names = d["names"]
-        if d["nc"] != self.nc:
-            self.model, self.spec, self.strides = build_model(self.cfg_yaml, scale=self.scale, nc=d["nc"])
+        # dataset-driven model-yaml overrides (reference PoseTrainer sets the
+        # head kpt_shape from the DATA yaml, models/yolo/pose/train.py)
+        yaml_over: dict = {}
+        if self.task == "pose" and d.get("kpt_shape") and tuple(d["kpt_shape"]) != tuple(
+            self.spec.yaml_dict.get("kpt_shape", (17, 3))
+        ):
+            yaml_over["kpt_shape"] = [int(x) for x in d["kpt_shape"]]
+        if d["nc"] != self.nc or yaml_over:
+            self.model, self.spec, self.strides = build_model(
+                {**self.spec.yaml_dict, "nc": d["nc"], **yaml_over}, scale=self.scale
+            )
             self.variables = None
+            self.yaml_overrides = {**getattr(self, "yaml_overrides", {}), **yaml_over}
 
         aug_kw = {k: v for k, v in hyp_overrides.items() if k in AugmentCfg.__dataclass_fields__}
         hyp = AugmentCfg(**aug_kw)
@@ -415,6 +533,7 @@ class YOLO:
                   f"nc={d['nc']} imgsz={imgsz} batch={batch} epochs={epochs} "
                   f"steps/epoch={steps_per_epoch} optimizer={optim_cfg.optimizer}")
 
+        cbs.fire("on_pretrain_routine_end", trainer=self)
         cbs.fire("on_train_start", trainer=self)
         for epoch in range(start_epoch, epochs):
             cbs.fire("on_train_epoch_start", trainer=self, epoch=epoch)

@@ -115,14 +115,26 @@ def get_cfg(overrides: dict[str, Any] | None = None, cfg: dict | str | None = No
 
 HELP_MSG = """FCE-YOLO-TPU CLI — usage:  yolo-tpu TASK MODE [k=v ...]
 
-  TASK: detect (default)
-  MODE: train | val | predict | export | benchmark
+  TASK: detect (default) | segment | classify | pose | obb
+  MODE: train | val | predict | track | export | benchmark
 
 examples:
   yolo-tpu detect train data=coco_custom.yaml model=yolo11n-fce.yaml epochs=100 iou_type=WIoU
-  yolo-tpu detect val model=runs/detect/train/weights/best data=coco_custom.yaml
-  yolo-tpu detect predict model=runs/detect/train/weights/best source=images/
+  yolo-tpu segment train data=coco8-seg.yaml model=yolo11n-seg.yaml epochs=10
+  yolo-tpu classify val model=runs/classify/train/weights/best data=imagenet10/
+  yolo-tpu pose predict model=yolo11n-pose.yaml source=images/
+  yolo-tpu obb val model=yolo11n-obb.yaml data=dota8.yaml
 """
+
+# reference cfg/__init__.py:64-70 TASK2MODEL (YAML analogs — no asset
+# downloads in this environment)
+TASK2MODEL = {
+    "detect": "yolo11n.yaml",
+    "segment": "yolo11n-seg.yaml",
+    "classify": "yolo11n-cls.yaml",
+    "pose": "yolo11n-pose.yaml",
+    "obb": "yolo11n-obb.yaml",
+}
 
 
 def entrypoint(argv: list[str] | None = None) -> Any:
@@ -145,10 +157,10 @@ def entrypoint(argv: list[str] | None = None) -> Any:
             raise SyntaxError(f"unrecognized argument {a!r}\n{HELP_MSG}")
     if mode is None:
         raise SyntaxError(f"no mode given (one of {MODES})\n{HELP_MSG}")
-    if task != "detect":
-        raise NotImplementedError(f"task {task!r} CLI not wired yet (detect only)")
 
-    model_src = kv.pop("model", None) or "yolo11n.yaml"
+    # default model per task (reference entrypoint:931 TASK2MODEL); when a
+    # model IS given, its spec decides the task (reference guess_model_task)
+    model_src = kv.pop("model", None) or TASK2MODEL[task]
     source = kv.pop("source", None)
     data = kv.pop("data", None)
     cfg = get_cfg(overrides={**kv, "task": task, "mode": mode, "model": model_src})
@@ -168,7 +180,7 @@ def entrypoint(argv: list[str] | None = None) -> Any:
             optimizer=cfg.optimizer, lr0=kv.get("lr0") and float(kv["lr0"]), lrf=cfg.lrf,
             cos_lr=cfg.cos_lr, iou_type=cfg.iou_type, close_mosaic=cfg.close_mosaic,
             patience=cfg.patience, workers=cfg.workers, max_labels=cfg.max_labels,
-            project=cfg.project or "runs/detect", name=cfg.name or "train",
+            project=cfg.project or f"runs/{model.task}", name=cfg.name or "train",
             val=cfg.val, save_period=cfg.save_period, seed=cfg.seed, verbose=cfg.verbose,
             hsv_h=cfg.hsv_h, hsv_s=cfg.hsv_s, hsv_v=cfg.hsv_v, degrees=cfg.degrees,
             translate=cfg.translate, scale=cfg.scale, shear=cfg.shear,
@@ -185,8 +197,11 @@ def entrypoint(argv: list[str] | None = None) -> Any:
         assert source, "predict requires source=<path>"
         results = model.predict(source, conf=cfg.conf or 0.25, iou=cfg.iou,
                                 imgsz=cfg.imgsz, max_det=cfg.max_det)
+        if cfg.verbose:  # reference per-image log line (engine/predictor.py)
+            for i, r in enumerate(results):
+                print(f"image {i + 1}/{len(results)} {r.path}: {r.verbose()}")
         if cfg.save or cfg.save_txt:
-            out_dir = Path(cfg.project or "runs/detect") / (cfg.name or "predict")
+            out_dir = Path(cfg.project or f"runs/{model.task}") / (cfg.name or "predict")
             out_dir.mkdir(parents=True, exist_ok=True)
             for i, r in enumerate(results):
                 stem = Path(r.path).stem if r.path not in ("array", "pil") else f"im{i}"

@@ -71,15 +71,21 @@ class ClassificationDataset:
                 gain = 1 + self._rng.uniform(-1, 1) * self.hsv_v
                 img = np.clip(img.astype(np.float32) * gain, 0, 255).astype(np.uint8)
         else:
-            # resize shorter side then center crop (reference classify val tf)
-            r = s / min(h, w)
-            img = cv2.resize(img, (max(s, int(round(w * r))), max(s, int(round(h * r)))))
-            hh, ww = img.shape[:2]
-            y0, x0 = (hh - s) // 2, (ww - s) // 2
-            img = img[y0 : y0 + s, x0 : x0 + s]
+            img = val_transform(img, s)
         # BGR -> RGB at the pipeline exit (model consumes RGB, reference
         # classification tf works on PIL/RGB)
         return {"img": np.ascontiguousarray(img[..., ::-1]), "label": label}
+
+
+def val_transform(img: np.ndarray, s: int) -> np.ndarray:
+    """Resize shorter side to ``s`` then center crop s x s (reference
+    classify val tf, data/augment.py:2447+). Color space untouched."""
+    h, w = img.shape[:2]
+    r = s / min(h, w)
+    img = cv2.resize(img, (max(s, int(round(w * r))), max(s, int(round(h * r)))))
+    hh, ww = img.shape[:2]
+    y0, x0 = (hh - s) // 2, (ww - s) // 2
+    return img[y0 : y0 + s, x0 : x0 + s]
 
 
 def classify_collate(samples: list[dict]) -> dict:

@@ -104,6 +104,29 @@ class Keypoints:
         return self.data[..., 2] if self.data.shape[-1] == 3 else None
 
 
+class Probs:
+    """Classification probabilities for one image (reference results.py:1205)."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.asarray(data, np.float32).reshape(-1)
+
+    @property
+    def top1(self) -> int:
+        return int(self.data.argmax())
+
+    @property
+    def top5(self) -> list[int]:
+        return np.argsort(-self.data)[:5].tolist()
+
+    @property
+    def top1conf(self) -> float:
+        return float(self.data.max())
+
+    @property
+    def top5conf(self) -> np.ndarray:
+        return self.data[self.top5]
+
+
 class Results:
     """One image's predictions + helpers (plot/save_txt/to-dict)."""
 
@@ -115,6 +138,7 @@ class Results:
         boxes: np.ndarray | None = None,
         masks: np.ndarray | None = None,
         keypoints: np.ndarray | None = None,
+        probs: np.ndarray | None = None,
         speed: dict | None = None,
     ):
         self.orig_img = orig_img
@@ -124,6 +148,7 @@ class Results:
         self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)), self.orig_shape)
         self.masks = Masks(masks, self.orig_shape) if masks is not None else None
         self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
+        self.probs = Probs(probs) if probs is not None else None
         self.speed = speed or {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 
     def __len__(self) -> int:
@@ -131,6 +156,24 @@ class Results:
 
     def __repr__(self) -> str:
         return f"Results(path={self.path!r}, n={len(self)}, shape={self.orig_shape})"
+
+    def verbose(self) -> str:
+        """Per-image log string (reference Results.verbose, engine/results.py):
+        '2 persons, 1 bus, ' for detection tasks, top-5 probs for classify."""
+        if self.probs is not None:
+            return ", ".join(
+                f"{self.names.get(i, str(i))} {self.probs.data[i]:.2f}" for i in self.probs.top5
+            )
+        if len(self) == 0:
+            return "(no detections), "
+        counts: dict[int, int] = {}
+        for row in self.boxes.data:
+            c = int(row[5])
+            counts[c] = counts.get(c, 0) + 1
+        return "".join(
+            f"{n} {self.names.get(c, str(c))}{'s' if n > 1 else ''}, "
+            for c, n in sorted(counts.items())
+        )
 
     def summary(self) -> list[dict]:
         out = []

@@ -116,3 +116,79 @@ def tiny_seg_dataset(tmp_path_factory):
     yaml_path = root / "data.yaml"
     yaml_path.write_text(f"path: {root}\ntrain: images/train\nval: images/val\nnames:\n  0: a\n  1: b\n")
     return str(yaml_path)
+
+
+@pytest.fixture(scope="session")
+def tiny_pose_dataset(tmp_path_factory):
+    """4-keypoint pose dataset: rectangles with corner keypoints."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("tinypose")
+    rng = np.random.RandomState(2)
+    for split, n in (("train", 8), ("val", 4)):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        for i in range(n):
+            img = np.full((128, 128, 3), 50, np.uint8)
+            bw, bh = rng.uniform(0.3, 0.5), rng.uniform(0.3, 0.5)
+            cx, cy = rng.uniform(bw / 2, 1 - bw / 2), rng.uniform(bh / 2, 1 - bh / 2)
+            x1, y1, x2, y2 = cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2
+            cv2.rectangle(img, (int(x1 * 128), int(y1 * 128)), (int(x2 * 128), int(y2 * 128)), (0, 200, 255), -1)
+            kpts = " ".join(
+                f"{x:.4f} {y:.4f} 2" for x, y in ((x1, y1), (x2, y1), (x2, y2), (x1, y2))
+            )
+            cv2.imwrite(str(root / "images" / split / f"{i}.jpg"), img)
+            (root / "labels" / split / f"{i}.txt").write_text(
+                f"0 {cx:.4f} {cy:.4f} {bw:.4f} {bh:.4f} {kpts}\n"
+            )
+    (root / "data.yaml").write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\nnames: [obj]\nkpt_shape: [4, 3]\n"
+    )
+    return str(root / "data.yaml")
+
+
+@pytest.fixture(scope="session")
+def tiny_obb_dataset(tmp_path_factory):
+    """Rotated-rectangle dataset in DOTA-YOLO 8-coordinate format."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("tinyobb")
+    rng = np.random.RandomState(3)
+    for split, n in (("train", 8), ("val", 4)):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        for i in range(n):
+            img = np.full((128, 128, 3), 50, np.uint8)
+            cx, cy = rng.uniform(0.35, 0.65), rng.uniform(0.35, 0.65)
+            w, h, ang = rng.uniform(0.25, 0.4), rng.uniform(0.12, 0.2), rng.uniform(-0.7, 0.7)
+            c, s = np.cos(ang), np.sin(ang)
+            corners = np.array([[-w / 2, -h / 2], [w / 2, -h / 2], [w / 2, h / 2], [-w / 2, h / 2]])
+            pts = corners @ np.array([[c, -s], [s, c]]).T + [cx, cy]
+            pts = pts.clip(0.01, 0.99)
+            cv2.fillPoly(img, [np.round(pts * 128).astype(np.int32)], (200, 100, 0))
+            cv2.imwrite(str(root / "images" / split / f"{i}.jpg"), img)
+            coords = " ".join(f"{v:.4f}" for v in pts.reshape(-1))
+            (root / "labels" / split / f"{i}.txt").write_text(f"0 {coords}\n")
+    (root / "data.yaml").write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\nnames: [obj]\n"
+    )
+    return str(root / "data.yaml")
+
+
+@pytest.fixture(scope="session")
+def tiny_cls_dataset(tmp_path_factory):
+    """Two visually-distinct classes (red-tinted vs blue-tinted noise textures;
+    solid colors would give BatchNorm degenerate zero-variance activations)."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("tinycls")
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 16), ("val", 8)):
+        for ci in range(2):
+            d = root / split / f"class{ci}"
+            d.mkdir(parents=True)
+            for i in range(n // 2):
+                img = rng.randint(0, 120, (64, 64, 3), dtype=np.uint8)
+                img[..., 2 if ci == 0 else 0] += 120  # strong red / blue tint
+                cv2.imwrite(str(d / f"{i}.jpg"), img)
+    return str(root)

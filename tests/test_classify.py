@@ -4,23 +4,6 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="module")
-def tiny_cls_dataset(tmp_path_factory):
-    """Two visually-distinct classes (red-tinted vs blue-tinted noise textures;
-    solid colors would give BatchNorm degenerate zero-variance activations)."""
-    import cv2
-
-    root = tmp_path_factory.mktemp("tinycls")
-    rng = np.random.RandomState(0)
-    for split, n in (("train", 16), ("val", 8)):
-        for ci in range(2):
-            d = root / split / f"class{ci}"
-            d.mkdir(parents=True)
-            for i in range(n // 2):
-                img = rng.randint(0, 120, (64, 64, 3), dtype=np.uint8)
-                img[..., 2 if ci == 0 else 0] += 120  # strong red / blue tint
-                cv2.imwrite(str(d / f"{i}.jpg"), img)
-    return str(root)
 
 
 def test_classification_dataset(tiny_cls_dataset):
