@@ -15,7 +15,11 @@ import numpy as np
 from fce_yolo_tpu.experiments.analysis import MAP_KEY, best_epoch, load_results
 from fce_yolo_tpu.experiments.config import MODEL_CONFIGS
 
-__all__ = ["plot_training_curves", "plot_ablation_bars", "produce_all"]
+__all__ = [
+    "plot_training_curves", "plot_ablation_bars", "produce_all",
+    "plot_metric_panels", "compose_panels", "model_complexity", "write_table",
+    "produce_ablation_table", "produce_report",
+]
 
 
 def _plt():
@@ -128,24 +132,48 @@ _PANEL_KEYS = (
 )
 
 
-def _setup_font(lang: str):
+def _setup_font(lang: str) -> bool:
     """Register a CJK-capable font when plotting CN labels (fork
-    setup_cn_font, paper_plots.py:99-134); silently stays EN-font otherwise."""
+    setup_cn_font, paper_plots.py:99-134).
+
+    Returns True when CN glyphs can render. When NO CJK font exists (checks
+    $FY_CJK_FONT, then the usual system font paths), returns False and the
+    caller must fall back to EN labels — never ship missing-glyph boxes.
+    """
     if lang != "cn":
-        return
+        return True
     import glob as _glob
+    import os as _os
+    import warnings as _warnings
 
     import matplotlib
 
-    for pat in ("/usr/share/fonts/**/*CJK*.tt?", "/usr/share/fonts/**/wqy*.tt?"):
-        hits = _glob.glob(pat, recursive=True)
-        if hits:
+    cands = []
+    env = _os.environ.get("FY_CJK_FONT")
+    if env and _os.path.exists(env):
+        cands.append(env)
+    for pat in (
+        "/usr/share/fonts/**/*CJK*.[ot]t?",
+        "/usr/share/fonts/**/wqy*.tt?",
+        "/usr/share/fonts/**/*Hei*.tt?",
+        _os.path.expanduser("~/.fonts/**/*CJK*.[ot]t?"),
+    ):
+        cands.extend(_glob.glob(pat, recursive=True))
+    for hit in cands:
+        try:
             from matplotlib import font_manager
 
-            font_manager.fontManager.addfont(hits[0])
-            name = font_manager.FontProperties(fname=hits[0]).get_name()
+            font_manager.fontManager.addfont(hit)
+            name = font_manager.FontProperties(fname=hit).get_name()
             matplotlib.rcParams["font.family"] = [name]
-            return
+            return True
+        except Exception:
+            continue
+    _warnings.warn(
+        "no CJK font found (set FY_CJK_FONT=/path/to/font.otf to enable 中文"
+        " figures); falling back to English labels", stacklevel=2,
+    )
+    return False
 
 
 def plot_metric_panels(
@@ -157,7 +185,8 @@ def plot_metric_panels(
     """2x2 panel comparison of mAP50-95 / mAP50 / P / R across variants
     (fork produce_A / plot_comparison, paper_plots.py:155-233)."""
     plt = _plt()
-    _setup_font(lang)
+    # no CJK font -> EN labels (explicit warning in _setup_font; never tofu)
+    lang = lang if _setup_font(lang) else "en"
     L = _L10N[lang]
     fig, axes = plt.subplots(2, 2, figsize=(14, 10), tight_layout=True)
     for idx, (col, label_key) in enumerate(_PANEL_KEYS):
@@ -263,3 +292,135 @@ def write_table(table: list[dict], out_path: str | Path, fmt: str = "markdown") 
             lines.append("| " + " | ".join(cell(r.get(k, "")) for k in keys) + " |")
     Path(out_path).write_text("\n".join(lines) + "\n")
     return str(out_path)
+
+
+# ---------------------------------------------------------------------------
+# Full paper report (fork produce_B table + produce_A/ C/D figure set)
+# ---------------------------------------------------------------------------
+
+_TABLE_L10N = {
+    "en": {
+        "idx": "No.", "model": "Model", "change": "Improvement", "loss": "Loss",
+        "best_ep": "Best epoch", "prec": "Precision", "rec": "Recall",
+        "map50": "mAP50", "map5095": "mAP50-95", "delta": "dmAP50-95",
+        "params": "Params(M)", "gflops": "GFLOPs",
+        "title": "# Ablation results (best-epoch metrics)",
+        "note": "> best epoch = the val epoch with the highest mAP50-95 "
+                "(the fork's standard reporting convention, paper_plots.py:255)",
+    },
+    "cn": {
+        "idx": "序号", "model": "模型", "change": "改进", "loss": "损失",
+        "best_ep": "best轮次", "prec": "Precision", "rec": "Recall",
+        "map50": "mAP50", "map5095": "mAP50-95", "delta": "ΔmAP50-95",
+        "params": "Params(M)", "gflops": "GFLOPs",
+        "title": "# 消融实验结果表（best 指标）",
+        "note": "> best 指标定义：验证集 mAP50-95 最高那一轮（YOLO 标准报告方式）",
+    },
+}
+
+_IDX_MARKS = ["①", "②", "③", "④", "⑤", "⑥", "⑦", "⑧"]
+
+
+def produce_ablation_table(
+    runs: dict[str, str | Path],
+    out_dir: str | Path,
+    lang: str = "en",
+    scale: str = "m",
+    imgsz: int = 640,
+    changes: dict[str, str] | None = None,
+    loss_types: dict[str, str] | None = None,
+) -> str:
+    """produce_B analog (fork paper_plots.py:235-315): the incremental
+    ablation table — best-epoch P/R/mAP50/mAP50-95, per-row delta, params +
+    GFLOPs — written as <lang>.md + <lang>.csv. Tables are plain text, so
+    the CN variant needs no font (figures are the font-gated part)."""
+    import csv as _csv
+
+    L = _TABLE_L10N[lang]
+    cols = [L["idx"], L["model"], L["change"], L["loss"], L["best_ep"], L["prec"],
+            L["rec"], L["map50"], L["map5095"], L["delta"], L["params"], L["gflops"]]
+    complexity = {}
+    for name in runs:
+        cfg = MODEL_CONFIGS.get(name)
+        if cfg is not None:
+            try:
+                row = model_complexity({name: cfg.model_yaml}, scale=scale, imgsz=imgsz)[0]
+                complexity[name] = (row["params_M"], row["GFLOPs"])
+            except Exception:
+                pass
+
+    rows = []
+    prev = None
+    for i, (name, run) in enumerate(runs.items()):
+        b = best_epoch(load_results(run))
+        m5095 = round(b.get(MAP_KEY, 0.0) * 100, 2)
+        delta = "—" if prev is None else f"+{m5095 - prev:.2f}"
+        prev = m5095
+        pm, gf = complexity.get(name, (None, None))
+        rows.append({
+            L["idx"]: _IDX_MARKS[i] if i < len(_IDX_MARKS) else str(i + 1),
+            L["model"]: name,
+            L["change"]: (changes or {}).get(name, "—"),
+            L["loss"]: (loss_types or {}).get(name, "CIoU"),
+            L["best_ep"]: b.get("epoch", "—"),
+            L["prec"]: round(b.get("metrics/precision(B)", 0.0) * 100, 2),
+            L["rec"]: round(b.get("metrics/recall(B)", 0.0) * 100, 2),
+            L["map50"]: round(b.get("metrics/mAP50(B)", 0.0) * 100, 2),
+            L["map5095"]: m5095,
+            L["delta"]: delta,
+            L["params"]: round(pm, 2) if pm else "N/A",
+            L["gflops"]: round(gf, 1) if gf else "N/A",
+        })
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    csv_path = out / f"ablation_table_{lang}.csv"
+    with open(csv_path, "w", newline="", encoding="utf-8-sig") as f:
+        w = _csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerows(rows)
+    md_path = out / f"ablation_table_{lang}.md"
+    lines = [L["title"], "", L["note"], ""]
+    lines.append("| " + " | ".join(cols) + " |")
+    lines.append("|" + "---|" * len(cols))
+    for r in rows:
+        lines.append("| " + " | ".join(str(r[c]) for c in cols) + " |")
+    md_path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(md_path)
+
+
+def produce_report(
+    runs: dict[str, str | Path],
+    out_dir: str | Path,
+    langs: tuple[str, ...] = ("en", "cn"),
+    scale: str = "m",
+    imgsz: int = 640,
+    changes: dict[str, str] | None = None,
+    loss_types: dict[str, str] | None = None,
+) -> list[str]:
+    """The full bilingual paper deliverable (fork paper_plots.py main):
+    ablation tables (EN+CN, text — always bilingual), metric panels and
+    ablation bars per language (CN falls back to EN labels with a warning
+    when no CJK font is available — never tofu), training curves, and any
+    per-run val figures (PR/F1/P/R/confusion) already written by the
+    validator's plots_dir."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    produced = []
+    for lang in langs:
+        produced.append(produce_ablation_table(
+            runs, out, lang=lang, scale=scale, imgsz=imgsz,
+            changes=changes, loss_types=loss_types,
+        ))
+        fig_lang = lang if _setup_font(lang) else "en"
+        produced.append(plot_metric_panels(
+            runs, out / f"metric_panels_{lang}.png", scale=scale, lang=fig_lang))
+    from fce_yolo_tpu.experiments.analysis import ablation_table
+
+    produced.append(plot_ablation_bars(ablation_table(runs), out / "ablation_bars.png",
+                                       scale=scale))
+    produced.append(plot_training_curves(runs, out / "training_curves.png"))
+    for name, run in runs.items():
+        for f in Path(run).glob("plots/*.png"):
+            produced.append(str(f))
+    return produced

@@ -191,6 +191,7 @@ class DetMetrics:
         self.ap_class_index = np.zeros(0, int)
         self.nt_per_class = None
         self.nt_per_image = None
+        self.curves = None
 
     def update_stats(self, stat: dict) -> None:
         """Append one image's stats: tp (D,T), conf (D,), pred_cls (D,), target_cls (G,), target_img (unique G classes)."""
@@ -208,6 +209,12 @@ class DetMetrics:
             self.p, self.r, self.f1 = res["p"], res["r"], res["f1"]
             self.all_ap = res["ap"]
             self.ap_class_index = res["unique_classes"]
+            # 1000-point confidence/recall-axis curves for the figure layer
+            # (reference Metric.curves_results, metrics.py:996-1027)
+            self.curves = {
+                "x": res["x"], "p_curve": res["p_curve"], "r_curve": res["r_curve"],
+                "f1_curve": res["f1_curve"], "prec_values": res["prec_values"],
+            }
         return stats
 
     def clear_stats(self):

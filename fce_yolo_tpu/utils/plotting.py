@@ -82,6 +82,39 @@ def plot_pr_curve(
     return str(save_path)
 
 
+def plot_mc_curve(
+    px: np.ndarray,
+    py: np.ndarray,
+    names: dict[int, str],
+    save_path: str | Path = "F1_curve.png",
+    xlabel: str = "Confidence",
+    ylabel: str = "Metric",
+) -> str:
+    """Metric-confidence curve (reference plot_mc_curve: F1/P/R figures)."""
+    from fce_yolo_tpu.utils.metrics import smooth
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(9, 6))
+    py = np.atleast_2d(py)
+    if 0 < len(names) <= 20:
+        for i, y in enumerate(py):
+            ax.plot(px, y, lw=1, label=names.get(i, str(i)))
+    else:
+        ax.plot(px, py.T, lw=1, color="grey", alpha=0.4)
+    y = smooth(py.mean(0), 0.1)
+    ax.plot(px, y, lw=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return str(save_path)
+
+
 def plot_confusion_matrix(
     matrix: np.ndarray,
     names: dict[int, str],
