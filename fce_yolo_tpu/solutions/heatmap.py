@@ -1,20 +1,44 @@
-"""Presence heatmap over tracked detections (reference solutions/heatmap.py)."""
+"""Presence heatmap over tracked detections (reference solutions/heatmap.py).
+
+Composite like the reference: Heatmap EXTENDS ObjectCounter, so a counting
+line/region can be overlaid on the decaying heat accumulation
+(reference heatmap.py:14 `class Heatmap(ObjectCounter)`), and each box
+contributes +2 inside its inscribed circle rather than a flat rectangle
+(reference heatmap_effect, heatmap.py:54-73).
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
-from fce_yolo_tpu.solutions.base import BaseSolution
+from fce_yolo_tpu.solutions.counter import ObjectCounter
 
 __all__ = ["Heatmap"]
 
 
-class Heatmap(BaseSolution):
-    def __init__(self, decay: float = 0.99, alpha: float = 0.5, **kw):
-        super().__init__(**kw)
-        self.decay = decay
+class Heatmap(ObjectCounter):
+    def __init__(self, colormap: int | None = None, alpha: float = 0.5,
+                 region: list[tuple[float, float]] | None = None, **kw):
+        import cv2
+
+        self.count_enabled = region is not None
+        super().__init__(region=region, **kw)
+        self.colormap = cv2.COLORMAP_JET if colormap is None else colormap
         self.alpha = alpha
         self.acc: np.ndarray | None = None
+
+    def heatmap_effect(self, box) -> None:
+        """+2 inside the box's inscribed circle (reference heatmap.py:54)."""
+        h, w = self.acc.shape
+        x0, y0, x1, y1 = (int(v) for v in box[:4])
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(x1, w), min(y1, h)
+        if x1 <= x0 or y1 <= y0:
+            return
+        radius_sq = (min(x1 - x0, y1 - y0) // 2) ** 2
+        xv, yv = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+        dist_sq = (xv - (x0 + x1) // 2) ** 2 + (yv - (y0 + y1) // 2) ** 2
+        self.acc[y0:y1, x0:x1][dist_sq <= radius_sq] += 2.0
 
     def process(self, result, tracks: np.ndarray):
         import cv2
@@ -22,11 +46,18 @@ class Heatmap(BaseSolution):
         h, w = result.orig_shape
         if self.acc is None or self.acc.shape != (h, w):
             self.acc = np.zeros((h, w), np.float32)
-        self.acc *= self.decay
         for row in tracks:
-            x1, y1, x2, y2 = (int(v) for v in row[:4])
-            self.acc[max(y1, 0) : min(y2, h), max(x1, 0) : min(x2, w)] += 1.0
-        norm = self.acc / (self.acc.max() + 1e-6)
-        heat = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_JET)
-        img = cv2.addWeighted(result.orig_img, 1 - self.alpha, heat, self.alpha, 0)
-        return img, {"max_heat": float(self.acc.max())}
+            self.heatmap_effect(row)
+
+        if self.count_enabled:
+            img, info = super().process(result, tracks)
+        else:
+            img = result.orig_img.copy()
+            info = {}
+
+        if self.acc.max() > 0:
+            norm = cv2.normalize(self.acc, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+            heat = cv2.applyColorMap(norm, self.colormap)
+            img = cv2.addWeighted(img, 1 - self.alpha, heat, self.alpha, 0)
+        info.update(max_heat=float(self.acc.max()), total_tracks=len(tracks))
+        return img, info

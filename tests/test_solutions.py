@@ -44,13 +44,16 @@ def test_counter_in_out():
 
 
 def test_heatmap_accumulates():
-    hm = _Stub(Heatmap, decay=1.0, alpha=0.5)
+    import cv2
+
+    hm = _Stub(Heatmap, count_enabled=False, colormap=cv2.COLORMAP_JET, alpha=0.5)
     hm.acc = None
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0]], float)
     img, info = hm.process(_result(), tr)
     first = info["max_heat"]
     img, info = hm.process(_result(), tr)
-    assert info["max_heat"] == first + 1.0
+    # +2 inside the inscribed circle per frame (reference heatmap_effect)
+    assert info["max_heat"] == first + 2.0
     assert img.shape == (100, 100, 3)
 
 

@@ -63,3 +63,48 @@ def test_profile_and_system_logger():
     assert 0.005 < t.t < 1.0
     snap = SystemLogger().snapshot()
     assert "time" in snap and "ram_used_frac" in snap
+
+
+def test_jsonl_sink(tmp_path):
+    import json
+
+    from fce_yolo_tpu.utils.callbacks import CallbackList
+    from fce_yolo_tpu.utils.integrations import JSONLSink
+
+    cbs = CallbackList()
+    JSONLSink(str(tmp_path / "metrics.jsonl")).register(cbs)
+    cbs.fire("on_pretrain_routine_end", trainer=None)
+    cbs.fire("on_fit_epoch_end", trainer=None, epoch=0, metrics={"loss": 1.5, "mAP50": 0.2})
+    cbs.fire("on_fit_epoch_end", trainer=None, epoch=1, metrics={"loss": 1.2, "mAP50": 0.3})
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["event"] == "start"
+    assert lines[1] == {"epoch": 0, "loss": 1.5, "mAP50": 0.2}
+    assert lines[2]["loss"] == 1.2
+
+
+def test_mlflow_file_sink(tmp_path):
+    """The sink writes the mlflow FILE-STORE layout (meta.yaml + params/ +
+    metrics/ '<ts> <value> <step>' lines) that `mlflow ui` can open —
+    reference utils/callbacks/mlflow.py contract with zero dependencies."""
+    from types import SimpleNamespace
+
+    from fce_yolo_tpu.utils.callbacks import CallbackList
+    from fce_yolo_tpu.utils.integrations import MLflowFileSink
+
+    cbs = CallbackList()
+    sink = MLflowFileSink(str(tmp_path / "mlruns"))
+    sink.register(cbs)
+    trainer = SimpleNamespace(cfg=SimpleNamespace(lr0=0.01, epochs=3, model="yolo11n"))
+    cbs.fire("on_pretrain_routine_end", trainer=trainer)
+    cbs.fire("on_fit_epoch_end", trainer=trainer, epoch=0, metrics={"metrics/mAP50-95(B)": 0.4})
+    cbs.fire("on_fit_epoch_end", trainer=trainer, epoch=1, metrics={"metrics/mAP50-95(B)": 0.5})
+    cbs.fire("on_train_end", trainer=trainer)
+
+    run_dir = sink.run_dir
+    assert (run_dir / "meta.yaml").exists()
+    assert (run_dir / "params" / "lr0").read_text() == "0.01"
+    rows = (run_dir / "metrics" / "metrics_mAP50-95B").read_text().splitlines()
+    assert len(rows) == 2
+    ts, val, step = rows[1].split()
+    assert float(val) == 0.5 and step == "1"
+    assert "end_time: null" not in (run_dir / "meta.yaml").read_text()
