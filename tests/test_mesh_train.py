@@ -71,3 +71,44 @@ def test_spatial_sharded_1280_inference():
     out = np.asarray(out)
     assert out.shape[0] == 2
     np.testing.assert_allclose(out[0], ref[0], rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_sp4_1280_train_step():
+    """Full 1280px sp=4-sharded TRAIN step (VERDICT r2 next-step #8): the
+    fork's streaming resolution, spatially sharded 4-way across the mesh
+    with conv halo exchanges in forward and backward. Executes one full
+    step (fwd+loss+TAL+bwd+opt) and requires a finite loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from fce_yolo_tpu.nn.model import build_model
+    from fce_yolo_tpu.parallel.mesh import data_mesh, replicated, shard_batch
+    from fce_yolo_tpu.train.loss import DetectionLossCfg
+    from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
+    from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+    mesh = data_mesh(8, sp=4)
+    model, spec, strides = build_model(
+        "fce_yolo_tpu/cfg/models/yolo11-fce.yaml", scale="n", nc=4
+    )
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 128, 128, 3)), train=True)
+    )(jax.random.PRNGKey(0))
+    tx = build_optimizer(OptimCfg(optimizer="SGD", batch_size=2, nc=4), variables["params"])
+    state = jax.device_put(create_train_state(model, dict(variables), tx), replicated(mesh))
+    step = jax.jit(
+        make_train_step(model, tx, DetectionLossCfg(nc=4, strides=tuple(strides))),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    rng = np.random.RandomState(0)
+    raw = {
+        "img": rng.rand(2, 1280, 1280, 3).astype(np.float32),
+        "cls": rng.randint(0, 4, (2, 8)).astype(np.float32),
+        "bboxes": rng.uniform(0.3, 0.6, (2, 8, 4)).astype(np.float32),
+        "mask": np.ones((2, 8), bool),
+    }
+    bd = shard_batch(dict(raw), mesh, spatial=True)
+    s2, m = step(state, bd)
+    jax.block_until_ready(s2.params)
+    assert np.isfinite(float(m["loss"]))

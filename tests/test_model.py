@@ -67,6 +67,7 @@ def test_all_yamls_parse():
         model, spec, strides = build_model(y, scale=scale)
         assert spec.layers[-1].name in (
             "Detect", "Segment", "Pose", "OBB", "Classify", "RTDETRDecoder", "v10Detect",
+            "WorldDetect", "YOLOEDetect", "YOLOESegment",
         )
 
 
