@@ -455,6 +455,7 @@ class YOLO:
         accumulate = accumulate_steps(optim_cfg)
         state = create_train_state(self.model, v, tx, accumulate=accumulate)
         task_loss = None
+        batch_hook = None  # optional host-side per-batch augmentation (rtdetr cdn)
         batch_keys = ["img", "cls", "bboxes", "mask"]
         if self.task == "segment":
             from fce_yolo_tpu.train.task_losses import segmentation_loss
@@ -476,10 +477,27 @@ class YOLO:
 
             task_loss = e2e_detect_loss
         elif self.task == "rtdetr":
-            from fce_yolo_tpu.train.detr_loss import DETRLossCfg, detr_loss
+            from fce_yolo_tpu.train.detr_loss import DETRLossCfg, detr_loss, make_cdn_group
 
             detr_cfg = DETRLossCfg(nc=d["nc"])
             task_loss = lambda out, batch, cfg, state: detr_loss(out, batch, detr_cfg, state)
+            # contrastive-denoising groups, built host-side per batch
+            # (reference RTDETRDetectionModel.loss -> get_cdn_group); the
+            # decoder clamps nq to the token count on tiny inputs (heads.py)
+            ls_head = self.spec.layers[-1]
+            nq_eff = min(ls_head.args[3] if len(ls_head.args) > 3 else 300,
+                         sum((imgsz // s) ** 2 for s in (8, 16, 32)))
+            _cdn_seed = [0]
+
+            def batch_hook(b):
+                _cdn_seed[0] += 1
+                b.update(make_cdn_group(
+                    b["cls"], b["bboxes"], b["mask"], nc=d["nc"], nq=nq_eff,
+                    rng=_cdn_seed[0],
+                ))
+                return b
+
+            batch_keys += ["dn_cls", "dn_bbox", "dn_attn_mask"]
         if bf16 is None:  # AMP analog: on for TPU by default (reference amp: True)
             bf16 = jax.default_backend() == "tpu"
         step_fn = make_train_step(
@@ -509,7 +527,11 @@ class YOLO:
             data_sh = NamedSharding(device_mesh, P("dp"))
             state = jax.device_put(state, repl)
             step_fn = jax.jit(step_fn, donate_argnums=0, out_shardings=(repl, repl))
-            put = lambda b: {k: jax.device_put(np.asarray(val), data_sh) for k, val in b.items()}
+            # dn_attn_mask is (tgt, tgt) with no batch dim -> replicate
+            put = lambda b: {
+                k: jax.device_put(np.asarray(val), repl if k == "dn_attn_mask" else data_sh)
+                for k, val in b.items()
+            }
         else:
             step_fn = jax.jit(step_fn, donate_argnums=0)
             put = lambda b: b
@@ -542,11 +564,15 @@ class YOLO:
             sums: dict[str, float] = {}
             nb = 0
             for b in loader:
+                if batch_hook is not None:
+                    b = batch_hook(dict(b))
                 bdev = put({k: b[k] for k in batch_keys if k in b})
                 state, m = step_fn(state, bdev)
                 nb += 1
                 if nb == 1 or nb % 10 == 0 or nb == steps_per_epoch:
-                    vals = jax.device_get({k: m[k] for k in ("loss", "box", "cls", "dfl")})
+                    vals = jax.device_get(
+                        {k: m[k] for k in ("loss", "box", "cls", "dfl", "giou", "dn") if k in m}
+                    )
                     for k, v in vals.items():  # one batched fetch, not 4 round trips
                         sums[k] = sums.get(k, 0.0) + float(v)
                     sums["_n"] = sums.get("_n", 0) + 1

@@ -262,7 +262,7 @@ class RTDETRDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: list[jnp.ndarray], train: bool = False,
-                 dn_embed=None, dn_bbox=None, attn_mask=None):
+                 dn_cls=None, dn_bbox=None, attn_mask=None):
         from fce_yolo_tpu.nn.transformer import (
             MLP, DeformableTransformerDecoderLayer, inverse_sigmoid,
         )
@@ -308,14 +308,19 @@ class RTDETRDecoder(nn.Module):
             refer = jax.lax.stop_gradient(refer)
             if not self.learnt_init_query:
                 embed = jax.lax.stop_gradient(embed)
-        # contrastive-denoising queries prepend (models/utils/ops.get_cdn_group)
-        if dn_bbox is not None:
-            refer = jnp.concatenate([dn_bbox, refer], axis=1)
-            embed = jnp.concatenate([dn_embed, embed], axis=1)
         # denoising class embedding table: declared unconditionally so weight
         # import and the cdn path share one tree
-        self.param("denoising_class_embed",
-                   nn.initializers.normal(1.0), (self.nc, self.hd))
+        dn_table = self.param("denoising_class_embed",
+                              nn.initializers.normal(1.0), (self.nc, self.hd))
+        # contrastive-denoising queries prepend (models/utils/ops.get_cdn_group:
+        # padding_cls = class_embed[dn_cls], zeros at padded slots, ops.py:280-289)
+        if dn_bbox is not None:
+            valid = (dn_cls >= 0)[..., None]
+            dn_embed = jnp.where(
+                valid, dn_table[jnp.clip(dn_cls, 0, self.nc - 1)], 0.0
+            ).astype(embed.dtype)
+            refer = jnp.concatenate([dn_bbox.astype(refer.dtype), refer], axis=1)
+            embed = jnp.concatenate([dn_embed, embed], axis=1)
 
         # --- decoder with iterative refinement (transformer.py:712-793) ---
         pos_mlp = MLP(2 * self.hd, self.hd, num_layers=2, name="query_pos_head")

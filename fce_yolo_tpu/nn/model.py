@@ -245,7 +245,9 @@ class DetectionModel(nn.Module):
     export: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, txt_feats: jnp.ndarray | None = None):
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 txt_feats: jnp.ndarray | None = None,
+                 dn: dict[str, jnp.ndarray] | None = None):
         saved: dict[int, jnp.ndarray] = {}
         out: Any = x
         # open-vocab threading (reference WorldModel.predict, tasks.py:896-940):
@@ -274,6 +276,11 @@ class DetectionModel(nn.Module):
                 txt = layer(inp, txt, train=train)
             elif ls.name in ("WorldDetect", "YOLOEDetect", "YOLOESegment"):
                 out = layer(inp, txt0, train=train)
+            elif ls.name == "RTDETRDecoder" and dn is not None:
+                # contrastive-denoising queries (train only; reference
+                # RTDETRDetectionModel.loss builds them via get_cdn_group)
+                out = layer(inp, train=train, dn_cls=dn["dn_cls"],
+                            dn_bbox=dn["dn_bbox"], attn_mask=dn["dn_attn_mask"])
             else:
                 out = layer(inp, train=train)
             if ls.i in self.spec.save:

@@ -26,9 +26,82 @@ import optax
 from fce_yolo_tpu.ops.iou import bbox_iou
 from fce_yolo_tpu.train.loss import LossState, _bce_with_logits
 
-__all__ = ["DETRLossCfg", "detr_loss", "hungarian_match"]
+__all__ = ["DETRLossCfg", "detr_loss", "hungarian_match", "make_cdn_group"]
 
 _PAD_COST = 1e6
+
+
+def make_cdn_group(
+    gt_cls,  # (B, M) int, padded
+    gt_bboxes,  # (B, M, 4) f32 normalized xywh, padded
+    mask_gt,  # (B, M) bool validity
+    nc: int,
+    nq: int,
+    num_dn: int = 100,
+    cls_noise_ratio: float = 0.5,
+    box_noise_scale: float = 1.0,
+    rng=None,
+) -> dict:
+    """Host-side contrastive-denoising group (reference
+    models/utils/ops.py get_cdn_group:188-315), static-shape form.
+
+    The reference strides its dn slots by the batch's max gt count; here the
+    padded ``M`` is the (static) stride, so sub-max images carry inert padded
+    slots exactly like the reference's — their class embedding is zeroed
+    (``dn_cls = -1`` sentinel) and their raw-logit box stays 0.0, matching
+    the reference's untouched ``padding_cls``/``padding_bbox`` zeros.
+
+    Layout (reference copy-i -> slot block i of width M, ops.py:284-289):
+    blocks [0, G) are positive copies, blocks [G, 2G) negative, so positives
+    occupy slots [0, G*M) in gt order — the dn match is the identity.
+
+    Returns numpy arrays: ``dn_cls`` (B, 2GM) int32 with -1 pads, ``dn_bbox``
+    (B, 2GM, 4) f32 inverse-sigmoid logits, ``dn_attn_mask``
+    (2GM+nq, 2GM+nq) bool (True = blocked), plus ``num_group``.
+    """
+    import numpy as np
+
+    b, m = gt_cls.shape
+    g = max(1, num_dn // max(m, 1))  # reference: num_dn // max_nums, min 1
+    nd = 2 * g * m
+    r = np.random.default_rng(rng)
+
+    dn_cls = np.tile(np.asarray(gt_cls, np.int64), (1, 2 * g))  # (B, nd)
+    dn_bbox = np.tile(np.asarray(gt_bboxes, np.float32), (1, 2 * g, 1))
+    valid = np.tile(np.asarray(mask_gt, bool), (1, 2 * g))
+
+    if cls_noise_ratio > 0:  # flip half-ratio of labels to random classes
+        flip = r.random(dn_cls.shape) < (cls_noise_ratio * 0.5)
+        dn_cls = np.where(flip, r.integers(0, nc, dn_cls.shape), dn_cls)
+
+    if box_noise_scale > 0:
+        xy, wh = dn_bbox[..., :2], dn_bbox[..., 2:]
+        known = np.concatenate([xy - wh / 2, xy + wh / 2], -1)  # xyxy
+        diff = np.tile(wh * 0.5, (1, 1, 2)) * box_noise_scale
+        sign = r.integers(0, 2, dn_bbox.shape) * 2.0 - 1.0
+        part = r.random(dn_bbox.shape)
+        part[:, g * m:] += 1.0  # negative copies: shift in [1, 2) half-extents
+        known = np.clip(known + sign * part * diff, 0.0, 1.0)
+        c_xy, c_wh = (known[..., :2] + known[..., 2:]) / 2, known[..., 2:] - known[..., :2]
+        dn_bbox = np.concatenate([c_xy, c_wh], -1)
+        eps = 1e-6
+        p = np.clip(dn_bbox, eps, 1 - eps)
+        dn_bbox = np.log(p / (1 - p))  # torch.logit inverse-sigmoid
+
+    dn_cls = np.where(valid, dn_cls, -1).astype(np.int32)
+    dn_bbox = np.where(valid[..., None], dn_bbox, 0.0).astype(np.float32)
+
+    # attention mask (ops.py:291-304): match queries blind to dn; each dn
+    # group (2M-wide chunk) blind to every other dn chunk
+    tgt = nd + nq
+    amask = np.zeros((tgt, tgt), bool)
+    amask[nd:, :nd] = True
+    for i in range(g):
+        s, e = 2 * m * i, 2 * m * (i + 1)
+        amask[s:e, e:nd] = True
+        amask[s:e, :s] = True
+    return {"dn_cls": dn_cls, "dn_bbox": dn_bbox, "dn_attn_mask": amask,
+            "num_group": g}
 
 
 class DETRLossCfg(NamedTuple):
@@ -153,8 +226,34 @@ def detr_loss(
     gt_c = batch["cls"].astype(jnp.int32)
     mask = batch["mask"] & (batch["bboxes"][..., 2:].prod(-1) > 0)
 
-    all_bboxes = jnp.concatenate([out["enc_bboxes"][None], out["dec_bboxes"]], axis=0)
-    all_scores = jnp.concatenate([out["enc_scores"][None], out["dec_scores"]], axis=0)
+    dec_bboxes, dec_scores = out["dec_bboxes"], out["dec_scores"]
+    dn_loss = jnp.float32(0.0)
+    if "dn_cls" in batch:
+        # split the prepended denoising queries off every decoder layer
+        # (reference tasks.py:764-770 dn_num_split) and charge them the
+        # fixed-match dn loss (RTDETRDetectionLoss.forward:421-433)
+        nd = batch["dn_cls"].shape[1]
+        dn_bboxes, dec_bboxes = dec_bboxes[:, :, :nd], dec_bboxes[:, :, nd:]
+        dn_scores, dec_scores = dec_scores[:, :, :nd], dec_scores[:, :, nd:]
+        m = gt_c.shape[1]
+        g = nd // (2 * m)
+        # positives occupy slots [0, G*M) in gt order (make_cdn_group layout)
+        # -> the dn match is the identity over G tiled copies of the gts
+        gt_b_dn = jnp.tile(gt_b, (1, g, 1))
+        gt_c_dn = jnp.tile(gt_c, (1, g))
+        mask_dn = jnp.tile(mask, (1, g))
+        match_dn = jnp.broadcast_to(
+            jnp.arange(g * m, dtype=jnp.int32)[None], (gt_c.shape[0], g * m)
+        )
+        for li in range(dn_bboxes.shape[0]):  # main (last) + aux dn layers
+            c, bx, gi = _layer_loss(
+                dn_bboxes[li], dn_scores[li], gt_b_dn, gt_c_dn, mask_dn, cfg,
+                match_q=match_dn,
+            )
+            dn_loss = dn_loss + c + bx + gi
+
+    all_bboxes = jnp.concatenate([out["enc_bboxes"][None], dec_bboxes], axis=0)
+    all_scores = jnp.concatenate([out["enc_scores"][None], dec_scores], axis=0)
     n_layers = all_bboxes.shape[0]
 
     # main loss = last layer; the rest are aux (each independently matched)
@@ -170,7 +269,8 @@ def detr_loss(
     parts = {
         "cls": l_cls, "box": l_box, "giou": l_giou,
         "aux": aux_cls + aux_box + aux_giou,
+        "dn": dn_loss,
         "fg_count": mask.sum().astype(jnp.float32),
     }
-    total = l_cls + l_box + l_giou + parts["aux"]
+    total = l_cls + l_box + l_giou + parts["aux"] + dn_loss
     return total, parts, state

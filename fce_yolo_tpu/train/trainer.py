@@ -101,11 +101,15 @@ def make_train_step(
         if bf16:
             apply_params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
             img = img.astype(jnp.bfloat16)
+        mkw = {}
+        if "dn_cls" in batch:  # RT-DETR contrastive-denoising queries
+            mkw["dn"] = {k: batch[k] for k in ("dn_cls", "dn_bbox", "dn_attn_mask")}
         out, updates = model.apply(
             {"params": apply_params, "batch_stats": batch_stats},
             img,
             train=True,
             mutable=["batch_stats"],
+            **mkw,
         )
         if bf16:  # loss math in f32 for stable reductions; BN stats stay f32
             out = jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), out)

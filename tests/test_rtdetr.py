@@ -344,3 +344,133 @@ def test_rtdetr_tiny_train_loop():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+
+
+def test_cdn_group_structure():
+    """make_cdn_group static layout: positives first, identity match, masked
+    pads, attention chunks isolated (reference get_cdn_group ops.py:188-315)."""
+    from fce_yolo_tpu.train.detr_loss import make_cdn_group
+
+    b, m, nc, nq = 2, 3, 5, 7
+    cls = np.array([[0, 1, 2], [3, 4, 0]], np.int32)
+    box = np.clip(np.random.RandomState(0).rand(b, m, 4) * 0.5 + 0.25, 0, 1)
+    mask = np.array([[True, True, False], [True, False, False]])
+    g = make_cdn_group(cls, box, mask, nc=nc, nq=nq, num_dn=12, rng=0)
+    gr = g["num_group"]
+    nd = 2 * gr * m
+    assert gr == 4 and g["dn_cls"].shape == (b, nd)
+    # padded slots carry the -1 sentinel and 0.0 raw boxes in EVERY copy
+    for i in range(2 * gr):
+        blk = slice(i * m, (i + 1) * m)
+        assert (g["dn_cls"][:, blk][~mask] == -1).all()
+        assert (g["dn_bbox"][:, blk][~mask] == 0.0).all()
+    # class noise flips at most the configured ratio; unflipped slots keep gt
+    pos = g["dn_cls"][:, : gr * m].reshape(b, gr, m)
+    same = (pos == cls[:, None, :]) | ~mask[:, None, :]
+    assert same.mean() > 0.5  # cls_noise_ratio*0.5 = 0.25 expected flip rate
+    am = g["dn_attn_mask"]
+    assert am.shape == (nd + nq, nd + nq)
+    # match queries never see dn queries
+    assert am[nd:, :nd].all() and not am[nd:, nd:].any()
+    # each 2M dn chunk sees itself + the match queries, nothing else
+    for i in range(gr):
+        s, e = 2 * m * i, 2 * m * (i + 1)
+        assert not am[s:e, s:e].any() and not am[s:e, nd:].any()
+        other = np.ones(nd, bool)
+        other[s:e] = False
+        assert am[s:e, :nd][:, other].all()
+
+
+@pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "ultralytics")), reason="no reference")
+def test_cdn_attn_mask_parity_vs_reference():
+    """The static attention mask matches the reference get_cdn_group mask
+    exactly when every image carries max_nums gts (the dense case where the
+    reference's dynamic stride equals our static M)."""
+    import torch
+
+    sys.path.insert(0, REF)
+    try:
+        from ultralytics.models.utils.ops import get_cdn_group
+    finally:
+        sys.path.remove(REF)
+
+    from fce_yolo_tpu.train.detr_loss import make_cdn_group
+
+    b, m, nc, nq = 2, 3, 5, 7
+    batch = {
+        "cls": torch.arange(b * m) % nc,
+        "bboxes": torch.rand(b * m, 4) * 0.5 + 0.25,
+        "batch_idx": torch.arange(b * m) // m,
+        "gt_groups": [m] * b,
+    }
+    _, _, ref_mask, meta = get_cdn_group(
+        batch, nc, nq, torch.zeros(nc, 8), num_dn=12, training=True
+    )
+    ours = make_cdn_group(
+        np.zeros((b, m), np.int32), np.full((b, m, 4), 0.5, np.float32),
+        np.ones((b, m), bool), nc=nc, nq=nq, num_dn=12, rng=0,
+    )
+    assert meta["dn_num_group"] == ours["num_group"]
+    np.testing.assert_array_equal(ref_mask.numpy(), ours["dn_attn_mask"])
+    # reference positive indices == our identity layout (slots [0, G*M))
+    for i in range(b):
+        np.testing.assert_array_equal(
+            np.sort(meta["dn_pos_idx"][i].numpy()), np.arange(meta["dn_num_group"] * m)
+        )
+
+
+def test_rtdetr_cdn_train_step():
+    """Tiny RT-DETR trains WITH contrastive-denoising queries: dn loss is
+    live (>0), grads stay finite, and total loss decreases."""
+    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.train.detr_loss import DETRLossCfg, detr_loss, make_cdn_group
+    from fce_yolo_tpu.train.loss import DetectionLossCfg
+    from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
+    from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg_d = {
+        "nc": 3,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [48, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "RTDETRDecoder", ["nc", 64, 40, 2]]],
+    }
+    model, spec, strides = build_model(cfg_d, nc=3)
+    variables = init_variables(model, jax.random.PRNGKey(0), imgsz=128)
+
+    detr_cfg = DETRLossCfg(nc=3)
+    task_loss = lambda out, batch, cfg, state: detr_loss(out, batch, detr_cfg, state)
+    ocfg = OptimCfg(optimizer="AdamW", lr0=2e-4, warmup_epochs=0, batch_size=2, nbs=2)
+    tx = build_optimizer(ocfg, variables["params"])
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_train_step(model, tx, DetectionLossCfg(nc=3), task_loss=task_loss))
+
+    img = np.full((2, 128, 128, 3), 40, np.uint8)
+    img[0, 30:70, 20:80] = 200
+    img[1, 60:110, 50:100] = 180
+    cls = np.array([[0, 0], [1, 0]], np.float32)
+    box = np.array(
+        [[[0.39, 0.39, 0.47, 0.31], [0, 0, 0, 0]],
+         [[0.58, 0.66, 0.39, 0.39], [0, 0, 0, 0]]], np.float32)
+    mask = np.array([[True, False], [True, False]])
+    nq_eff = min(40, sum((128 // s) ** 2 for s in strides))
+    losses, dns = [], []
+    for i in range(10):
+        dn = make_cdn_group(cls, box, mask, nc=3, nq=nq_eff, num_dn=8, rng=i)
+        batch = {
+            "img": jnp.asarray(img), "cls": jnp.asarray(cls),
+            "bboxes": jnp.asarray(box), "mask": jnp.asarray(mask),
+            "dn_cls": jnp.asarray(dn["dn_cls"]),
+            "dn_bbox": jnp.asarray(dn["dn_bbox"]),
+            "dn_attn_mask": jnp.asarray(dn["dn_attn_mask"]),
+        }
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+        dns.append(float(m["dn"]))
+    assert np.isfinite(losses).all()
+    assert all(d > 0 for d in dns), dns
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
