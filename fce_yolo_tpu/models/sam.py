@@ -43,6 +43,19 @@ class SAM:
 
     mask_threshold = 0.0
 
+    def __new__(cls, model: str | None = None, variant: str = "sam_b", **kw):
+        # reference sam_model_map (build.py:319-333): "sam2_*" names route to
+        # the SAM2 family; returning a SAM2 skips SAM.__init__ (not a subclass)
+        v = (model.rsplit("/", 1)[-1].replace(".pt", "") if model else variant)
+        v = v.replace("-", "_").replace("sam2.1", "sam2")
+        if cls is SAM and v.startswith("sam2"):
+            from fce_yolo_tpu.models.sam2 import SAM2
+
+            return SAM2(model=model, variant=v,
+                        image_size=kw.get("img_size", 1024),
+                        _random_init=kw.get("_random_init", False))
+        return super().__new__(cls)
+
     def __init__(
         self,
         model: str | None = None,

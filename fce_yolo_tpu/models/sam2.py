@@ -1,0 +1,287 @@
+"""SAM2 facade: promptable image segmentation + streaming-video tracking
+(reference models/sam/predict.py SAM2Predictor:817-1013 +
+SAM2VideoPredictor:1016-1940, models/sam/modules/sam.py track_step:919-981).
+
+TPU-native memory bank
+----------------------
+The reference predictor concatenates a python list of per-frame memories
+whose length grows with the video (sam.py:780) — under jit that recompiles
+per frame. Here the bank is FIXED CAPACITY:
+
+  - ``num_maskmem`` spatial slots (slot t_pos in [0, 7): slot 0 = the
+    conditioning frame, slots 1..6 the trailing window), each HW x 64
+    tokens, carrying its temporal embedding ``maskmem_tpos_enc[6 - t_pos]``;
+  - ``max_obj_ptrs`` pointer slots (4 tokens each after the 256 -> 4 x 64
+    split), with their 1D sine temporal encodings;
+  - a validity mask lowered into the attention logits.
+
+Masked fixed-capacity attention is numerically IDENTICAL to the reference's
+variable-length concat (softmax over the same live keys, the pad keys get
+-inf), so every frame after the first runs ONE compiled XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import numpy as np
+
+from fce_yolo_tpu.nn.sam2 import (
+    SAM2_CONFIGS,
+    SAM2Model,
+    build_sam2,
+    sam2_state_dict_to_variables,
+)
+
+__all__ = ["SAM2", "SAM2VideoPredictor"]
+
+
+class SAM2:
+    """Promptable image segmentation with SAM2 (image-mode predictor).
+
+    Example:
+        sam = SAM2("sam2_t.pt")  # or variant="sam2_t", _random_init=True
+        res = sam.predict(img, points=[[400, 300]], labels=[1])
+    """
+
+    mask_threshold = 0.0
+
+    def __init__(self, model: str | None = None, variant: str = "sam2_t",
+                 image_size: int = 1024, _random_init: bool = False):
+        import jax
+
+        if model is not None:
+            variant = model.rsplit("/", 1)[-1].replace(".pt", "")
+        variant = variant.replace("-", "_").replace("sam2.1", "sam2")
+        assert variant in SAM2_CONFIGS, f"unknown SAM2 variant {variant}"
+        self.image_size = image_size
+        self.model: SAM2Model = build_sam2(variant, image_size)
+        if model is not None and not _random_init:
+            from fce_yolo_tpu.nn.import_torch import load_pt_state_dict
+
+            self.variables = sam2_state_dict_to_variables(load_pt_state_dict(model))
+        else:
+            import jax.numpy as jnp
+
+            small = jax.eval_shape(
+                lambda k, x: self.model.init(k, x, method=self.model.init_all),
+                jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((1, image_size, image_size, 3), np.float32),
+            )
+            leaves, treedef = jax.tree_util.tree_flatten(small)
+            rng = np.random.RandomState(0)
+            self.variables = jax.tree_util.tree_unflatten(
+                treedef,
+                [np.asarray(rng.normal(0, 0.02, l.shape), l.dtype) for l in leaves],
+            )
+        self._jits: dict = {}
+
+    # ------------------------------------------------------------------ util
+    # ImageNet normalization (reference predict.py Predictor.preprocess)
+    _MEAN = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
+    _STD = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
+
+    def _prep(self, img: np.ndarray) -> tuple[np.ndarray, tuple[int, int]]:
+        import cv2
+
+        h, w = img.shape[:2]
+        im = cv2.resize(img.astype(np.float32), (self.image_size, self.image_size),
+                        interpolation=cv2.INTER_LINEAR)
+        return (im - self._MEAN) / self._STD, (h, w)
+
+    def _jit(self, key: str, fn):
+        import jax
+
+        if key not in self._jits:
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    # ----------------------------------------------------------- image mode
+    def predict(self, img: np.ndarray, points=None, labels=None,
+                multimask_output: bool = False) -> dict:
+        """Single-image prompt -> mask. Points in source-image pixels."""
+        import jax.numpy as jnp
+
+        x, (h0, w0) = self._prep(img)
+        if points is not None:
+            pts = np.asarray(points, np.float32).reshape(1, -1, 2)
+            pts = pts * np.array([self.image_size / w0, self.image_size / h0], np.float32)
+            lab = np.asarray(labels if labels is not None else [1] * pts.shape[1],
+                             np.int32).reshape(1, -1)
+            prompts = (jnp.asarray(pts), jnp.asarray(lab))
+        else:
+            prompts = None
+
+        run = self._jit(
+            f"img_{points is not None and pts.shape[1]}_{multimask_output}",
+            lambda v, x, p: self.model.apply(v, x, points=p,
+                                             multimask_output=multimask_output),
+        )
+        outs = run(self.variables, jnp.asarray(x)[None], prompts)
+        low_multi, high_multi, ious, low, high, obj_ptr, obj_logits = outs
+        import cv2
+
+        hm = np.asarray(high[0, 0], np.float32)
+        mask = cv2.resize(hm, (w0, h0), interpolation=cv2.INTER_LINEAR) > self.mask_threshold
+        return {"mask": mask, "iou": np.asarray(ious)[0],
+                "obj_score": float(np.asarray(obj_logits)[0, 0]),
+                "low_res_logits": np.asarray(low)[0]}
+
+
+class SAM2VideoPredictor(SAM2):
+    """Streaming video object tracking with the fixed-capacity memory bank.
+
+    Usage:
+        vp = SAM2VideoPredictor(variant="sam2_t", image_size=512)
+        masks = list(vp.track(frames, points=[[x, y]], labels=[1]))
+    """
+
+    def __init__(self, *a, num_maskmem: int = 7, max_obj_ptrs: int = 16, **kw):
+        super().__init__(*a, **kw)
+        self.num_maskmem = num_maskmem
+        self.max_obj_ptrs = max_obj_ptrs
+
+    # one jitted program for the conditioning frame, one for every other
+    def _cond_step(self):
+        import jax.numpy as jnp
+
+        def run(v, x, pts, lab):
+            enc = self.model.apply(v, x, method=self.model.encode_image)
+            f0, f1, f16 = enc["backbone_fpn"]
+            feat = self.model.apply(v, f16, method=self.model.no_mem_features)
+            outs = self.model.apply(
+                v, feat, (pts, lab), None, [f0, f1], True,
+                method=self.model.forward_sam_heads)
+            mem, mem_pos = self.model.apply(
+                v, f16, outs[4], outs[6], method=self.model.encode_memory)
+            return outs[3], outs[4], outs[5], outs[6], mem, mem_pos
+
+        return self._jit("cond", run)
+
+    def _track_frame(self):
+        import jax.numpy as jnp
+
+        nm, np_ = self.num_maskmem, self.max_obj_ptrs
+
+        def run(v, x, maskmem, mem_valid, obj_ptrs, obj_t, ptr_valid, t_max):
+            # maskmem: (nm, HW, 64); mem_valid: (nm,); obj_ptrs: (np, C);
+            # obj_t: (np,) temporal distances; ptr_valid: (np,)
+            enc = self.model.apply(v, x, method=self.model.encode_image)
+            f0, f1, f16 = enc["backbone_fpn"]
+            b, h, w, c = f16.shape
+            hw = h * w
+            mem_dim = self.model.mem_dim
+
+            # spatial memory tokens + per-slot temporal embedding
+            # (reference sam.py:726-733: slot t_pos gets tpos_enc[nm-t_pos-1])
+            spat_pos = jnp.asarray(
+                _sine_pos(h, w, mem_dim), jnp.float32).reshape(1, hw, mem_dim)
+            tpos = v["params"]["maskmem_tpos_enc"][::-1].reshape(nm, 1, mem_dim)
+            mem_tok = maskmem.reshape(1, nm * hw, mem_dim)
+            mem_pos = (spat_pos + tpos).reshape(1, nm * hw, mem_dim)
+
+            # object pointers -> 4 x 64 tokens each, with 1D sine tpos
+            # (sam.py:735-766)
+            ratio = c // mem_dim
+            ptr_tok = obj_ptrs.reshape(np_, ratio, mem_dim).reshape(1, np_ * ratio, mem_dim)
+            ptr_pos = self.model.apply(v, obj_t.astype(jnp.float32), t_max,
+                                       method=self.model.tpos_embed_obj_ptrs)
+            ptr_pos = jnp.repeat(ptr_pos, ratio, axis=0).reshape(1, np_ * ratio, mem_dim)
+
+            memory = jnp.concatenate([mem_tok, ptr_tok], axis=1)
+            memory_pos = jnp.concatenate([mem_pos, ptr_pos], axis=1)
+            key_mask = jnp.concatenate([
+                jnp.repeat(mem_valid, hw), jnp.repeat(ptr_valid, ratio)])[None]
+
+            feat = self.model.apply(
+                v, f16, enc["vision_pos_enc"][-1], memory, memory_pos,
+                np_ * ratio, key_mask, method=self.model.condition_features)
+            # _use_multimask (sam.py:983-991): multimask_output_for_tracking
+            # with 0 prompt points in [min=0, max=1] -> multimask on
+            outs = self.model.apply(
+                v, feat, None, None, [f0, f1], True,
+                method=self.model.forward_sam_heads)
+            mem, _ = self.model.apply(
+                v, f16, outs[4], outs[6], method=self.model.encode_memory)
+            return outs[3], outs[4], outs[5], outs[6], mem
+
+        return self._jit("track", run)
+
+    def track(self, frames: Iterable[np.ndarray], points, labels=None,
+              num_frames: int | None = None) -> Iterable[np.ndarray]:
+        """Track the object prompted on the FIRST frame through the video.
+        Yields a bool mask per frame at source resolution. ``num_frames``
+        normalizes the pointer temporal encodings when the video length is
+        known (reference sam.py:736); streaming defaults to the cap."""
+        import cv2
+        import jax.numpy as jnp
+
+        frames = iter(frames)
+        first = next(frames)
+        x, (h0, w0) = self._prep(first)
+        pts = np.asarray(points, np.float32).reshape(1, -1, 2) * np.array(
+            [self.image_size / w0, self.image_size / h0], np.float32)
+        lab = np.asarray(labels if labels is not None else [1] * pts.shape[1],
+                         np.int32).reshape(1, -1)
+
+        low, high, ptr, score, mem, _ = self._cond_step()(
+            self.variables, jnp.asarray(x)[None], jnp.asarray(pts), jnp.asarray(lab))
+        hw = mem.shape[1] * mem.shape[2]
+        mem_dim = mem.shape[-1]
+        c = ptr.shape[-1]
+
+        def to_mask(high):
+            hm = np.asarray(high[0, 0], np.float32)
+            return cv2.resize(hm, (w0, h0), interpolation=cv2.INTER_LINEAR) \
+                > self.mask_threshold
+
+        yield to_mask(high)
+
+        cond_mem = np.asarray(mem).reshape(hw, mem_dim)
+        cond_ptr = np.asarray(ptr)[0]
+        recent: list[tuple[int, np.ndarray, np.ndarray]] = []  # (t, mem, ptr)
+        step = self._track_frame()
+        t = 0
+        for frame in frames:
+            t += 1
+            x, _ = self._prep(frame)
+            # assemble the fixed bank (reference t_pos scheme, sam.py:700-733):
+            # slot 0 = cond frame; slot t_pos = frame at distance nm - t_pos
+            maskmem = np.zeros((self.num_maskmem, hw, mem_dim), np.float32)
+            mem_valid = np.zeros((self.num_maskmem,), bool)
+            maskmem[0], mem_valid[0] = cond_mem, True
+            by_t = {ft: fm for ft, fm, _ in recent}
+            for t_pos in range(1, self.num_maskmem):
+                prev_t = t - (self.num_maskmem - t_pos)
+                if prev_t in by_t:
+                    maskmem[t_pos], mem_valid[t_pos] = by_t[prev_t], True
+            obj_ptrs = np.zeros((self.max_obj_ptrs, c), np.float32)
+            obj_t = np.zeros((self.max_obj_ptrs,), np.float32)
+            ptr_valid = np.zeros((self.max_obj_ptrs,), bool)
+            obj_ptrs[0], obj_t[0], ptr_valid[0] = cond_ptr, float(t), True
+            k = 1
+            for ft, _, fp in sorted(recent, key=lambda z: -z[0]):
+                if k >= self.max_obj_ptrs or t - ft >= self.max_obj_ptrs:
+                    break
+                if ft == 0:
+                    continue  # cond frame already in slot 0
+                obj_ptrs[k], obj_t[k], ptr_valid[k] = fp, float(t - ft), True
+                k += 1
+
+            t_max = float(min(num_frames or self.max_obj_ptrs,
+                              self.max_obj_ptrs) - 1)
+            low, high, ptr, score, mem = step(
+                self.variables, jnp.asarray(x)[None],
+                jnp.asarray(maskmem), jnp.asarray(mem_valid),
+                jnp.asarray(obj_ptrs), jnp.asarray(obj_t),
+                jnp.asarray(ptr_valid), jnp.float32(t_max))
+            recent.append((t, np.asarray(mem).reshape(hw, mem_dim), np.asarray(ptr)[0]))
+            if len(recent) > self.num_maskmem - 1:
+                recent.pop(0)
+            yield to_mask(high)
+
+
+def _sine_pos(h: int, w: int, dim: int) -> np.ndarray:
+    from fce_yolo_tpu.nn.sam2 import sine_pos_embed
+
+    return sine_pos_embed(h, w, dim)

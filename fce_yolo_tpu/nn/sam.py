@@ -78,12 +78,14 @@ class MLPBlock(nn.Module):
 
 
 class MLP(nn.Module):
-    """N-layer MLP with ReLU between layers (reference transformer.py:348-404)."""
+    """N-layer MLP with act between layers (reference transformer.py:348-404;
+    Hiera blocks use act='gelu')."""
 
     hidden_dim: int
     output_dim: int
     num_layers: int
     sigmoid: bool = False
+    act: str = "relu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -91,7 +93,7 @@ class MLP(nn.Module):
         for i, d in enumerate(dims):
             x = nn.Dense(d, name=f"layers_{i}")(x)
             if i < self.num_layers - 1:
-                x = nn.relu(x)
+                x = nn.gelu(x, approximate=False) if self.act == "gelu" else nn.relu(x)
         return jax.nn.sigmoid(x) if self.sigmoid else x
 
 
