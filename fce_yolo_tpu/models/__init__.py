@@ -3,8 +3,10 @@
 from fce_yolo_tpu.models.fastsam import FastSAM
 from fce_yolo_tpu.models.nas import NAS
 from fce_yolo_tpu.models.rtdetr import RTDETR
+from fce_yolo_tpu.models.sam import SAM
 from fce_yolo_tpu.models.sam2 import SAM2, SAM2VideoPredictor
+from fce_yolo_tpu.models.sam3 import SAM3
 from fce_yolo_tpu.models.world import YOLOWorld, YOLOWorldTrainable
 
-__all__ = ["FastSAM", "NAS", "RTDETR", "SAM2", "SAM2VideoPredictor",
-           "YOLOWorld", "YOLOWorldTrainable"]
+__all__ = ["FastSAM", "NAS", "RTDETR", "SAM", "SAM2", "SAM2VideoPredictor",
+           "SAM3", "YOLOWorld", "YOLOWorldTrainable"]

@@ -120,13 +120,14 @@ def bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def axial_rope_cos_sin(head_dim: int, w: int, h: int, theta: float = 10000.0
-                       ) -> tuple[np.ndarray, np.ndarray]:
+def axial_rope_cos_sin(head_dim: int, w: int, h: int, theta: float = 10000.0,
+                       scale_pos: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
     """Real form of compute_axial_cis (utils.py:119-149): (h*w, head_dim//2)
-    angles — first head_dim//4 from x (fast axis), rest from y."""
+    angles — first head_dim//4 from x (fast axis), rest from y. ``scale_pos``
+    rescales coordinates (SAM3 ViTDet rope interpolation, vitdet.py:141)."""
     freqs = 1.0 / (theta ** (np.arange(0, head_dim, 4)[: head_dim // 4].astype(np.float32) / head_dim))
     t = np.arange(w * h, dtype=np.float32)
-    tx, ty = t % w, t // w
+    tx, ty = (t % w) * scale_pos, (t // w) * scale_pos
     ang = np.concatenate([np.outer(tx, freqs), np.outer(ty, freqs)], -1)  # (HW, hd/2)
     return np.cos(ang), np.sin(ang)
 

@@ -1,0 +1,393 @@
+"""SAM3 tests: tiny-config forward shapes and random-weight activation
+parity vs the torch reference (ViTDet + Sam3DualViTDetNeck + VETextEncoder +
+TransformerEncoderFusion + TransformerDecoder + SequenceGeometryEncoder +
+DotProductScoring + UniversalSegmentationHead via SAM3SemanticModel,
+reference build wiring build_sam3.py:26-240).
+
+torchvision is absent in this image; the fixture installs a pure-torch
+``roi_align`` implementing torchvision's aligned=False semantics (adaptive
+sampling_ratio = ceil(bin)).  Exemplar boxes in the parity case are sized so
+bin ∈ (1, 2], where the TPU port's STATIC sampling_ratio=2 grid is exact.
+"""
+
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+if not os.path.isdir(os.path.join(REF, "ultralytics")):
+    pytest.skip("reference repo unavailable", allow_module_level=True)
+
+# trunk 8x8 tokens (112/14), window 2 | 8, global block mid-stack; neck
+# scale factors (4,2,1,.5) -> 32/16/8/4, scalp drops 4.
+TINY = dict(img_size=112, patch_size=14, embed_dim=16, depth=2, num_heads=2,
+            mlp_ratio=2.0, global_att_blocks=(1,), window_size=2,
+            pretrain_img_size=28, text_width=32, text_heads=2, text_layers=2,
+            context_length=8, vocab_size=64, d_model=32, enc_layers=2,
+            dec_layers=2, num_queries=10, ffn_dim=64)
+
+TOKENS = np.array([[5, 9, 3, 2, 0, 0, 0, 0]], np.int64)  # 0 = pad
+# normalized cxcywh exemplars; w,h ≈ 0.95 -> 7.6 px on the 8x8 f16 map ->
+# roi_align bin = 7.6/7 ∈ (1, 2] (static-grid parity regime)
+BOXES = np.array([[[0.49, 0.50, 0.95, 0.94], [0.52, 0.48, 0.93, 0.95]]],
+                 np.float32)
+
+
+def _tiny_flax():
+    from fce_yolo_tpu.nn.sam3 import SAM3SemanticModel
+
+    return SAM3SemanticModel(**TINY)
+
+
+def test_sam3_forward_shapes():
+    m = _tiny_flax()
+    x = jnp.zeros((1, 112, 112, 3), jnp.float32)
+    tok = jnp.asarray(TOKENS, jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), x, tok)
+    out = m.apply(v, x, tok, geo_boxes=jnp.asarray(BOXES),
+                  geo_mask=jnp.zeros((1, 2), bool),
+                  geo_labels=jnp.ones((1, 2), jnp.int32))
+    assert out["pred_logits"].shape == (1, 10, 1)
+    assert out["pred_boxes"].shape == (1, 10, 4)
+    assert out["presence_logit_dec"].shape == (1, 1)
+    assert out["pred_masks"].shape[:2] == (1, 10)
+    assert out["semantic_seg"].shape[:2] == (1, 1)
+    for k, o in out.items():
+        assert bool(jnp.isfinite(jnp.asarray(o)).all()), k
+
+
+def test_sam3_facade_predict():
+    """Concept predictor plumbing: text + box-exemplar prompts through the
+    tiny model, outputs in the original frame."""
+    from fce_yolo_tpu.models.sam3 import SAM3
+
+    m = SAM3(_random_init=True, _cfg=TINY)
+    img = (np.random.RandomState(0).uniform(0, 255, (90, 120, 3))
+           ).astype(np.uint8)
+    res = m.predict(img, text=["a cat", "a dog"], conf=0.0)
+    assert res.boxes.shape[1] == 4 and len(res.scores) == len(res.cls)
+    assert res.masks.shape[1:] == (90, 120)
+    assert set(np.unique(res.cls)).issubset({0, 1})
+    # exemplar-box prompting (single concept)
+    res2 = m.predict(img, bboxes=[[10, 10, 60, 60]], conf=0.0)
+    assert (res2.cls == 0).all() and res2.masks.shape[1:] == (90, 120)
+
+
+def _torch_roi_align(feat, boxes_list, output_size):
+    """torchvision.ops.roi_align (spatial_scale=1, sampling_ratio=-1,
+    aligned=False) in pure torch, for the shim below."""
+    import torch
+
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    oh, ow = output_size
+    n, c, h, w = feat.shape
+    outs = []
+    for b, rois in enumerate(boxes_list):
+        img = feat[b]
+        for roi in rois:
+            x1, y1, x2, y2 = [float(v) for v in roi]
+            roi_w = max(x2 - x1, 1.0)
+            roi_h = max(y2 - y1, 1.0)
+            bin_w, bin_h = roi_w / ow, roi_h / oh
+            gx = max(1, math.ceil(bin_w))
+            gy = max(1, math.ceil(bin_h))
+            ys = y1 + (torch.arange(oh, dtype=feat.dtype)[:, None]
+                       + (torch.arange(gy, dtype=feat.dtype)[None] + 0.5) / gy
+                       ) * bin_h  # (oh, gy)
+            xs = x1 + (torch.arange(ow, dtype=feat.dtype)[:, None]
+                       + (torch.arange(gx, dtype=feat.dtype)[None] + 0.5) / gx
+                       ) * bin_w
+            yy = ys.reshape(-1, 1).expand(oh * gy, ow * gx)
+            xx = xs.reshape(1, -1).expand(oh * gy, ow * gx)
+            oob = (yy < -1) | (yy > h) | (xx < -1) | (xx > w)
+            yc = yy.clamp(0, h - 1)
+            xc = xx.clamp(0, w - 1)
+            y0 = yc.floor().long()
+            x0 = xc.floor().long()
+            y1i = (y0 + 1).clamp(max=h - 1)
+            x1i = (x0 + 1).clamp(max=w - 1)
+            wy, wx = yc - y0, xc - x0
+            v = (img[:, y0, x0] * (1 - wy) * (1 - wx)
+                 + img[:, y0, x1i] * (1 - wy) * wx
+                 + img[:, y1i, x0] * wy * (1 - wx)
+                 + img[:, y1i, x1i] * wy * wx)
+            v = torch.where(oob[None], torch.zeros_like(v), v)
+            v = v.reshape(c, oh, gy, ow, gx).mean(dim=(2, 4))
+            outs.append(v)
+    return torch.stack(outs, 0)
+
+
+@pytest.mark.parity
+class TestSAM3Parity:
+    @pytest.fixture(scope="class")
+    def ref_pkg(self):
+        import importlib.metadata as md
+
+        orig = md.version
+
+        def fake_version(name, *a, **k):
+            try:
+                return orig(name)
+            except Exception:
+                return "0.23.0"
+
+        md.version = fake_version
+        tv = sys.modules.get("torchvision")
+        if tv is None:
+            tv = types.ModuleType("torchvision")
+            tv.__version__ = "0.23.0"
+            tv.ops = types.ModuleType("torchvision.ops")
+            tv_roi = types.ModuleType("torchvision.ops.roi_align")
+            tv_roi.RoIAlign = type("RoIAlign", (), {"__init__": lambda self, *a, **k: None})
+            tv.ops.roi_align = tv_roi
+            tv.ops.nms = None
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.ops"] = tv.ops
+            sys.modules["torchvision.ops.roi_align"] = tv_roi
+        # the geometry encoder calls torchvision.ops.roi_align(...) as a fn
+        tv.ops.roi_align = _torch_roi_align
+        if "timm" not in sys.modules:
+            import torch.nn as tnn
+
+            class _Mlp(tnn.Module):  # timm.layers.Mlp twin (fc1/act/fc2)
+                def __init__(self, in_features, hidden_features=None,
+                             out_features=None, act_layer=tnn.GELU, drop=0.0,
+                             **kw):
+                    super().__init__()
+                    hidden_features = hidden_features or in_features
+                    out_features = out_features or in_features
+                    self.fc1 = tnn.Linear(in_features, hidden_features)
+                    self.act = act_layer()
+                    self.fc2 = tnn.Linear(hidden_features, out_features)
+
+                def forward(self, x):
+                    return self.fc2(self.act(self.fc1(x)))
+
+            timm = types.ModuleType("timm")
+            timm.__version__ = "1.0.0"
+            timm.layers = types.ModuleType("timm.layers")
+            timm.layers.Mlp = _Mlp
+            timm.layers.DropPath = lambda *a, **k: tnn.Identity()
+            sys.modules["timm"] = timm
+            sys.modules["timm.layers"] = timm.layers
+        sys.path.insert(0, REF)
+        yield
+        sys.path.remove(REF)
+        import ultralytics  # restore module-fn shim for other test files
+
+        tv.ops.roi_align = sys.modules.get("torchvision.ops.roi_align", None) or tv.ops.roi_align
+
+    @pytest.fixture(scope="class")
+    def pair(self, ref_pkg):
+        """Tiny torch SAM3SemanticModel (build_sam3.py wiring, shrunken
+        dims) + flax twin with the imported state dict."""
+        import torch
+        import torch.nn as tnn
+        from ultralytics.nn.modules.transformer import MLP
+        from ultralytics.models.sam.modules.blocks import PositionEmbeddingSine
+        from ultralytics.models.sam.sam3.decoder import (
+            TransformerDecoder, TransformerDecoderLayer)
+        from ultralytics.models.sam.sam3.encoder import (
+            TransformerEncoderFusion, TransformerEncoderLayer)
+        from ultralytics.models.sam.sam3.geometry_encoders import (
+            SequenceGeometryEncoder)
+        from ultralytics.models.sam.sam3.maskformer_segmentation import (
+            PixelDecoder, UniversalSegmentationHead)
+        from ultralytics.models.sam.sam3.model_misc import (
+            DotProductScoring, TransformerWrapper)
+        from ultralytics.models.sam.sam3.necks import Sam3DualViTDetNeck
+        from ultralytics.models.sam.sam3.sam3_image import SAM3SemanticModel
+        from ultralytics.models.sam.sam3.text_encoder_ve import VETextEncoder
+        from ultralytics.models.sam.sam3.vitdet import ViT
+        from ultralytics.models.sam.sam3.vl_combiner import SAM3VLBackbone
+
+        torch.manual_seed(0)
+        d = TINY["d_model"]
+
+        def pos_enc():
+            return PositionEmbeddingSine(num_pos_feats=d, normalize=True,
+                                         scale=None, temperature=10000)
+
+        vit = ViT(
+            img_size=TINY["img_size"], pretrain_img_size=TINY["pretrain_img_size"],
+            patch_size=TINY["patch_size"], embed_dim=TINY["embed_dim"],
+            depth=TINY["depth"], num_heads=TINY["num_heads"],
+            mlp_ratio=TINY["mlp_ratio"], norm_layer="LayerNorm",
+            drop_path_rate=0.0, qkv_bias=True, use_abs_pos=True,
+            tile_abs_pos=True, global_att_blocks=TINY["global_att_blocks"],
+            rel_pos_blocks=(), use_rope=True, use_interp_rope=True,
+            window_size=TINY["window_size"], pretrain_use_cls_token=True,
+            retain_cls_token=False, ln_pre=True, ln_post=False,
+            return_interm_layers=False, bias_patch_embed=False)
+        visual = Sam3DualViTDetNeck(
+            position_encoding=pos_enc(), d_model=d,
+            scale_factors=[4.0, 2.0, 1.0, 0.5], trunk=vit,
+            add_sam2_neck=False)
+
+        class _Tok:
+            def __call__(self, texts, context_length):
+                return torch.as_tensor(TOKENS[: len(texts), :context_length])
+
+        text = VETextEncoder(
+            tokenizer=_Tok(), d_model=d, width=TINY["text_width"],
+            heads=TINY["text_heads"], layers=TINY["text_layers"],
+            context_length=TINY["context_length"],
+            vocab_size=TINY["vocab_size"])
+        backbone = SAM3VLBackbone(visual=visual, text=text, scalp=1)
+
+        encoder = TransformerEncoderFusion(
+            layer=TransformerEncoderLayer(
+                d_model=d, dim_feedforward=TINY["ffn_dim"], dropout=0.0,
+                pos_enc_at_attn=True, pos_enc_at_cross_attn_keys=False,
+                pos_enc_at_cross_attn_queries=False, pre_norm=True,
+                self_attention=tnn.MultiheadAttention(num_heads=8, dropout=0.0,
+                                                      embed_dim=d, batch_first=True),
+                cross_attention=tnn.MultiheadAttention(num_heads=8, dropout=0.0,
+                                                       embed_dim=d, batch_first=True)),
+            num_layers=TINY["enc_layers"], d_model=d, num_feature_levels=1,
+            frozen=False, use_act_checkpoint=False,
+            add_pooled_text_to_img_feat=False, pool_text_with_mask=True)
+        decoder = TransformerDecoder(
+            layer=TransformerDecoderLayer(
+                d_model=d, dim_feedforward=TINY["ffn_dim"], dropout=0.0,
+                cross_attention=tnn.MultiheadAttention(num_heads=8, dropout=0.0,
+                                                       embed_dim=d),
+                n_heads=8, use_text_cross_attention=True),
+            num_layers=TINY["dec_layers"], num_queries=TINY["num_queries"],
+            return_intermediate=True, box_refine=True, num_o2m_queries=0,
+            dac=True, boxRPB="log", d_model=d, frozen=False,
+            interaction_layer=None, dac_use_selfatt_ln=True,
+            use_act_checkpoint=False, presence_token=True)
+        transformer = TransformerWrapper(encoder=encoder, decoder=decoder,
+                                         d_model=d)
+
+        dot = DotProductScoring(
+            d_model=d, d_proj=d,
+            prompt_mlp=MLP(input_dim=d, hidden_dim=TINY["ffn_dim"],
+                           output_dim=d, num_layers=2, residual=True,
+                           out_norm=tnn.LayerNorm(d)))
+        seg = UniversalSegmentationHead(
+            hidden_dim=d, upsampling_stages=3, aux_masks=False,
+            presence_head=False, dot_product_scorer=None, act_ckpt=False,
+            cross_attend_prompt=tnn.MultiheadAttention(num_heads=8, dropout=0,
+                                                       embed_dim=d),
+            pixel_decoder=PixelDecoder(num_upsampling_stages=3,
+                                       interpolation_mode="nearest",
+                                       hidden_dim=d))
+        geom = SequenceGeometryEncoder(
+            pos_enc=pos_enc(), encode_boxes_as_points=False,
+            boxes_direct_project=True, boxes_pool=True, boxes_pos_enc=True,
+            d_model=d, num_layers=3,
+            layer=TransformerEncoderLayer(
+                d_model=d, dim_feedforward=TINY["ffn_dim"], dropout=0.0,
+                pos_enc_at_attn=False, pre_norm=True,
+                pos_enc_at_cross_attn_queries=False,
+                pos_enc_at_cross_attn_keys=True,
+                self_attention=tnn.MultiheadAttention(num_heads=8, dropout=0.0,
+                                                      embed_dim=d),
+                cross_attention=tnn.MultiheadAttention(num_heads=8, dropout=0.0,
+                                                       embed_dim=d)),
+            use_act_ckpt=False, add_cls=True, add_post_encode_proj=True)
+
+        tmodel = SAM3SemanticModel(
+            backbone=backbone, transformer=transformer,
+            input_geometry_encoder=geom, segmentation_head=seg,
+            num_feature_levels=1, o2m_mask_predict=True,
+            dot_prod_scoring=dot, use_instance_query=False,
+            multimask_output=True)
+        g = torch.Generator().manual_seed(1)
+        with torch.no_grad():
+            for p in tmodel.parameters():
+                p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        tmodel.eval()
+
+        from fce_yolo_tpu.nn.sam3 import (SAM3SemanticModel as FlaxSAM3,
+                                          sam3_state_dict_to_variables)
+
+        fmodel = FlaxSAM3(**TINY)
+        fvars = sam3_state_dict_to_variables(tmodel.state_dict())
+        return tmodel, fmodel, fvars
+
+    @pytest.fixture(scope="class")
+    def img(self):
+        rng = np.random.RandomState(3)
+        return rng.uniform(0, 1, (1, 112, 112, 3)).astype(np.float32)
+
+    def test_image_encoder_parity(self, pair, img):
+        import torch
+
+        tmodel, fmodel, fvars = pair
+        with torch.no_grad():
+            tout = tmodel.backbone.forward_image(
+                torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        fout = fmodel.apply(fvars, jnp.asarray(img), method=fmodel.encode_image)
+        assert len(fout["backbone_fpn"]) == len(tout["backbone_fpn"])
+        for tf, ff in zip(tout["backbone_fpn"], fout["backbone_fpn"]):
+            np.testing.assert_allclose(
+                np.asarray(ff).transpose(0, 3, 1, 2), tf.numpy(),
+                atol=2e-4, rtol=2e-3)
+
+    def test_text_encoder_parity(self, pair):
+        import torch
+
+        tmodel, fmodel, fvars = pair
+        with torch.no_grad():
+            temb = tmodel.backbone.forward_text(["a photo of a cat"])
+        fmask, ffeat = fmodel.apply(fvars, jnp.asarray(TOKENS, jnp.int32),
+                                    method=fmodel.encode_text)
+        # torch language_features: (L, P, d) seq-first
+        np.testing.assert_allclose(
+            np.asarray(ffeat)[0], temb["language_features"][:, 0].numpy(),
+            atol=2e-4, rtol=2e-3)
+        np.testing.assert_array_equal(
+            np.asarray(fmask)[0], temb["language_mask"][0].numpy())
+
+    def test_grounding_parity(self, pair, img):
+        import torch
+        from ultralytics.models.sam.sam3.geometry_encoders import Prompt
+
+        tmodel, fmodel, fvars = pair
+        timg = torch.from_numpy(img.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            backbone_out = tmodel.backbone.forward_image(timg)
+            tmodel.set_classes(["a photo of a cat"])
+            prompt = Prompt(
+                box_embeddings=torch.from_numpy(BOXES).transpose(0, 1),
+                box_mask=torch.zeros(1, 2, dtype=torch.bool),
+                box_labels=torch.ones(2, 1, dtype=torch.long))
+            tout = tmodel.forward_grounding(
+                backbone_out, text_ids=torch.tensor([0]),
+                geometric_prompt=prompt)
+
+        fb = fmodel.apply(fvars, jnp.asarray(img), method=fmodel.encode_image)
+        fmask, ffeat = fmodel.apply(fvars, jnp.asarray(TOKENS, jnp.int32),
+                                    method=fmodel.encode_text)
+        fout = fmodel.apply(fvars, fb, fmask, ffeat,
+                            jnp.asarray(BOXES), jnp.zeros((1, 2), bool),
+                            jnp.ones((1, 2), jnp.int32),
+                            method=fmodel.forward_grounding)
+
+        np.testing.assert_allclose(np.asarray(fout["pred_logits"]),
+                                   tout["pred_logits"].numpy(),
+                                   atol=5e-4, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(fout["pred_boxes"]),
+                                   tout["pred_boxes"].numpy(),
+                                   atol=5e-4, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(fout["presence_logit_dec"]),
+                                   tout["presence_logit_dec"].numpy().reshape(1, 1),
+                                   atol=5e-4, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(fout["pred_masks"]),
+                                   tout["pred_masks"].numpy(),
+                                   atol=5e-3, rtol=5e-3)
+        np.testing.assert_allclose(np.asarray(fout["semantic_seg"]),
+                                   tout["semantic_seg"].numpy(),
+                                   atol=5e-3, rtol=5e-3)
