@@ -19,7 +19,7 @@ import numpy as np
 
 from fce_yolo_tpu.nn.sam3 import SAM3SemanticModel, sam3_state_dict_to_variables
 
-__all__ = ["SAM3", "hash_tokenize"]
+__all__ = ["SAM3", "SAM3VideoPredictor", "hash_tokenize"]
 
 
 def hash_tokenize(texts, context_length: int = 32, vocab_size: int = 49408
@@ -183,3 +183,52 @@ class SAM3:
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
+
+
+class SAM3VideoPredictor:
+    """Interactive (point-prompted) video tracking with the SAM3 tracker
+    (reference Sam3TrackerPredictor via build_interactive_sam3,
+    build_sam3.py:258-343): SAM2's streaming-memory machinery driven by the
+    ViTDet trunk's SAM2 neck at 1008 px / stride 14.
+
+    Reuses the fixed-capacity memory-bank predictor loop from
+    :class:`fce_yolo_tpu.models.sam2.SAM2VideoPredictor` — the tracker model
+    shares the same method-dispatched stage interface.
+    """
+
+    def __new__(cls, model: str | None = None, image_size: int = 1008,
+                _random_init: bool = False, _cfg: dict | None = None,
+                num_maskmem: int = 7, max_obj_ptrs: int = 16):
+        import jax
+
+        from fce_yolo_tpu.models.sam2 import SAM2VideoPredictor
+        from fce_yolo_tpu.nn.sam3 import (SAM3TrackerModel,
+                                          sam3_tracker_state_dict_to_variables)
+
+        vp = SAM2VideoPredictor.__new__(SAM2VideoPredictor)
+        cfg = dict(image_size=image_size)
+        if _cfg:
+            cfg.update(_cfg)
+        vp.model = SAM3TrackerModel(**cfg)
+        vp.image_size = vp.model.image_size
+        if model is not None and not _random_init:
+            from fce_yolo_tpu.nn.import_torch import load_pt_state_dict
+
+            vp.variables = sam3_tracker_state_dict_to_variables(
+                load_pt_state_dict(model))
+        else:
+            small = jax.eval_shape(
+                lambda k, x: vp.model.init(k, x, method=vp.model.init_all),
+                jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((1, vp.image_size, vp.image_size, 3),
+                                     np.float32))
+            leaves, treedef = jax.tree_util.tree_flatten(small)
+            rng = np.random.RandomState(0)
+            vp.variables = jax.tree_util.tree_unflatten(
+                treedef,
+                [np.asarray(rng.normal(0, 0.02, l.shape), l.dtype)
+                 for l in leaves])
+        vp._jits = {}
+        vp.num_maskmem = num_maskmem
+        vp.max_obj_ptrs = max_obj_ptrs
+        return vp

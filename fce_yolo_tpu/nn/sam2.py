@@ -461,13 +461,27 @@ class ImageEncoder(nn.Module):
 
 class MaskDownSampler(nn.Module):
     """4x stride-2 conv/LN/GELU pyramid + 1x1 head (blocks.py:53-125).
-    Channel ladder 1 -> 4 -> 16 -> 64 -> 256 -> embed_dim."""
+    Channel ladder 1 -> 4 -> 16 -> 64 -> 256 -> embed_dim.
+
+    ``interpol_size``: optional pre-resize of the mask before the conv
+    pyramid (blocks.py:106-123) — SAM3's stride-14 trunk feeds 1008-px masks
+    that must land on the 72-token grid, so they are first resized to
+    1152 = 1008/14*16 (bilinear; SAM3 only ever upsamples here, where
+    torch's antialias flag is inert)."""
 
     embed_dim: int = 256
     total_stride: int = 16
+    interpol_size: tuple[int, int] | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.interpol_size is not None and \
+                tuple(x.shape[1:3]) != tuple(self.interpol_size):
+            b, _, _, c = x.shape
+            x = jax.image.resize(
+                x.astype(jnp.float32),
+                (b, self.interpol_size[0], self.interpol_size[1], c),
+                "bilinear").astype(x.dtype)
         num_layers = int(math.log2(self.total_stride))
         cin = 1
         for li in range(num_layers):
@@ -505,13 +519,15 @@ class MemoryEncoder(nn.Module):
 
     out_dim: int = 64
     in_dim: int = 256
+    interpol_size: tuple[int, int] | None = None
 
     @nn.compact
     def __call__(self, pix_feat: jnp.ndarray, masks: jnp.ndarray,
                  skip_mask_sigmoid: bool = False):
         if not skip_mask_sigmoid:
             masks = jax.nn.sigmoid(masks)
-        masks = MaskDownSampler(self.in_dim, name="mask_downsampler")(masks)
+        masks = MaskDownSampler(self.in_dim, interpol_size=self.interpol_size,
+                                name="mask_downsampler")(masks)
         x = nn.Conv(self.in_dim, (1, 1), name="pix_feat_proj")(pix_feat)
         x = x + masks
         for i in range(2):

@@ -42,8 +42,17 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from fce_yolo_tpu.nn.sam import MLP, window_partition, window_unpartition
-from fce_yolo_tpu.nn.sam2 import _apply_rope, axial_rope_cos_sin, sine_pos_embed
+from fce_yolo_tpu.nn.sam import MLP, PromptEncoder, window_partition, window_unpartition
+from fce_yolo_tpu.nn.sam2 import (
+    MemoryAttention,
+    SAM2MaskDecoder,
+    SAM2Model,
+    _apply_rope,
+    axial_rope_cos_sin,
+    get_1d_sine_pe,
+    sine_pos_embed,
+)
+from fce_yolo_tpu.nn.sam2 import MemoryEncoder as SAM2MemoryEncoder
 
 __all__ = ["SAM3SemanticModel", "sam3_state_dict_to_variables"]
 
@@ -1033,4 +1042,168 @@ def sam3_state_dict_to_variables(sd: dict[str, Any]) -> dict:
             put(body + ["bias"], v)
         else:
             put(body + [leaf], v)
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# SAM3 video tracker (SAM2 memory machinery over the ViTDet trunk)
+# ---------------------------------------------------------------------------
+
+
+class SAM3TrackerModel(SAM2Model):
+    """SAM3 interactive video tracker (reference sam.py:1026-1160 SAM3Model,
+    wiring build_sam3.py:258-343): the SAM2 streaming-memory machinery driven
+    by the ViTDet trunk's cloned SAM2 neck (``forward_image_sam2``,
+    vl_combiner.py:110-129), image_size 1008 / stride 14 (72-token grid),
+    with the sam2.1-era refinements SAM3 enables:
+
+      - signed + PROJECTED temporal pos enc on object pointers
+        (use_signed_tpos_enc_to_obj_ptrs + proj_tpos_enc_in_obj_ptrs,
+        sam.py:725-753): sine pe at d_model then a Dense to mem_dim;
+      - a no-object spatial embedding added to memories of occluded frames
+        (no_obj_embed_spatial, sam.py:829-833);
+      - mask resize to stride*16/14 before the memory downsampler
+        (MaskDownSampler.interpol_size, blocks.py:116-123).
+
+    Everything else (fixed-capacity memory bank, masked attention, RoPE at
+    the 72x72 grid) is inherited from :class:`SAM2Model`.
+    """
+
+    image_size: int = 1008
+    backbone_stride: int = 14
+    trunk_cfg: Any = None
+
+    def setup(self):
+        tc = self.trunk_cfg or dict(
+            img_size=self.image_size, patch_size=14, embed_dim=1024,
+            depth=32, num_heads=16, mlp_ratio=4.625,
+            global_att_blocks=(7, 15, 23, 31), window_size=24,
+            pretrain_img_size=336)
+        self.vision_backbone = Sam3DualViTDetNeck(
+            trunk_cfg=tc, d_model=self.d_model, add_sam2_neck=True)
+        self.memory_attention = MemoryAttention(
+            self.d_model, num_layers=self.mem_attn_layers,
+            dim_feedforward=self.mem_ffn, mem_dim=self.mem_dim)
+        grid = self.image_size // self.backbone_stride
+        self.memory_encoder = SAM2MemoryEncoder(
+            out_dim=self.mem_dim, in_dim=self.d_model,
+            interpol_size=(grid * 16, grid * 16))
+        self.sam_prompt_encoder = PromptEncoder(
+            embed_dim=self.d_model,
+            input_image_size=(self.image_size, self.image_size),
+            image_embedding_size=(grid, grid),
+        )
+        self.sam_mask_decoder = SAM2MaskDecoder(transformer_dim=self.d_model)
+        self.conv_s0 = nn.Conv(self.d_model // 8, (1, 1))
+        self.conv_s1 = nn.Conv(self.d_model // 4, (1, 1))
+        self.obj_ptr_proj = MLP(self.d_model, self.d_model, 3)
+        self.obj_ptr_tpos_proj = nn.Dense(self.mem_dim)
+        self.mask_downsample = nn.Conv(1, (4, 4), strides=(4, 4))
+        self.maskmem_tpos_enc = self.param(
+            "maskmem_tpos_enc", nn.initializers.normal(0.02),
+            (self.num_maskmem, 1, 1, self.mem_dim))
+        self.no_mem_embed = self.param(
+            "no_mem_embed", nn.initializers.normal(0.02), (1, 1, self.d_model))
+        self.no_mem_pos_enc = self.param(
+            "no_mem_pos_enc", nn.initializers.normal(0.02), (1, 1, self.d_model))
+        self.no_obj_ptr = self.param(
+            "no_obj_ptr", nn.initializers.normal(0.02), (1, self.d_model))
+        self.no_obj_embed_spatial = self.param(
+            "no_obj_embed_spatial", nn.initializers.normal(0.02),
+            (1, self.mem_dim))
+
+    def encode_image(self, x: jnp.ndarray) -> dict:
+        """forward_image_sam2 (vl_combiner.py:110-129) + the decoder's
+        high-res skip projections (SAM3Model.forward_image, sam.py:1124-1132).
+        scalp=1 drops the coarsest of the 4 SimpleFPN levels -> [s~4, s~8,
+        s14] in trunk-stride units (288/144/72 at 1008 px)."""
+        feats, poss = self.vision_backbone(x, branch="sam2")
+        feats, poss = list(feats[:-1]), list(poss[:-1])
+        feats[0] = self.conv_s0(feats[0])
+        feats[1] = self.conv_s1(feats[1])
+        return {"backbone_fpn": feats, "vision_pos_enc": poss}
+
+    def tpos_embed_obj_ptrs(self, t_diffs: jnp.ndarray,
+                            t_max: jnp.ndarray | float) -> jnp.ndarray:
+        """Signed temporal sine embedding at d_model, projected to mem_dim
+        (proj_tpos_enc_in_obj_ptrs=True, sam.py:749-753). ``t_diffs`` carries
+        sign when tracking in reverse (use_signed_tpos_enc_to_obj_ptrs)."""
+        pe = get_1d_sine_pe(t_diffs / t_max, dim=self.d_model)
+        return self.obj_ptr_tpos_proj(pe)
+
+    def encode_memory(self, feat_s16, high_res_masks, obj_score_logits=None):
+        """_encode_new_memory + the no-object spatial embedding for occluded
+        frames (sam.py:827-833)."""
+        if high_res_masks.ndim == 4 and high_res_masks.shape[1] == 1:
+            high_res_masks = high_res_masks[:, 0, :, :, None]
+        mask_for_mem = jax.nn.sigmoid(high_res_masks)
+        mask_for_mem = mask_for_mem * self.sigmoid_scale_for_mem_enc \
+            + self.sigmoid_bias_for_mem_enc
+        feats, pos = self.memory_encoder(feat_s16, mask_for_mem,
+                                         skip_mask_sigmoid=True)
+        if obj_score_logits is not None:
+            is_obj = (obj_score_logits > 0).astype(feats.dtype)  # (B, 1)
+            feats = feats + (1.0 - is_obj)[:, :, None, None] \
+                * self.no_obj_embed_spatial[0]
+        return feats, pos
+
+    def init_all(self, x: jnp.ndarray):
+        cond = SAM2Model.init_all(self, x)
+        self.tpos_embed_obj_ptrs(jnp.zeros((2,), jnp.float32), 15.0)
+        return cond
+
+    # --- multi-object postprocessing (SAM3Model._suppress_* , sam.py:1139-1160)
+    @staticmethod
+    def apply_non_overlapping_constraints(pred_masks: jnp.ndarray) -> jnp.ndarray:
+        """Keep each pixel only for the object with the highest mask logit
+        (SAM2Model._apply_non_overlapping_constraints): losers are clamped to
+        <= -10. pred_masks: (N_obj, 1, H, W)."""
+        best = jnp.argmax(pred_masks, axis=0, keepdims=True)
+        keep = jnp.arange(pred_masks.shape[0])[:, None, None, None] == best
+        return jnp.where(keep, pred_masks, jnp.clip(pred_masks, max=-10.0))
+
+    @staticmethod
+    def suppress_shrinked_masks(pred_masks: jnp.ndarray,
+                                new_pred_masks: jnp.ndarray,
+                                shrink_threshold: float = 0.3) -> jnp.ndarray:
+        """Fully suppress masks whose area shrank by > (1-threshold) under
+        the pixelwise non-overlap constraint (SAM3Model, sam.py:1140-1151)."""
+        area_before = jnp.clip((pred_masks > 0).sum(axis=(-1, -2)), min=1.0)
+        area_after = (new_pred_masks > 0).sum(axis=(-1, -2))
+        keep = (area_after / area_before) >= shrink_threshold
+        return jnp.where(keep[..., None, None], pred_masks,
+                         jnp.clip(pred_masks, max=-10.0))
+
+    @classmethod
+    def suppress_object_pw_area_shrinkage(cls, pred_masks: jnp.ndarray) -> jnp.ndarray:
+        """Pixelwise non-overlap, then kill high-shrinkage (noisy) masks
+        (SAM3Model._suppress_object_pw_area_shrinkage, sam.py:1153-1160)."""
+        non_overlap = cls.apply_non_overlapping_constraints(pred_masks)
+        return cls.suppress_shrinked_masks(pred_masks, non_overlap)
+
+
+def sam3_tracker_state_dict_to_variables(sd: dict[str, Any]) -> dict:
+    """Map a reference SAM3Model (video tracker) state_dict to flax variables
+    for :class:`SAM3TrackerModel`.
+
+    The encoder subtree (``image_encoder.vision_backbone.*``) follows the
+    semantic model's ViTDet conventions; everything else is SAM2Model
+    machinery. The tracker only runs the SAM2 branch of the dual neck
+    (forward_image_sam2), so the SAM3-branch ``convs.*`` weights are skipped.
+    """
+    from fce_yolo_tpu.nn.sam2 import sam2_state_dict_to_variables
+
+    enc_sd, rest_sd = {}, {}
+    for k, v in sd.items():
+        if k.startswith("image_encoder.vision_backbone."):
+            sub = k[len("image_encoder.vision_backbone."):]
+            if sub.startswith("convs."):
+                continue
+            enc_sd["backbone.vision_backbone." + sub] = v
+        elif k.startswith("image_encoder."):
+            continue  # language_backbone is None in the tracker build
+        else:
+            rest_sd[k] = v
+    params = sam2_state_dict_to_variables(rest_sd)["params"]
+    params.update(sam3_state_dict_to_variables(enc_sd)["params"])
     return {"params": params}

@@ -126,66 +126,70 @@ def _torch_roi_align(feat, boxes_list, output_size):
     return torch.stack(outs, 0)
 
 
+@pytest.fixture(scope="module")
+def ref_pkg():
+    import importlib.metadata as md
+
+    orig = md.version
+
+    def fake_version(name, *a, **k):
+        try:
+            return orig(name)
+        except Exception:
+            return "0.23.0"
+
+    md.version = fake_version
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        tv = types.ModuleType("torchvision")
+        tv.__version__ = "0.23.0"
+        tv.ops = types.ModuleType("torchvision.ops")
+        tv.ops.nms = None
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv.ops
+    # another test file (test_sam2) may have stubbed a bare torchvision
+    # already — the roi_align SUBMODULE must be registered regardless
+    if "torchvision.ops.roi_align" not in sys.modules:
+        tv_roi = types.ModuleType("torchvision.ops.roi_align")
+        tv_roi.RoIAlign = type("RoIAlign", (), {"__init__": lambda self, *a, **k: None})
+        tv.ops.roi_align = tv_roi
+        sys.modules["torchvision.ops.roi_align"] = tv_roi
+    # the geometry encoder calls torchvision.ops.roi_align(...) as a fn
+    tv.ops.roi_align = _torch_roi_align
+    if "timm" not in sys.modules:
+        import torch.nn as tnn
+
+        class _Mlp(tnn.Module):  # timm.layers.Mlp twin (fc1/act/fc2)
+            def __init__(self, in_features, hidden_features=None,
+                         out_features=None, act_layer=tnn.GELU, drop=0.0,
+                         **kw):
+                super().__init__()
+                hidden_features = hidden_features or in_features
+                out_features = out_features or in_features
+                self.fc1 = tnn.Linear(in_features, hidden_features)
+                self.act = act_layer()
+                self.fc2 = tnn.Linear(hidden_features, out_features)
+
+            def forward(self, x):
+                return self.fc2(self.act(self.fc1(x)))
+
+        timm = types.ModuleType("timm")
+        timm.__version__ = "1.0.0"
+        timm.layers = types.ModuleType("timm.layers")
+        timm.layers.Mlp = _Mlp
+        timm.layers.DropPath = lambda *a, **k: tnn.Identity()
+        sys.modules["timm"] = timm
+        sys.modules["timm.layers"] = timm.layers
+    sys.path.insert(0, REF)
+    yield
+    sys.path.remove(REF)
+    import ultralytics  # restore module-fn shim for other test files
+
+    tv.ops.roi_align = sys.modules.get("torchvision.ops.roi_align", None) or tv.ops.roi_align
+
+
 @pytest.mark.parity
 class TestSAM3Parity:
-    @pytest.fixture(scope="class")
-    def ref_pkg(self):
-        import importlib.metadata as md
-
-        orig = md.version
-
-        def fake_version(name, *a, **k):
-            try:
-                return orig(name)
-            except Exception:
-                return "0.23.0"
-
-        md.version = fake_version
-        tv = sys.modules.get("torchvision")
-        if tv is None:
-            tv = types.ModuleType("torchvision")
-            tv.__version__ = "0.23.0"
-            tv.ops = types.ModuleType("torchvision.ops")
-            tv_roi = types.ModuleType("torchvision.ops.roi_align")
-            tv_roi.RoIAlign = type("RoIAlign", (), {"__init__": lambda self, *a, **k: None})
-            tv.ops.roi_align = tv_roi
-            tv.ops.nms = None
-            sys.modules["torchvision"] = tv
-            sys.modules["torchvision.ops"] = tv.ops
-            sys.modules["torchvision.ops.roi_align"] = tv_roi
-        # the geometry encoder calls torchvision.ops.roi_align(...) as a fn
-        tv.ops.roi_align = _torch_roi_align
-        if "timm" not in sys.modules:
-            import torch.nn as tnn
-
-            class _Mlp(tnn.Module):  # timm.layers.Mlp twin (fc1/act/fc2)
-                def __init__(self, in_features, hidden_features=None,
-                             out_features=None, act_layer=tnn.GELU, drop=0.0,
-                             **kw):
-                    super().__init__()
-                    hidden_features = hidden_features or in_features
-                    out_features = out_features or in_features
-                    self.fc1 = tnn.Linear(in_features, hidden_features)
-                    self.act = act_layer()
-                    self.fc2 = tnn.Linear(hidden_features, out_features)
-
-                def forward(self, x):
-                    return self.fc2(self.act(self.fc1(x)))
-
-            timm = types.ModuleType("timm")
-            timm.__version__ = "1.0.0"
-            timm.layers = types.ModuleType("timm.layers")
-            timm.layers.Mlp = _Mlp
-            timm.layers.DropPath = lambda *a, **k: tnn.Identity()
-            sys.modules["timm"] = timm
-            sys.modules["timm.layers"] = timm.layers
-        sys.path.insert(0, REF)
-        yield
-        sys.path.remove(REF)
-        import ultralytics  # restore module-fn shim for other test files
-
-        tv.ops.roi_align = sys.modules.get("torchvision.ops.roi_align", None) or tv.ops.roi_align
-
     @pytest.fixture(scope="class")
     def pair(self, ref_pkg):
         """Tiny torch SAM3SemanticModel (build_sam3.py wiring, shrunken
@@ -391,3 +395,255 @@ class TestSAM3Parity:
         np.testing.assert_allclose(np.asarray(fout["semantic_seg"]),
                                    tout["semantic_seg"].numpy(),
                                    atol=5e-3, rtol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# SAM3 video tracker (SAM2 memory machinery over the ViTDet trunk)
+# ---------------------------------------------------------------------------
+
+# trunk 8x8 tokens (112/14); SAM2-neck grid 8 -> mask interpol 8*16=128
+TRACK_TINY = dict(
+    image_size=112, backbone_stride=14, mem_attn_layers=2,
+    trunk_cfg=dict(img_size=112, patch_size=14, embed_dim=16, depth=2,
+                   num_heads=2, mlp_ratio=2.0, global_att_blocks=(1,),
+                   window_size=2, pretrain_img_size=28))
+
+
+def test_sam3_tracker_video_runs():
+    """Point-prompted streaming track through the SAM3 tracker facade:
+    fixed-capacity memory bank, one compiled program per stage."""
+    import cv2
+
+    from fce_yolo_tpu.models.sam3 import SAM3VideoPredictor
+
+    vp = SAM3VideoPredictor(_random_init=True, _cfg=TRACK_TINY)
+    frames = []
+    for t in range(3):
+        f = np.full((96, 96, 3), 40, np.uint8)
+        cv2.circle(f, (30 + 8 * t, 48), 14, (250, 120, 60), -1)
+        frames.append(f)
+    masks = list(vp.track(frames, points=[[30, 48]], labels=[1]))
+    assert len(masks) == 3
+    for m in masks:
+        assert m.shape == (96, 96) and m.dtype == bool
+
+
+def test_sam3_multi_object_suppression():
+    """_suppress_object_pw_area_shrinkage semantics (sam.py:1139-1160):
+    per-pixel winner keeps its logits; heavy-shrink losers are clamped."""
+    from fce_yolo_tpu.nn.sam3 import SAM3TrackerModel
+
+    m = np.full((2, 1, 4, 4), -5.0, np.float32)
+    m[0, 0, :2] = 3.0       # obj0 owns the top half
+    m[1, 0, :2] = 2.0       # obj1 fully overlapped by obj0 -> shrinks 100%
+    m[1, 0, 3, :2] = 1.0    # ...except two pixels it owns (ratio 2/6 < 0.3)
+    out = np.asarray(SAM3TrackerModel.suppress_object_pw_area_shrinkage(
+        jnp.asarray(m)))
+    np.testing.assert_allclose(out[0], m[0])          # winner untouched
+    assert (out[1] <= -5.0).all()                     # loser fully suppressed
+
+
+@pytest.mark.parity
+class TestSAM3TrackerParity:
+    @pytest.fixture(scope="class")
+    def pair(self, ref_pkg):
+        """Tiny torch SAM3Model video tracker (build_interactive_sam3
+        wiring, build_sam3.py:258-343, shrunk trunk) + flax twin with the
+        imported state dict."""
+        import torch
+        from ultralytics.models.sam.modules.blocks import (
+            PositionEmbeddingSine, RoPEAttention)
+        from ultralytics.models.sam.modules.encoders import MemoryEncoder
+        from ultralytics.models.sam.modules.memory_attention import (
+            MemoryAttention, MemoryAttentionLayer)
+        from ultralytics.models.sam.modules.sam import SAM3Model
+        from ultralytics.models.sam.sam3.necks import Sam3DualViTDetNeck
+        from ultralytics.models.sam.sam3.vitdet import ViT
+        from ultralytics.models.sam.sam3.vl_combiner import SAM3VLBackbone
+
+        torch.manual_seed(0)
+        tc = TRACK_TINY["trunk_cfg"]
+        vit = ViT(
+            img_size=tc["img_size"], pretrain_img_size=tc["pretrain_img_size"],
+            patch_size=tc["patch_size"], embed_dim=tc["embed_dim"],
+            depth=tc["depth"], num_heads=tc["num_heads"],
+            mlp_ratio=tc["mlp_ratio"], norm_layer="LayerNorm",
+            drop_path_rate=0.0, qkv_bias=True, use_abs_pos=True,
+            tile_abs_pos=True, global_att_blocks=tc["global_att_blocks"],
+            rel_pos_blocks=(), use_rope=True, use_interp_rope=True,
+            window_size=tc["window_size"], pretrain_use_cls_token=True,
+            retain_cls_token=False, ln_pre=True, ln_post=False,
+            return_interm_layers=False, bias_patch_embed=False)
+        visual = Sam3DualViTDetNeck(
+            position_encoding=PositionEmbeddingSine(
+                num_pos_feats=256, normalize=True, scale=None,
+                temperature=10000),
+            d_model=256, scale_factors=[4.0, 2.0, 1.0, 0.5], trunk=vit,
+            add_sam2_neck=True)
+        backbone = SAM3VLBackbone(scalp=1, visual=visual, text=None)
+        mem_attn = MemoryAttention(
+            batch_first=True, d_model=256, pos_enc_at_input=True,
+            num_layers=TRACK_TINY["mem_attn_layers"],
+            layer=MemoryAttentionLayer(
+                dim_feedforward=2048, dropout=0.0, pos_enc_at_attn=False,
+                pos_enc_at_cross_attn_keys=True,
+                pos_enc_at_cross_attn_queries=False, d_model=256,
+                self_attn=RoPEAttention(
+                    embedding_dim=256, num_heads=1, downsample_rate=1,
+                    rope_theta=10000.0, feat_sizes=[8, 8]),
+                cross_attn=RoPEAttention(
+                    embedding_dim=256, num_heads=1, downsample_rate=1,
+                    kv_in_dim=64, rope_theta=10000.0, feat_sizes=[8, 8],
+                    rope_k_repeat=True)))
+        tm = SAM3Model(
+            image_size=112, image_encoder=backbone,
+            memory_attention=mem_attn,
+            memory_encoder=MemoryEncoder(out_dim=64, interpol_size=[128, 128]),
+            backbone_stride=14, num_maskmem=7,
+            sigmoid_scale_for_mem_enc=20.0, sigmoid_bias_for_mem_enc=-10.0,
+            use_mask_input_as_output_without_sam=True,
+            directly_add_no_mem_embed=True,
+            use_high_res_features_in_sam=True,
+            multimask_output_in_sam=True,
+            iou_prediction_use_sigmoid=True,
+            use_obj_ptrs_in_encoder=True,
+            add_tpos_enc_to_obj_ptrs=True,
+            only_obj_ptrs_in_the_past_for_eval=True,
+            pred_obj_scores=True, pred_obj_scores_mlp=True,
+            fixed_no_obj_ptr=True,
+            multimask_output_for_tracking=True,
+            use_multimask_token_for_obj_ptr=True,
+            multimask_min_pt_num=0, multimask_max_pt_num=1,
+            use_mlp_for_obj_ptr_proj=True,
+            compile_image_encoder=False,
+            no_obj_embed_spatial=True,
+            proj_tpos_enc_in_obj_ptrs=True,
+            use_signed_tpos_enc_to_obj_ptrs=True,
+            sam_mask_decoder_extra_args=dict(
+                dynamic_multimask_via_stability=True,
+                dynamic_multimask_stability_delta=0.05,
+                dynamic_multimask_stability_thresh=0.98)).eval().float()
+        # randomize the zero/trunc-normal params so the test has signal
+        with torch.no_grad():
+            for p in tm.parameters():
+                if p.numel() > 1 and p.std() < 1e-8:
+                    p.normal_(0, 0.02)
+
+        from fce_yolo_tpu.nn.sam3 import (
+            SAM3TrackerModel, sam3_tracker_state_dict_to_variables)
+
+        jm = SAM3TrackerModel(**TRACK_TINY)
+        jv = sam3_tracker_state_dict_to_variables(tm.state_dict())
+        return tm, jm, jv
+
+    def test_image_encoder_parity(self, pair):
+        import torch
+
+        tm, jm, jv = pair
+        rng = np.random.RandomState(1)
+        x = rng.randn(1, 112, 112, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = tm.forward_image(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        got = jm.apply(jv, jnp.asarray(x), method=jm.encode_image)
+        assert len(got["backbone_fpn"]) == 3
+        for lvl in range(3):
+            r = ref["backbone_fpn"][lvl].numpy().transpose(0, 2, 3, 1)
+            g = np.asarray(got["backbone_fpn"][lvl], np.float32)
+            np.testing.assert_allclose(g, r, atol=3e-4,
+                                       err_msg=f"fpn level {lvl}")
+            rp = ref["vision_pos_enc"][lvl].numpy().transpose(0, 2, 3, 1)
+            gp = np.asarray(got["vision_pos_enc"][lvl], np.float32)
+            np.testing.assert_allclose(gp, rp[0], atol=1e-5,
+                                       err_msg=f"pos level {lvl}")
+
+    def test_three_frame_track_parity(self, pair):
+        """Frames 0 (point-prompted cond) / 1 / 2 through the reference
+        SAM3Model.track_step (signed+projected tpos, no-obj spatial
+        embedding, 128-px mask interpol) vs the flax fixed-capacity
+        predictor: masks, object pointers and memories match per frame."""
+        import torch
+
+        tm, jm, jv = pair
+        rng = np.random.RandomState(2)
+        frames = [rng.rand(112, 112, 3).astype(np.float32) * 2 - 1
+                  for _ in range(3)]
+        pts = np.array([[[40.0, 64.0]]], np.float32)
+        lab = np.array([[1]], np.int32)
+
+        out_dict = {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+        ref_masks, ref_ptrs = [], []
+        with torch.no_grad():
+            for t, f in enumerate(frames):
+                img = torch.from_numpy(f.transpose(2, 0, 1))[None]
+                backbone_out = tm.forward_image(img)
+                (_, vision_feats, vision_pos, feat_sizes
+                 ) = tm._prepare_backbone_features(backbone_out)
+                point_inputs = (
+                    {"point_coords": torch.from_numpy(pts),
+                     "point_labels": torch.from_numpy(lab)} if t == 0 else None)
+                out = tm.track_step(
+                    frame_idx=t, is_init_cond_frame=(t == 0),
+                    current_vision_feats=vision_feats,
+                    current_vision_pos_embeds=vision_pos,
+                    feat_sizes=feat_sizes, point_inputs=point_inputs,
+                    mask_inputs=None, output_dict=out_dict, num_frames=3)
+                key = "cond_frame_outputs" if t == 0 else "non_cond_frame_outputs"
+                out_dict[key][t] = out
+                ref_masks.append(out["pred_masks"].numpy())
+                ref_ptrs.append(out["obj_ptr"].numpy())
+
+        from fce_yolo_tpu.models.sam2 import SAM2VideoPredictor
+
+        vp = SAM2VideoPredictor.__new__(SAM2VideoPredictor)
+        vp.image_size = 112
+        vp.model = jm
+        vp.variables = jv
+        vp._jits = {}
+        vp.num_maskmem = 7
+        vp.max_obj_ptrs = 16
+
+        x0 = jnp.asarray(frames[0])[None]
+        low, high, ptr, score, mem, _ = vp._cond_step()(
+            jv, x0, jnp.asarray(pts), jnp.asarray(lab))
+        np.testing.assert_allclose(np.asarray(low), ref_masks[0], atol=3e-3)
+        np.testing.assert_allclose(np.asarray(ptr), ref_ptrs[0], atol=2e-3)
+
+        hw = mem.shape[1] * mem.shape[2]
+        cond_mem = np.asarray(mem).reshape(hw, 64)
+        ref_mem0 = out_dict["cond_frame_outputs"][0]["maskmem_features"]
+        np.testing.assert_allclose(
+            cond_mem.reshape(mem.shape[1], mem.shape[2], 64),
+            ref_mem0.numpy()[0].transpose(1, 2, 0), atol=2e-3)
+
+        step = vp._track_frame()
+        recent = []
+        cond_ptr = np.asarray(ptr)[0]
+        for t in (1, 2):
+            maskmem = np.zeros((7, hw, 64), np.float32)
+            mem_valid = np.zeros((7,), bool)
+            maskmem[0], mem_valid[0] = cond_mem, True
+            by_t = {ft: fm for ft, fm, _ in recent}
+            for t_pos in range(1, 7):
+                prev_t = t - (7 - t_pos)
+                if prev_t in by_t:
+                    maskmem[t_pos], mem_valid[t_pos] = by_t[prev_t], True
+            obj_ptrs = np.zeros((16, 256), np.float32)
+            obj_t = np.zeros((16,), np.float32)
+            ptr_valid = np.zeros((16,), bool)
+            obj_ptrs[0], obj_t[0], ptr_valid[0] = cond_ptr, float(t), True
+            k = 1
+            for ft, _, fp in sorted(recent, key=lambda z: -z[0]):
+                if ft == 0 or k >= 16:
+                    continue
+                obj_ptrs[k], obj_t[k], ptr_valid[k] = fp, float(t - ft), True
+                k += 1
+            low, high, ptr, score, mem = step(
+                jv, jnp.asarray(frames[t])[None],
+                jnp.asarray(maskmem), jnp.asarray(mem_valid),
+                jnp.asarray(obj_ptrs), jnp.asarray(obj_t),
+                jnp.asarray(ptr_valid), jnp.float32(min(3, 16) - 1))
+            np.testing.assert_allclose(np.asarray(low), ref_masks[t], atol=5e-3,
+                                       err_msg=f"frame {t} mask")
+            np.testing.assert_allclose(np.asarray(ptr), ref_ptrs[t], atol=3e-3,
+                                       err_msg=f"frame {t} obj_ptr")
+            recent.append((t, np.asarray(mem).reshape(hw, 64), np.asarray(ptr)[0]))
