@@ -158,54 +158,122 @@ class SAM2VideoPredictor(SAM2):
 
         return self._jit("cond", run)
 
+    def _encode(self):
+        """Jitted image encoding alone — lets multi-object predictors encode
+        ONCE per frame and run the (cheaper) per-object step N times."""
+        def run(v, x):
+            enc = self.model.apply(v, x, method=self.model.encode_image)
+            f0, f1, f16 = enc["backbone_fpn"]
+            return f0, f1, f16, enc["vision_pos_enc"][-1]
+
+        return self._jit("enc", run)
+
+    def _cond_from_mask(self):
+        """Conditioning step from a MASK prompt (reference
+        _use_mask_as_output path, sam.py:553-599 — how the concept-video
+        predictor seeds new masklets from detections)."""
+        def run(v, f0, f1, f16, mask):
+            outs = self.model.apply(v, mask, f16, [f0, f1],
+                                    method=self.model.use_mask_as_output)
+            mem, mem_pos = self.model.apply(
+                v, f16, outs[4], outs[6], method=self.model.encode_memory)
+            return outs[3], outs[4], outs[5], outs[6], mem, mem_pos
+
+        return self._jit("cond_mask", run)
+
+    def _track_with_feats(self):
+        def run(v, f0, f1, f16, pos16, maskmem, mem_valid, obj_ptrs, obj_t,
+                ptr_valid, t_max):
+            return self._step_body(v, f0, f1, f16, pos16, maskmem, mem_valid,
+                                   obj_ptrs, obj_t, ptr_valid, t_max)
+
+        return self._jit("track_feats", run)
+
     def _track_frame(self):
-        import jax.numpy as jnp
-
-        nm, np_ = self.num_maskmem, self.max_obj_ptrs
-
         def run(v, x, maskmem, mem_valid, obj_ptrs, obj_t, ptr_valid, t_max):
             # maskmem: (nm, HW, 64); mem_valid: (nm,); obj_ptrs: (np, C);
             # obj_t: (np,) temporal distances; ptr_valid: (np,)
             enc = self.model.apply(v, x, method=self.model.encode_image)
             f0, f1, f16 = enc["backbone_fpn"]
-            b, h, w, c = f16.shape
-            hw = h * w
-            mem_dim = self.model.mem_dim
-
-            # spatial memory tokens + per-slot temporal embedding
-            # (reference sam.py:726-733: slot t_pos gets tpos_enc[nm-t_pos-1])
-            spat_pos = jnp.asarray(
-                _sine_pos(h, w, mem_dim), jnp.float32).reshape(1, hw, mem_dim)
-            tpos = v["params"]["maskmem_tpos_enc"][::-1].reshape(nm, 1, mem_dim)
-            mem_tok = maskmem.reshape(1, nm * hw, mem_dim)
-            mem_pos = (spat_pos + tpos).reshape(1, nm * hw, mem_dim)
-
-            # object pointers -> 4 x 64 tokens each, with 1D sine tpos
-            # (sam.py:735-766)
-            ratio = c // mem_dim
-            ptr_tok = obj_ptrs.reshape(np_, ratio, mem_dim).reshape(1, np_ * ratio, mem_dim)
-            ptr_pos = self.model.apply(v, obj_t.astype(jnp.float32), t_max,
-                                       method=self.model.tpos_embed_obj_ptrs)
-            ptr_pos = jnp.repeat(ptr_pos, ratio, axis=0).reshape(1, np_ * ratio, mem_dim)
-
-            memory = jnp.concatenate([mem_tok, ptr_tok], axis=1)
-            memory_pos = jnp.concatenate([mem_pos, ptr_pos], axis=1)
-            key_mask = jnp.concatenate([
-                jnp.repeat(mem_valid, hw), jnp.repeat(ptr_valid, ratio)])[None]
-
-            feat = self.model.apply(
-                v, f16, enc["vision_pos_enc"][-1], memory, memory_pos,
-                np_ * ratio, key_mask, method=self.model.condition_features)
-            # _use_multimask (sam.py:983-991): multimask_output_for_tracking
-            # with 0 prompt points in [min=0, max=1] -> multimask on
-            outs = self.model.apply(
-                v, feat, None, None, [f0, f1], True,
-                method=self.model.forward_sam_heads)
-            mem, _ = self.model.apply(
-                v, f16, outs[4], outs[6], method=self.model.encode_memory)
-            return outs[3], outs[4], outs[5], outs[6], mem
+            return self._step_body(v, f0, f1, f16, enc["vision_pos_enc"][-1],
+                                   maskmem, mem_valid, obj_ptrs, obj_t,
+                                   ptr_valid, t_max)
 
         return self._jit("track", run)
+
+    def _step_body(self, v, f0, f1, f16, pos16, maskmem, mem_valid, obj_ptrs,
+                   obj_t, ptr_valid, t_max):
+        """Per-object tracked step given precomputed frame features: fixed
+        bank -> memory attention -> SAM heads -> new memory."""
+        import jax.numpy as jnp
+
+        nm, np_ = self.num_maskmem, self.max_obj_ptrs
+        b, h, w, c = f16.shape
+        hw = h * w
+        mem_dim = self.model.mem_dim
+
+        # spatial memory tokens + per-slot temporal embedding
+        # (reference sam.py:726-733: slot t_pos gets tpos_enc[nm-t_pos-1])
+        spat_pos = jnp.asarray(
+            _sine_pos(h, w, mem_dim), jnp.float32).reshape(1, hw, mem_dim)
+        tpos = v["params"]["maskmem_tpos_enc"][::-1].reshape(nm, 1, mem_dim)
+        mem_tok = maskmem.reshape(1, nm * hw, mem_dim)
+        mem_pos = (spat_pos + tpos).reshape(1, nm * hw, mem_dim)
+
+        # object pointers -> 4 x 64 tokens each, with 1D sine tpos
+        # (sam.py:735-766)
+        ratio = c // mem_dim
+        ptr_tok = obj_ptrs.reshape(np_, ratio, mem_dim).reshape(1, np_ * ratio, mem_dim)
+        ptr_pos = self.model.apply(v, obj_t.astype(jnp.float32), t_max,
+                                   method=self.model.tpos_embed_obj_ptrs)
+        ptr_pos = jnp.repeat(ptr_pos, ratio, axis=0).reshape(1, np_ * ratio, mem_dim)
+
+        memory = jnp.concatenate([mem_tok, ptr_tok], axis=1)
+        memory_pos = jnp.concatenate([mem_pos, ptr_pos], axis=1)
+        key_mask = jnp.concatenate([
+            jnp.repeat(mem_valid, hw), jnp.repeat(ptr_valid, ratio)])[None]
+
+        feat = self.model.apply(
+            v, f16, pos16, memory, memory_pos,
+            np_ * ratio, key_mask, method=self.model.condition_features)
+        # _use_multimask (sam.py:983-991): multimask_output_for_tracking
+        # with 0 prompt points in [min=0, max=1] -> multimask on
+        outs = self.model.apply(
+            v, feat, None, None, [f0, f1], True,
+            method=self.model.forward_sam_heads)
+        mem, _ = self.model.apply(
+            v, f16, outs[4], outs[6], method=self.model.encode_memory)
+        return outs[3], outs[4], outs[5], outs[6], mem
+
+    def _assemble_bank(self, cond_mem, cond_ptr, t0, recent, t):
+        """Fixed memory bank for one masklet at frame ``t`` (reference t_pos
+        scheme, sam.py:700-766): spatial slot 0 = the conditioning frame
+        (prompted at ``t0``), slot t_pos holds the frame at distance
+        nm - t_pos; pointer slot 0 = cond pointer, then recent pointers by
+        temporal distance. ``recent`` = [(frame_t, mem (HW, 64), ptr (C,))]."""
+        hw, mem_dim = cond_mem.shape
+        c = cond_ptr.shape[-1]
+        maskmem = np.zeros((self.num_maskmem, hw, mem_dim), np.float32)
+        mem_valid = np.zeros((self.num_maskmem,), bool)
+        maskmem[0], mem_valid[0] = cond_mem, True
+        by_t = {ft: fm for ft, fm, _ in recent}
+        for t_pos in range(1, self.num_maskmem):
+            prev_t = t - (self.num_maskmem - t_pos)
+            if prev_t in by_t:
+                maskmem[t_pos], mem_valid[t_pos] = by_t[prev_t], True
+        obj_ptrs = np.zeros((self.max_obj_ptrs, c), np.float32)
+        obj_t = np.zeros((self.max_obj_ptrs,), np.float32)
+        ptr_valid = np.zeros((self.max_obj_ptrs,), bool)
+        obj_ptrs[0], obj_t[0], ptr_valid[0] = cond_ptr, float(t - t0), True
+        k = 1
+        for ft, _, fp in sorted(recent, key=lambda z: -z[0]):
+            if k >= self.max_obj_ptrs or t - ft >= self.max_obj_ptrs:
+                break
+            if ft == t0:
+                continue  # cond frame already in slot 0
+            obj_ptrs[k], obj_t[k], ptr_valid[k] = fp, float(t - ft), True
+            k += 1
+        return maskmem, mem_valid, obj_ptrs, obj_t, ptr_valid
 
     def track(self, frames: Iterable[np.ndarray], points, labels=None,
               num_frames: int | None = None) -> Iterable[np.ndarray]:
@@ -245,29 +313,8 @@ class SAM2VideoPredictor(SAM2):
         for frame in frames:
             t += 1
             x, _ = self._prep(frame)
-            # assemble the fixed bank (reference t_pos scheme, sam.py:700-733):
-            # slot 0 = cond frame; slot t_pos = frame at distance nm - t_pos
-            maskmem = np.zeros((self.num_maskmem, hw, mem_dim), np.float32)
-            mem_valid = np.zeros((self.num_maskmem,), bool)
-            maskmem[0], mem_valid[0] = cond_mem, True
-            by_t = {ft: fm for ft, fm, _ in recent}
-            for t_pos in range(1, self.num_maskmem):
-                prev_t = t - (self.num_maskmem - t_pos)
-                if prev_t in by_t:
-                    maskmem[t_pos], mem_valid[t_pos] = by_t[prev_t], True
-            obj_ptrs = np.zeros((self.max_obj_ptrs, c), np.float32)
-            obj_t = np.zeros((self.max_obj_ptrs,), np.float32)
-            ptr_valid = np.zeros((self.max_obj_ptrs,), bool)
-            obj_ptrs[0], obj_t[0], ptr_valid[0] = cond_ptr, float(t), True
-            k = 1
-            for ft, _, fp in sorted(recent, key=lambda z: -z[0]):
-                if k >= self.max_obj_ptrs or t - ft >= self.max_obj_ptrs:
-                    break
-                if ft == 0:
-                    continue  # cond frame already in slot 0
-                obj_ptrs[k], obj_t[k], ptr_valid[k] = fp, float(t - ft), True
-                k += 1
-
+            maskmem, mem_valid, obj_ptrs, obj_t, ptr_valid = \
+                self._assemble_bank(cond_mem, cond_ptr, 0, recent, t)
             t_max = float(min(num_frames or self.max_obj_ptrs,
                               self.max_obj_ptrs) - 1)
             low, high, ptr, score, mem = step(

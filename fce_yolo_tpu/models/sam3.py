@@ -19,7 +19,8 @@ import numpy as np
 
 from fce_yolo_tpu.nn.sam3 import SAM3SemanticModel, sam3_state_dict_to_variables
 
-__all__ = ["SAM3", "SAM3VideoPredictor", "hash_tokenize"]
+__all__ = ["SAM3", "SAM3VideoPredictor", "SAM3VideoSemanticPredictor",
+           "hash_tokenize"]
 
 
 def hash_tokenize(texts, context_length: int = 32, vocab_size: int = 49408
@@ -232,3 +233,157 @@ class SAM3VideoPredictor:
         vp.num_maskmem = num_maskmem
         vp.max_obj_ptrs = max_obj_ptrs
         return vp
+
+
+class SAM3VideoSemanticPredictor:
+    """Concept-driven video segmentation: detect-then-track
+    (reference predict.py SAM3VideoSemanticPredictor:2459-2900).
+
+    Per frame: the semantic detector proposes instances of the text concept;
+    a bank of tracker masklets propagates existing objects (image encoded
+    ONCE, one compiled per-object step); detections and tracklets are
+    associated by mask IoU. Matched tracklets refresh their keep-alive,
+    unmatched ones decay and die, and unmatched confident detections seed
+    new masklets through the tracker's mask-as-output conditioning path
+    (sam.py:553-599). Overlapping tracklets are resolved with the
+    pixelwise non-overlap + shrinkage suppression (sam.py:1139-1160).
+
+    Behavioral analog of the reference association core
+    (score_threshold_detection / assoc_iou_thresh / new_det_thresh /
+    keep-alive in predict.py:2477-2530); the hotstart-delay, masklet
+    confirmation and multi-GPU sharding refinements are intentionally out
+    of scope (single-host streaming contract).
+    """
+
+    def __init__(self, semantic: "SAM3", tracker, max_objects: int = 8,
+                 score_threshold_detection: float = 0.5,
+                 assoc_iou_thresh: float = 0.5, new_det_thresh: float = 0.5,
+                 max_trk_keep_alive: int = 30, min_trk_keep_alive: int = -4):
+        self.semantic = semantic
+        self.tracker = tracker  # SAM2VideoPredictor-shaped (SAM3VideoPredictor)
+        self.max_objects = max_objects
+        self.score_threshold_detection = score_threshold_detection
+        self.assoc_iou_thresh = assoc_iou_thresh
+        self.new_det_thresh = new_det_thresh
+        self.max_trk_keep_alive = max_trk_keep_alive
+        self.min_trk_keep_alive = min_trk_keep_alive
+
+    @staticmethod
+    def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+        inter = np.logical_and(a, b).sum()
+        union = np.logical_or(a, b).sum()
+        return float(inter) / float(union) if union else 0.0
+
+    def track(self, frames, text: str, num_frames: int | None = None):
+        """Yields per frame SimpleNamespace(obj_ids, masks (N, H, W) bool,
+        scores) for every live masklet of concept ``text``."""
+        import cv2
+        import jax.numpy as jnp
+
+        from fce_yolo_tpu.nn.sam3 import SAM3TrackerModel
+
+        tr = self.tracker
+        v = tr.variables
+        S = tr.image_size
+        encode = tr._encode()
+        step = tr._track_with_feats()
+        cond_mask = tr._cond_from_mask()
+        slots: list[dict] = []
+        next_id = 0
+
+        for t, frame in enumerate(frames):
+            h0, w0 = frame.shape[:2]
+            x, _ = tr._prep(frame)
+            f0, f1, f16, pos16 = encode(v, jnp.asarray(x)[None])
+            t_max = jnp.float32(
+                min(num_frames or tr.max_obj_ptrs, tr.max_obj_ptrs) - 1)
+
+            # 1) propagate every live masklet through ONE compiled step
+            for s in slots:
+                bank = tr._assemble_bank(s["cond_mem"], s["cond_ptr"],
+                                         s["t0"], s["recent"], t)
+                low, high, ptr, score, mem = step(
+                    v, f0, f1, f16, pos16, *map(jnp.asarray, bank), t_max)
+                hw = mem.shape[1] * mem.shape[2]
+                s["recent"].append((t, np.asarray(mem).reshape(hw, -1),
+                                    np.asarray(ptr)[0]))
+                if len(s["recent"]) > tr.num_maskmem - 1:
+                    s["recent"].pop(0)
+                s["logits"] = np.asarray(high, np.float32)[0, 0]  # (S, S)
+                s["obj_logit"] = float(np.asarray(score)[0, 0])
+
+            # cross-object suppression (SAM3Model, sam.py:1139-1160)
+            if len(slots) > 1:
+                stacked = jnp.asarray(
+                    np.stack([s["logits"] for s in slots])[:, None])
+                sup = np.asarray(
+                    SAM3TrackerModel.suppress_object_pw_area_shrinkage(stacked))
+                for s, m in zip(slots, sup[:, 0]):
+                    s["logits"] = m
+
+            for s in slots:
+                lg = cv2.resize(s["logits"], (w0, h0),
+                                interpolation=cv2.INTER_LINEAR)
+                s["mask"] = lg > tr.mask_threshold
+
+            # 2) detect the concept on this frame
+            det = self.semantic.predict(
+                frame, text=[text], conf=self.score_threshold_detection)
+
+            # 3) greedy det->track association by mask IoU (predict.py
+            # association core; assoc_iou_thresh)
+            order = np.argsort(-det.scores)
+            matched_slots: set[int] = set()
+            unmatched_dets: list[int] = []
+            for di in order:
+                best_j, best_iou = -1, 0.0
+                for j, s in enumerate(slots):
+                    if j in matched_slots:
+                        continue
+                    iou = self._mask_iou(det.masks[di], s["mask"])
+                    if iou > best_iou:
+                        best_j, best_iou = j, iou
+                if best_j >= 0 and best_iou >= self.assoc_iou_thresh:
+                    matched_slots.add(best_j)
+                else:
+                    unmatched_dets.append(di)
+
+            # keep-alive bookkeeping: matched -> refreshed; unmatched or
+            # empty-mask tracklets decay; dead below the floor
+            for j, s in enumerate(slots):
+                if j in matched_slots:
+                    s["keep"] = self.max_trk_keep_alive
+                elif not s["mask"].any() or s["obj_logit"] <= 0:
+                    s["keep"] -= 1
+                else:
+                    s["keep"] -= 1
+            slots = [s for s in slots if s["keep"] > self.min_trk_keep_alive]
+
+            # 4) confident unmatched detections seed new masklets via the
+            # mask-as-output conditioning path
+            for di in unmatched_dets:
+                if len(slots) >= self.max_objects:
+                    break
+                if float(det.scores[di]) < self.new_det_thresh:
+                    continue
+                m = cv2.resize(det.masks[di].astype(np.float32), (S, S),
+                               interpolation=cv2.INTER_LINEAR)
+                low, high, ptr, score, mem, _ = cond_mask(
+                    v, f0, f1, f16, jnp.asarray(m)[None, :, :, None])
+                hw = mem.shape[1] * mem.shape[2]
+                slots.append(dict(
+                    id=next_id, t0=t,
+                    cond_mem=np.asarray(mem).reshape(hw, -1),
+                    cond_ptr=np.asarray(ptr)[0], recent=[],
+                    keep=self.max_trk_keep_alive,
+                    obj_logit=float(np.asarray(score)[0, 0]),
+                    mask=det.masks[di].astype(bool)))
+                next_id += 1
+
+            live = [s for s in slots if s["keep"] > 0]
+            yield SimpleNamespace(
+                obj_ids=np.asarray([s["id"] for s in live], np.int64),
+                masks=(np.stack([s["mask"] for s in live])
+                       if live else np.zeros((0, h0, w0), bool)),
+                scores=np.asarray([_sigmoid(np.float64(s["obj_logit"]))
+                                   for s in live], np.float32))

@@ -826,6 +826,39 @@ class SAM2Model(nn.Module):
         ``t_max`` = min(num_frames, max_obj_ptrs_in_encoder) - 1."""
         return get_1d_sine_pe(t_diffs / t_max, dim=self.mem_dim)
 
+    def use_mask_as_output(self, mask_inputs, feat_s16=None,
+                           high_res_features=None):
+        """Treat a given mask directly as the tracking output, bypassing the
+        SAM decoder for the mask itself (_use_mask_as_output, sam.py:553-599;
+        use_mask_input_as_output_without_sam=True): ±10 logits from the
+        binary mask, a dummy IoU of 1, and an object pointer produced by the
+        SAM decoder fed the 4x-downsampled mask as a dense prompt.
+
+        mask_inputs: (B, H, W, 1) NHWC at image resolution, float or bool.
+        Returns the forward_sam_heads 7-tuple.
+        """
+        out_scale, out_bias = 20.0, -10.0
+        m = mask_inputs.astype(jnp.float32)
+        high = m * out_scale + out_bias                       # (B, H, W, 1)
+        b, h, w, _ = m.shape
+        low = jax.image.resize(high, (b, h // 4, w // 4, 1), "bilinear")
+        # channel-stacked (B, 1, H, W) like the decoder emits
+        low_m = low[..., 0][:, None]
+        high_m = high[..., 0][:, None]
+        ious = jnp.ones((b, 1), jnp.float32)
+        if feat_s16 is None or high_res_features is None:
+            obj_ptr = jnp.zeros((b, self.d_model), jnp.float32)
+        else:
+            down = self.mask_downsample(m)                    # (B, H/4, W/4, 1)
+            obj_ptr = self.forward_sam_heads(
+                feat_s16, mask_inputs=down,
+                high_res_features=high_res_features)[5]
+        is_obj = jnp.any(m.reshape(b, -1) > 0.0, axis=1)[:, None]
+        lam = is_obj.astype(jnp.float32)
+        obj_logits = out_scale * lam + out_bias
+        obj_ptr = lam * obj_ptr + (1.0 - lam) * self.no_obj_ptr
+        return low_m, high_m, ious, low_m, high_m, obj_ptr, obj_logits
+
     def __call__(self, x: jnp.ndarray, points=None, multimask_output: bool = True):
         """Single-image promptable segmentation (init cond frame path)."""
         enc = self.encode_image(x)
@@ -850,7 +883,8 @@ class SAM2Model(nn.Module):
             mem_pos.reshape(1, h * w, self.mem_dim), mem_t.shape)
         cond = self.condition_features(f16, enc["vision_pos_enc"][-1],
                                        mem_t, pos_t)
-        self.mask_downsample(outs[4][:, 0, :, :, None])  # obj-ptr-from-mask conv
+        # mask-prompt path: mask_downsample + prompt-encoder mask_downscaling
+        self.use_mask_as_output(outs[4][:, 0, :, :, None], f16, [f0, f1])
         return cond
 
 

@@ -647,3 +647,65 @@ class TestSAM3TrackerParity:
             np.testing.assert_allclose(np.asarray(ptr), ref_ptrs[t], atol=3e-3,
                                        err_msg=f"frame {t} obj_ptr")
             recent.append((t, np.asarray(mem).reshape(hw, 64), np.asarray(ptr)[0]))
+
+    def test_mask_as_output_parity(self, pair):
+        """_use_mask_as_output (sam.py:553-599): given-mask logits, dummy
+        IoU, decoder obj_ptr from the downsampled mask, mask-driven object
+        score."""
+        import torch
+
+        tm, jm, jv = pair
+        rng = np.random.RandomState(4)
+        x = rng.randn(1, 112, 112, 3).astype(np.float32)
+        mask = (rng.rand(1, 112, 112) > 0.6).astype(np.float32)
+
+        with torch.no_grad():
+            ref_enc = tm.forward_image(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            (_, vfeats, _, fsizes) = tm._prepare_backbone_features(ref_enc)
+            high_res = [
+                f.permute(1, 2, 0).view(f.size(1), f.size(2), *s)
+                for f, s in zip(vfeats[:-1], fsizes[:-1])]
+            pix = vfeats[-1].permute(1, 2, 0).view(1, -1, *fsizes[-1])
+            ref = tm._use_mask_as_output(
+                torch.from_numpy(mask)[:, None], pix, high_res)
+
+        enc = jm.apply(jv, jnp.asarray(x), method=jm.encode_image)
+        f0, f1, f16 = enc["backbone_fpn"]
+        got = jm.apply(jv, jnp.asarray(mask)[..., None], f16, [f0, f1],
+                       method=jm.use_mask_as_output)
+        np.testing.assert_allclose(np.asarray(got[4]), ref[4].numpy(),
+                                   atol=1e-5)          # high-res masks
+        np.testing.assert_allclose(np.asarray(got[3]), ref[3].numpy(),
+                                   atol=2e-3)          # low-res (resize)
+        np.testing.assert_allclose(np.asarray(got[5]), ref[5].numpy(),
+                                   atol=2e-3)          # obj_ptr
+        np.testing.assert_allclose(np.asarray(got[6]),
+                                   ref[6].numpy().reshape(1, 1), atol=1e-5)
+
+
+def test_sam3_video_semantic_predictor_runs():
+    """Concept video tracking plumbing: detect -> seed masklets via the
+    mask-as-output path -> propagate -> associate; ids stay stable and the
+    bank respects max_objects."""
+    from fce_yolo_tpu.models.sam3 import (SAM3, SAM3VideoPredictor,
+                                          SAM3VideoSemanticPredictor)
+
+    sem = SAM3(_random_init=True, _cfg=TINY)
+    trk = SAM3VideoPredictor(_random_init=True, _cfg=TRACK_TINY)
+    vp = SAM3VideoSemanticPredictor(
+        sem, trk, max_objects=3, score_threshold_detection=0.0,
+        assoc_iou_thresh=0.5, new_det_thresh=0.0)
+    rng = np.random.RandomState(0)
+    frames = [rng.uniform(0, 255, (84, 100, 3)).astype(np.uint8)
+              for _ in range(3)]
+    outs = list(vp.track(frames, text="a cat"))
+    assert len(outs) == 3
+    seen = {}
+    for r in outs:
+        assert r.masks.dtype == bool
+        assert r.masks.shape[0] == len(r.obj_ids) == len(r.scores)
+        assert r.masks.shape[1:] == (84, 100)
+        assert len(r.obj_ids) <= 3
+        for oid in r.obj_ids:
+            seen[int(oid)] = seen.get(int(oid), 0) + 1
+    assert seen, "no masklet was ever spawned despite conf=0 detections"
