@@ -9,7 +9,9 @@ re-scopes are documented per class (no GUI/SMTP/CLIP offline).
 """
 
 from fce_yolo_tpu.solutions.analytics import AIGym, Analytics, DistanceCalculation, SecurityAlarm
-from fce_yolo_tpu.solutions.base import BaseSolution
+from fce_yolo_tpu.solutions.annotator import SolutionAnnotator
+from fce_yolo_tpu.solutions.base import BaseSolution, SolutionResults
+from fce_yolo_tpu.solutions.config import SolutionConfig
 from fce_yolo_tpu.solutions.counter import ObjectCounter
 from fce_yolo_tpu.solutions.heatmap import Heatmap
 from fce_yolo_tpu.solutions.region_counter import RegionCounter
@@ -38,6 +40,9 @@ __all__ = [
     "QueueManager",
     "RegionCounter",
     "SecurityAlarm",
+    "SolutionAnnotator",
+    "SolutionConfig",
+    "SolutionResults",
     "SpeedEstimator",
     "TrackZone",
     "VisionEye",

@@ -9,7 +9,7 @@ from collections import defaultdict
 
 import numpy as np
 
-from fce_yolo_tpu.solutions.base import BaseSolution
+from fce_yolo_tpu.solutions.base import BaseSolution, SolutionResults
 
 __all__ = ["Analytics", "DistanceCalculation", "SecurityAlarm", "AIGym"]
 
@@ -25,14 +25,17 @@ class Analytics(BaseSolution):
         self.frames: list[int] = []
         self.history: dict[str, list[int]] = defaultdict(list)
 
-    def process(self, result, tracks: np.ndarray):
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
         counts: dict[str, int] = defaultdict(int)
         for row in tracks:
             counts[self.names.get(int(row[6]), str(int(row[6])))] += 1
         self.frames.append(len(self.frames))
         for name in set(self.history) | set(counts):
             self.history[name].append(counts.get(name, 0))
-        return self._render(), {"counts": dict(counts), "frame": self.frames[-1]}
+        return SolutionResults(plot_im=self._render(),
+                               classwise_count=dict(counts),
+                               total_tracks=len(tracks),
+                               frame=self.frames[-1])
 
     def _render(self) -> np.ndarray:
         import matplotlib
@@ -73,25 +76,23 @@ class DistanceCalculation(BaseSolution):
         self.selected_ids = selected_ids
         self.pixels_per_meter = pixels_per_meter
 
-    def process(self, result, tracks: np.ndarray):
-        import cv2
-
-        img = result.plot()
-        info: dict = {"distance": None}
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.plot())
+        distance = 0.0
+        distance_m = None
         centers = {
             int(r[4]): ((r[0] + r[2]) / 2, (r[1] + r[3]) / 2) for r in tracks
         }
         ids = self.selected_ids or (sorted(centers)[:2] if len(centers) >= 2 else None)
         if ids and all(i in centers for i in ids):
             p1, p2 = np.asarray(centers[ids[0]]), np.asarray(centers[ids[1]])
-            d = float(np.linalg.norm(p1 - p2))
-            info["distance"] = d
+            distance = float(np.linalg.norm(p1 - p2))
             if self.pixels_per_meter:
-                info["distance_m"] = d / self.pixels_per_meter
-            cv2.line(img, tuple(p1.astype(int)), tuple(p2.astype(int)), (255, 0, 255), 2)
-            cv2.putText(img, f"{d:.1f}px", tuple(((p1 + p2) / 2).astype(int)),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.7, (255, 0, 255), 2)
-        return img, info
+                distance_m = distance / self.pixels_per_meter
+            ann.plot_distance_and_line(distance, (p1, p2))
+        return SolutionResults(plot_im=ann.result(), pixels_distance=distance,
+                               total_tracks=len(tracks),
+                               distance_m=distance_m)
 
 
 class SecurityAlarm(BaseSolution):
@@ -105,10 +106,8 @@ class SecurityAlarm(BaseSolution):
         self.on_alarm = on_alarm
         self.alarm_sent = False
 
-    def process(self, result, tracks: np.ndarray):
-        import cv2
-
-        img = result.plot()
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.plot())
         n = len(tracks)
         triggered = n >= self.records
         if triggered and not self.alarm_sent:
@@ -116,9 +115,11 @@ class SecurityAlarm(BaseSolution):
             if self.on_alarm is not None:
                 self.on_alarm(n)
         if triggered:
-            cv2.putText(img, f"ALARM: {n} objects", (10, 30),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.9, (0, 0, 255), 2)
-        return img, {"total_tracks": n, "alarm": triggered}
+            ann.display_analytics(ann.im, {"ALARM": n},
+                                  txt_color=(255, 255, 255),
+                                  bg_color=(0, 0, 255))
+        return SolutionResults(plot_im=ann.result(), total_tracks=n,
+                               email_sent=self.alarm_sent, alarm=triggered)
 
 
 class AIGym(BaseSolution):
@@ -135,31 +136,28 @@ class AIGym(BaseSolution):
         self.down_angle = down_angle
         self.states: dict[int, dict] = defaultdict(lambda: {"angle": 0.0, "count": 0, "stage": "-"})
 
-    @staticmethod
-    def estimate_angle(a, b, c) -> float:
-        """Angle at b (degrees) of the a-b-c joint (reference
-        SolutionAnnotator.estimate_pose_angle)."""
-        a, b, c = np.asarray(a[:2]), np.asarray(b[:2]), np.asarray(c[:2])
-        rad = np.arctan2(c[1] - b[1], c[0] - b[0]) - np.arctan2(a[1] - b[1], a[0] - b[0])
-        ang = abs(rad * 180.0 / np.pi)
-        return 360.0 - ang if ang > 180.0 else ang
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        from fce_yolo_tpu.solutions.annotator import SolutionAnnotator
 
-    def process(self, result, tracks: np.ndarray):
-        img = result.plot()
+        ann = self.annotator(result.plot())
         if result.keypoints is not None:
             kdata = getattr(result.keypoints, "data", result.keypoints)
             for i, k in enumerate(np.asarray(kdata)):
                 tid = int(tracks[i, 4]) if i < len(tracks) else i
                 st = self.states[tid]
-                st["angle"] = self.estimate_angle(*[k[j] for j in self.kpts])
+                st["angle"] = SolutionAnnotator.estimate_pose_angle(
+                    *[k[j] for j in self.kpts])
                 if st["angle"] < self.down_angle:
                     if st["stage"] == "up":
                         st["count"] += 1
                     st["stage"] = "down"
                 elif st["angle"] > self.up_angle:
                     st["stage"] = "up"
-        return img, {
-            "workout_count": [v["count"] for v in self.states.values()],
-            "workout_stage": [v["stage"] for v in self.states.values()],
-            "workout_angle": [v["angle"] for v in self.states.values()],
-        }
+                ann.draw_specific_kpts(k, list(self.kpts))
+                ann.plot_angle_and_count_and_stage(
+                    st["angle"], st["count"], st["stage"], k[self.kpts[1]][:2])
+        return SolutionResults(
+            plot_im=ann.result(), total_tracks=len(tracks),
+            workout_count=[v["count"] for v in self.states.values()],
+            workout_stage=[v["stage"] for v in self.states.values()],
+            workout_angle=[v["angle"] for v in self.states.values()])

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from fce_yolo_tpu.solutions.base import BaseSolution
+from fce_yolo_tpu.solutions.base import BaseSolution, SolutionResults
 
 __all__ = ["ObjectCounter"]
 
@@ -23,22 +23,18 @@ class ObjectCounter(BaseSolution):
         self.counted: set[int] = set()
         self.prev_pos: dict[int, np.ndarray] = {}
         self.classwise: dict[str, dict[str, int]] = {}
+        self.show_in = getattr(self.CFG, "show_in", True) if hasattr(self, "CFG") else True
+        self.show_out = getattr(self.CFG, "show_out", True) if hasattr(self, "CFG") else True
 
     def _side(self, p: np.ndarray) -> float:
         """Signed side of the counting line for point p."""
         (x1, y1), (x2, y2) = self.region[0], self.region[1]
         return (x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1)
 
-    def process(self, result, tracks: np.ndarray):
-        img = result.plot()
-        import cv2
-
-        cv2.line(
-            img,
-            tuple(int(v) for v in self.region[0]),
-            tuple(int(v) for v in self.region[1]),
-            (0, 255, 255), 2,
-        )
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.plot())
+        ann.draw_region(self.region, color=(104, 0, 123),
+                        thickness=getattr(self, "line_width", 2) * 2)
         for row in tracks:
             tid = int(row[4])
             center = np.array([(row[0] + row[2]) / 2, (row[1] + row[3]) / 2])
@@ -50,13 +46,25 @@ class ObjectCounter(BaseSolution):
             if s0 * s1 < 0:  # crossed the line
                 self.counted.add(tid)
                 name = self.names.get(int(row[6]), str(int(row[6])))
-                cw = self.classwise.setdefault(name, {"in": 0, "out": 0})
+                cw = self.classwise.setdefault(name, {"IN": 0, "OUT": 0})
                 if s1 > 0:
                     self.in_count += 1
-                    cw["in"] += 1
+                    cw["IN"] += 1
                 else:
                     self.out_count += 1
-                    cw["out"] += 1
-        cv2.putText(img, f"in {self.in_count} out {self.out_count}", (10, 30),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
-        return img, {"in": self.in_count, "out": self.out_count, "classwise": dict(self.classwise)}
+                    cw["OUT"] += 1
+        # classwise banner (reference display_counts, object_counter.py:160)
+        banner = {
+            name: " ".join(
+                p for p, on in (
+                    (f"IN {c['IN']}", getattr(self, "show_in", True)),
+                    (f"OUT {c['OUT']}", getattr(self, "show_out", True))) if on)
+            for name, c in self.classwise.items()
+            if c["IN"] or c["OUT"]
+        }
+        if banner:
+            ann.display_analytics(ann.im, banner)
+        return SolutionResults(
+            plot_im=ann.result(), in_count=self.in_count,
+            out_count=self.out_count, classwise_count=dict(self.classwise),
+            total_tracks=len(tracks))

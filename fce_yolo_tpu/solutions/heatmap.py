@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from fce_yolo_tpu.solutions.base import SolutionResults
 from fce_yolo_tpu.solutions.counter import ObjectCounter
 
 __all__ = ["Heatmap"]
@@ -40,7 +41,7 @@ class Heatmap(ObjectCounter):
         dist_sq = (xv - (x0 + x1) // 2) ** 2 + (yv - (y0 + y1) // 2) ** 2
         self.acc[y0:y1, x0:x1][dist_sq <= radius_sq] += 2.0
 
-    def process(self, result, tracks: np.ndarray):
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
         import cv2
 
         h, w = result.orig_shape
@@ -50,14 +51,17 @@ class Heatmap(ObjectCounter):
             self.heatmap_effect(row)
 
         if self.count_enabled:
-            img, info = super().process(result, tracks)
+            res = super().process(result, tracks)
+            img = res.plot_im
         else:
+            res = SolutionResults(total_tracks=len(tracks))
             img = result.orig_img.copy()
-            info = {}
 
         if self.acc.max() > 0:
             norm = cv2.normalize(self.acc, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
             heat = cv2.applyColorMap(norm, self.colormap)
             img = cv2.addWeighted(img, 1 - self.alpha, heat, self.alpha, 0)
-        info.update(max_heat=float(self.acc.max()), total_tracks=len(tracks))
-        return img, info
+        res.plot_im = img
+        res.total_tracks = len(tracks)
+        res.max_heat = float(self.acc.max())
+        return res

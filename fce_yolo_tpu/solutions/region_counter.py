@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from fce_yolo_tpu.solutions.base import BaseSolution
+from fce_yolo_tpu.solutions.base import BaseSolution, SolutionResults
 
 __all__ = ["RegionCounter"]
 
@@ -31,10 +31,8 @@ class RegionCounter(BaseSolution):
         super().__init__(**kw)
         self.regions = {k: np.asarray(v, np.float32) for k, v in (regions or {}).items()}
 
-    def process(self, result, tracks: np.ndarray):
-        import cv2
-
-        img = result.plot()
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.plot())
         counts = {k: 0 for k in self.regions}
         for row in tracks:
             c = np.array([(row[0] + row[2]) / 2, (row[1] + row[3]) / 2])
@@ -42,8 +40,10 @@ class RegionCounter(BaseSolution):
                 if _point_in_poly(c, poly):
                     counts[name] += 1
         for name, poly in self.regions.items():
-            cv2.polylines(img, [poly.astype(np.int32)], True, (255, 0, 255), 2)
-            org = poly.mean(0).astype(int)
-            cv2.putText(img, f"{name}: {counts[name]}", (org[0], org[1]),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 0, 255), 2)
-        return img, {"counts": counts}
+            ann.draw_region(poly, color=(255, 0, 255), thickness=2)
+            org = poly.mean(0)
+            ann.display_objects_labels(
+                ann.im, f"{name}: {counts[name]}", x_center=org[0],
+                y_center=org[1])
+        return SolutionResults(plot_im=ann.result(), region_counts=counts,
+                               total_tracks=len(tracks))

@@ -10,7 +10,7 @@ from collections import defaultdict, deque
 
 import numpy as np
 
-from fce_yolo_tpu.solutions.base import BaseSolution
+from fce_yolo_tpu.solutions.base import BaseSolution, SolutionResults
 
 __all__ = ["SpeedEstimator"]
 
@@ -23,10 +23,8 @@ class SpeedEstimator(BaseSolution):
         self.hist: dict[int, deque] = defaultdict(lambda: deque(maxlen=window))
         self.speeds: dict[int, float] = {}
 
-    def process(self, result, tracks: np.ndarray):
-        import cv2
-
-        img = result.plot()
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.plot())
         for row in tracks:
             tid = int(row[4])
             c = np.array([(row[0] + row[2]) / 2, (row[1] + row[3]) / 2])
@@ -35,7 +33,8 @@ class SpeedEstimator(BaseSolution):
             if len(pts) >= 2:
                 dist_px = float(np.linalg.norm(pts[-1] - pts[0])) / (len(pts) - 1)
                 self.speeds[tid] = dist_px * self.mpp * self.fps * 3.6  # km/h
-                cv2.putText(img, f"{self.speeds[tid]:.1f} km/h",
-                            (int(row[0]), max(int(row[1]) - 8, 12)),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 255), 1)
-        return img, {"speeds": dict(self.speeds)}
+                ann.adaptive_label(row[:4], f"{self.speeds[tid]:.1f} km/h",
+                                   color=(104, 31, 17))
+        return SolutionResults(plot_im=ann.result(),
+                               speed_dict=dict(self.speeds),
+                               total_tracks=len(tracks))

@@ -9,7 +9,7 @@ from pathlib import Path
 
 import numpy as np
 
-from fce_yolo_tpu.solutions.base import BaseSolution
+from fce_yolo_tpu.solutions.base import BaseSolution, SolutionResults
 
 __all__ = ["VisionEye", "ObjectBlurrer", "ObjectCropper", "InstanceSegmentation"]
 
@@ -22,16 +22,11 @@ class VisionEye(BaseSolution):
         super().__init__(**kw)
         self.vision_point = tuple(int(v) for v in vision_point)
 
-    def process(self, result, tracks: np.ndarray):
-        import cv2
-
-        img = result.plot()
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.plot())
         for row in tracks:
-            center = (int((row[0] + row[2]) / 2), int((row[1] + row[3]) / 2))
-            cv2.circle(img, center, 4, (235, 219, 11), -1)
-            cv2.line(img, self.vision_point, center, (235, 219, 11), 2)
-        cv2.circle(img, self.vision_point, 6, (0, 0, 255), -1)
-        return img, {"total_tracks": len(tracks)}
+            ann.visioneye(row[:4], self.vision_point)
+        return SolutionResults(plot_im=ann.result(), total_tracks=len(tracks))
 
 
 class ObjectBlurrer(BaseSolution):
@@ -42,7 +37,7 @@ class ObjectBlurrer(BaseSolution):
         super().__init__(**kw)
         self.k = max(3, int(blur_ratio * 50) | 1)  # odd kernel
 
-    def process(self, result, tracks: np.ndarray):
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
         import cv2
 
         img = result.orig_img.copy()
@@ -52,7 +47,7 @@ class ObjectBlurrer(BaseSolution):
             x2, y2 = min(int(row[2]), w), min(int(row[3]), h)
             if x2 > x1 and y2 > y1:
                 img[y1:y2, x1:x2] = cv2.GaussianBlur(img[y1:y2, x1:x2], (self.k, self.k), 0)
-        return img, {"blurred": len(tracks)}
+        return SolutionResults(plot_im=img, total_tracks=len(tracks))
 
 
 class ObjectCropper(BaseSolution):
@@ -64,7 +59,7 @@ class ObjectCropper(BaseSolution):
         self.crop_dir.mkdir(parents=True, exist_ok=True)
         self.crop_idx = 0
 
-    def process(self, result, tracks: np.ndarray):
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
         import cv2
 
         img = result.orig_img
@@ -76,7 +71,9 @@ class ObjectCropper(BaseSolution):
                 self.crop_idx += 1
                 name = self.names.get(int(row[6]), str(int(row[6])))
                 cv2.imwrite(str(self.crop_dir / f"{name}_{self.crop_idx}.jpg"), img[y1:y2, x1:x2])
-        return result.plot(), {"total_crops": self.crop_idx}
+        return SolutionResults(plot_im=result.plot(),
+                               total_crop_objects=self.crop_idx,
+                               total_tracks=len(tracks))
 
 
 class InstanceSegmentation(BaseSolution):
@@ -89,7 +86,8 @@ class InstanceSegmentation(BaseSolution):
         super().__init__(**kw)
         self.alpha = alpha
 
-    def process(self, result, tracks: np.ndarray):
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
         img = result.plot()  # Results.plot overlays masks when present
         n_masks = 0 if result.masks is None else len(result.masks)
-        return img, {"total_tracks": len(tracks), "masks": n_masks}
+        return SolutionResults(plot_im=img, total_tracks=len(tracks),
+                               masks=n_masks)

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from fce_yolo_tpu.solutions.base import BaseSolution
+from fce_yolo_tpu.solutions.base import BaseSolution, SolutionResults
 
 __all__ = ["TrackZone", "QueueManager", "ParkingManagement"]
 
@@ -32,19 +32,15 @@ class TrackZone(BaseSolution):
         super().__init__(**kw)
         self.region = np.asarray(region or [(75, 75), (565, 75), (565, 285), (75, 285)], np.float32)
 
-    def process(self, result, tracks: np.ndarray):
-        import cv2
-
-        img = result.orig_img.copy()
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.orig_img.copy())
         if len(tracks):
             centers = np.stack([(tracks[:, 0] + tracks[:, 2]) / 2, (tracks[:, 1] + tracks[:, 3]) / 2], 1)
             tracks = tracks[_in_polygon(centers, self.region)]
-        cv2.polylines(img, [self.region.astype(np.int32)], True, (255, 255, 255), 2)
+        ann.draw_region(self.region, color=(255, 255, 255), thickness=2)
         for row in tracks:
-            x1, y1, x2, y2, tid = int(row[0]), int(row[1]), int(row[2]), int(row[3]), int(row[4])
-            cv2.rectangle(img, (x1, y1), (x2, y2), (0, 255, 0), 2)
-            cv2.putText(img, f"id{tid}", (x1, y1 - 4), cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
-        return img, {"total_tracks": len(tracks)}
+            ann.box_label(row[:4], f"id{int(row[4])}", color=(0, 255, 0))
+        return SolutionResults(plot_im=ann.result(), total_tracks=len(tracks))
 
 
 class QueueManager(BaseSolution):
@@ -56,18 +52,18 @@ class QueueManager(BaseSolution):
         self.region = np.asarray(region or [(20, 60), (620, 60), (620, 360), (20, 360)], np.float32)
         self.max_queue = 0
 
-    def process(self, result, tracks: np.ndarray):
-        import cv2
-
-        img = result.plot()
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.plot())
         count = 0
         if len(tracks):
             centers = np.stack([(tracks[:, 0] + tracks[:, 2]) / 2, (tracks[:, 1] + tracks[:, 3]) / 2], 1)
             count = int(_in_polygon(centers, self.region).sum())
         self.max_queue = max(self.max_queue, count)
-        cv2.polylines(img, [self.region.astype(np.int32)], True, (0, 255, 255), 2)
-        cv2.putText(img, f"queue {count}", (10, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
-        return img, {"queue_count": count, "max_queue": self.max_queue}
+        ann.draw_region(self.region, color=(0, 255, 255), thickness=2)
+        ann.queue_counts_display(f"Queue Counts : {count}", points=self.region)
+        return SolutionResults(plot_im=ann.result(), queue_count=count,
+                               total_tracks=len(tracks),
+                               max_queue=self.max_queue)
 
 
 class ParkingManagement(BaseSolution):
@@ -75,18 +71,18 @@ class ParkingManagement(BaseSolution):
     parking_management.py: JSON slot regions; a slot is occupied when any
     detection center falls inside it)."""
 
-    def __init__(self, slots: list[list[tuple[float, float]]] | str | None = None, **kw):
+    def __init__(self, slots: list[list[tuple[float, float]]] | str | None = None,
+                 json_file: str | None = None, **kw):
         super().__init__(**kw)
+        slots = slots if slots is not None else json_file
         if isinstance(slots, str):  # JSON file of [{"points": [[x,y],...]}]
             import json
 
             slots = [s["points"] for s in json.loads(open(slots).read())]
         self.slots = [np.asarray(s, np.float32) for s in (slots or [])]
 
-    def process(self, result, tracks: np.ndarray):
-        import cv2
-
-        img = result.orig_img.copy()
+    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+        ann = self.annotator(result.orig_img.copy())
         centers = (
             np.stack([(tracks[:, 0] + tracks[:, 2]) / 2, (tracks[:, 1] + tracks[:, 3]) / 2], 1)
             if len(tracks) else np.zeros((0, 2), np.float32)
@@ -95,8 +91,11 @@ class ParkingManagement(BaseSolution):
         for poly in self.slots:
             occ = len(centers) > 0 and bool(_in_polygon(centers, poly).any())
             occupied += occ
-            cv2.polylines(img, [poly.astype(np.int32)], True, (0, 0, 255) if occ else (0, 255, 0), 2)
-        info = {"occupied": occupied, "available": len(self.slots) - occupied}
-        cv2.putText(img, f"occ {occupied}/{len(self.slots)}", (10, 30),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
-        return img, info
+            ann.draw_region(poly, color=(0, 0, 255) if occ else (0, 255, 0),
+                            thickness=2)
+        ann.display_analytics(
+            ann.im, {"Occupancy": occupied,
+                     "Available": len(self.slots) - occupied})
+        return SolutionResults(plot_im=ann.result(), filled_slots=occupied,
+                               available_slots=len(self.slots) - occupied,
+                               total_tracks=len(tracks))

@@ -35,12 +35,12 @@ def test_counter_in_out():
         np.array([[10, 55, 20, 65, 1, 0.9, 0], [60, 30, 70, 40, 2, 0.9, 0]], float),
     ]
     for tr in frames:
-        img, info = c.process(_result(), tr)
-    assert info["in"] == 1 and info["out"] == 1
-    assert info["classwise"]["a"] == {"in": 1, "out": 1}
+        r = c.process(_result(), tr)
+    assert r.in_count == 1 and r.out_count == 1
+    assert r.classwise_count["a"] == {"IN": 1, "OUT": 1}
     # already-counted ids don't double count
-    img, info = c.process(_result(), frames[0])
-    assert info["in"] == 1 and info["out"] == 1
+    r = c.process(_result(), frames[0])
+    assert r.in_count == 1 and r.out_count == 1
 
 
 def test_heatmap_accumulates():
@@ -49,12 +49,12 @@ def test_heatmap_accumulates():
     hm = _Stub(Heatmap, count_enabled=False, colormap=cv2.COLORMAP_JET, alpha=0.5)
     hm.acc = None
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0]], float)
-    img, info = hm.process(_result(), tr)
-    first = info["max_heat"]
-    img, info = hm.process(_result(), tr)
+    r = hm.process(_result(), tr)
+    first = r.max_heat
+    r = hm.process(_result(), tr)
     # +2 inside the inscribed circle per frame (reference heatmap_effect)
-    assert info["max_heat"] == first + 2.0
-    assert img.shape == (100, 100, 3)
+    assert r.max_heat == first + 2.0
+    assert r.plot_im.shape == (100, 100, 3)
 
 
 def test_speed_estimator():
@@ -68,8 +68,8 @@ def test_speed_estimator():
     # object moving 10 px/frame -> 10 * 0.1 m * 30 fps * 3.6 = 108 km/h
     for t in range(4):
         tr = np.array([[10 + 10 * t, 10, 30 + 10 * t, 30, 1, 0.9, 0]], float)
-        img, info = s.process(_result(200, 200), tr)
-    assert abs(info["speeds"][1] - 108.0) < 1.0
+        r = s.process(_result(200, 200), tr)
+    assert abs(r.speed_dict[1] - 108.0) < 1.0
 
 
 def test_region_counter():
@@ -82,8 +82,8 @@ def test_region_counter():
     rc = _Stub(RegionCounter)
     rc.regions = {"zoneA": poly}
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0], [60, 60, 80, 80, 2, 0.9, 0]], float)
-    img, info = rc.process(_result(), tr)
-    assert info["counts"]["zoneA"] == 1
+    r = rc.process(_result(), tr)
+    assert r.region_counts["zoneA"] == 1
 
 
 def test_all_solutions_importable():
@@ -100,8 +100,8 @@ def test_trackzone_filters_outside():
 
     tz = _Stub(TrackZone, region=np.array([(0, 0), (50, 0), (50, 50), (0, 50)], np.float32))
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0], [60, 60, 80, 80, 2, 0.9, 0]], float)
-    img, info = tz.process(_result(), tr)
-    assert info["total_tracks"] == 1
+    r = tz.process(_result(), tr)
+    assert r.total_tracks == 1
 
 
 def test_queue_manager_counts():
@@ -111,8 +111,8 @@ def test_queue_manager_counts():
     q.max_queue = 0
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0], [12, 12, 28, 28, 2, 0.9, 0],
                    [70, 70, 90, 90, 3, 0.9, 0]], float)
-    img, info = q.process(_result(), tr)
-    assert info["queue_count"] == 2 and info["max_queue"] == 2
+    r = q.process(_result(), tr)
+    assert r.queue_count == 2 and r.max_queue == 2
 
 
 def test_parking_occupancy():
@@ -122,8 +122,8 @@ def test_parking_occupancy():
              np.array([(50, 0), (90, 0), (90, 40), (50, 40)], np.float32)]
     p = _Stub(ParkingManagement, slots=slots)
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0]], float)
-    img, info = p.process(_result(), tr)
-    assert info["occupied"] == 1 and info["available"] == 1
+    r = p.process(_result(), tr)
+    assert r.filled_slots == 1 and r.available_slots == 1
 
 
 def test_object_blurrer_blurs():
@@ -133,9 +133,9 @@ def test_object_blurrer_blurs():
     res = _result()
     res.orig_img[25:35, 25:35] = 255  # sharp white square inside the blur box
     tr = np.array([[20, 20, 40, 40, 1, 0.9, 0]], float)
-    img, info = b.process(res, tr)
-    assert info["blurred"] == 1
-    assert img[25, 25].mean() < 250  # the square's edge got smeared
+    r = b.process(res, tr)
+    assert r.total_tracks == 1
+    assert r.plot_im[25, 25].mean() < 250  # the square's edge got smeared
 
 
 def test_object_cropper_writes(tmp_path):
@@ -145,8 +145,8 @@ def test_object_cropper_writes(tmp_path):
 
     c = _Stub(ObjectCropper, crop_dir=Path(tmp_path), crop_idx=0)
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0]], float)
-    img, info = c.process(_result(), tr)
-    assert info["total_crops"] == 1
+    r = c.process(_result(), tr)
+    assert r.total_crop_objects == 1
     assert len(list(Path(tmp_path).glob("*.jpg"))) == 1
 
 
@@ -155,8 +155,8 @@ def test_vision_eye_runs():
 
     v = _Stub(VisionEye, vision_point=(5, 5))
     tr = np.array([[10, 10, 30, 30, 1, 0.9, 0]], float)
-    img, info = v.process(_result(), tr)
-    assert info["total_tracks"] == 1 and img.shape == (100, 100, 3)
+    r = v.process(_result(), tr)
+    assert r.total_tracks == 1 and r.plot_im.shape == (100, 100, 3)
 
 
 def test_distance_calculation():
@@ -164,9 +164,9 @@ def test_distance_calculation():
 
     d = _Stub(DistanceCalculation, selected_ids=(1, 2), pixels_per_meter=10.0)
     tr = np.array([[0, 0, 20, 20, 1, 0.9, 0], [30, 0, 50, 20, 2, 0.9, 0]], float)
-    img, info = d.process(_result(), tr)
-    assert abs(info["distance"] - 30.0) < 1e-6
-    assert abs(info["distance_m"] - 3.0) < 1e-6
+    r = d.process(_result(), tr)
+    assert abs(r.pixels_distance - 30.0) < 1e-6
+    assert abs(r.distance_m - 3.0) < 1e-6
 
 
 def test_security_alarm_triggers_once():
@@ -176,10 +176,10 @@ def test_security_alarm_triggers_once():
     s = _Stub(SecurityAlarm, records=2, on_alarm=fired.append, alarm_sent=False)
     one = np.array([[0, 0, 10, 10, 1, 0.9, 0]], float)
     two = np.array([[0, 0, 10, 10, 1, 0.9, 0], [20, 20, 30, 30, 2, 0.9, 0]], float)
-    img, info = s.process(_result(), one)
-    assert not info["alarm"]
-    img, info = s.process(_result(), two)
-    assert info["alarm"] and fired == [2]
+    r = s.process(_result(), one)
+    assert not r.alarm
+    r = s.process(_result(), two)
+    assert r.alarm and r.email_sent and fired == [2]
     s.process(_result(), two)
     assert fired == [2]  # only fires once
 
@@ -191,9 +191,9 @@ def test_analytics_chart_renders():
 
     a = _Stub(Analytics, analytics_type="line", frames=[], history=defaultdict(list))
     tr = np.array([[0, 0, 10, 10, 1, 0.9, 0]], float)
-    img, info = a.process(_result(), tr)
-    assert img.ndim == 3 and img.shape[2] == 3
-    assert info["counts"] == {"a": 1}
+    r = a.process(_result(), tr)
+    assert r.plot_im.ndim == 3 and r.plot_im.shape[2] == 3
+    assert r.classwise_count == {"a": 1}
 
 
 def test_aigym_counts_reps():
@@ -220,8 +220,8 @@ def test_aigym_counts_reps():
     g.process(res_with_kpts(170), tr)   # up
     g.process(res_with_kpts(60), tr)    # down -> count 1
     g.process(res_with_kpts(170), tr)   # up
-    img, info = g.process(res_with_kpts(60), tr)  # down -> count 2
-    assert info["workout_count"] == [2]
+    r = g.process(res_with_kpts(60), tr)  # down -> count 2
+    assert r.workout_count == [2]
 
 
 def test_visual_search(tmp_path):
@@ -238,3 +238,49 @@ def test_visual_search(tmp_path):
     query = np.full((64, 64, 3), (250, 5, 5), np.uint8)  # near-blue (BGR)
     hits = s.search(query)
     assert hits[0][0].endswith("im0.png")
+
+
+def test_solution_config_rejects_unknown():
+    import pytest
+
+    from fce_yolo_tpu.solutions import SolutionConfig
+
+    cfg = SolutionConfig().update(conf=0.3, region=[(0, 0), (10, 10)])
+    assert cfg.conf == 0.3
+    with pytest.raises(ValueError, match="not a valid solution argument"):
+        cfg.update(confi=0.3)
+
+
+def test_solution_results_str():
+    from fce_yolo_tpu.solutions import SolutionResults
+
+    r = SolutionResults(in_count=3, queue_count=0, max_heat=5.5)
+    s = str(r)
+    assert "in_count=3" in s and "max_heat=5.5" in s
+    assert "queue_count" not in s and "plot_im" not in s
+
+
+def test_solution_annotator_methods():
+    """Every SolutionAnnotator primitive draws in place on a BGR frame."""
+    from fce_yolo_tpu.solutions import SolutionAnnotator
+
+    im = np.zeros((120, 160, 3), np.uint8)
+    a = SolutionAnnotator(im, line_width=2)
+    a.draw_region([(10, 10), (100, 10), (100, 80), (10, 80)])
+    a.queue_counts_display("Queue Counts : 3",
+                           points=[(10, 10), (100, 10), (100, 80), (10, 80)])
+    a.display_analytics(im, {"IN": 4, "OUT": 2})
+    a.plot_workout_information("angle 120", (20, 100))
+    a.plot_angle_and_count_and_stage(120.0, 3, "up", (40, 40))
+    a.plot_distance_and_line(42.0, [(20, 20), (90, 90)])
+    a.display_objects_labels(im, "zone: 2", x_center=80, y_center=60)
+    a.sweep_annotator(line_x=80, line_y=120, label="7")
+    a.visioneye([10, 10, 40, 40], (5, 115))
+    a.adaptive_label([10, 10, 60, 40], "id 3", shape="rect")
+    a.adaptive_label([60, 60, 100, 100], "5", shape="circle")
+    kpts = np.array([[20, 20, 1.0], [30, 35, 1.0], [45, 30, 1.0]], np.float32)
+    a.draw_specific_kpts(kpts, [0, 1, 2])
+    assert im.any(), "nothing was drawn"
+    # angle formula: right angle is 90 degrees
+    ang = SolutionAnnotator.estimate_pose_angle((0, 0), (0, 10), (10, 10))
+    assert abs(ang - 90.0) < 1e-6
