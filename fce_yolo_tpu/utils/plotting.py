@@ -169,3 +169,53 @@ def plot_labels(
     fig.savefig(save_path, dpi=120)
     plt.close(fig)
     return str(save_path)
+
+
+def plt_color_scatter(v, f, bins: int = 20, cmap: str = "viridis",
+                      alpha: float = 0.8, edgecolors: str = "none") -> None:
+    """Scatter colored by local 2D-histogram density (reference
+    plotting.py:911-941): each point's color is the population of its
+    (v, f) histogram bin."""
+    import numpy as np
+
+    plt = _plt()
+    v, f = np.asarray(v, float), np.asarray(f, float)
+    hist, xe, ye = np.histogram2d(v, f, bins=bins)
+    xi = np.clip(np.digitize(v, xe) - 1, 0, bins - 1)
+    yi = np.clip(np.digitize(f, ye) - 1, 0, bins - 1)
+    plt.scatter(v, f, c=hist[xi, yi], cmap=cmap, alpha=alpha,
+                edgecolors=edgecolors)
+
+
+def feature_visualization(x, module_type: str, stage: int, n: int = 32,
+                          save_dir=None) -> str | None:
+    """Save a grid of per-channel feature maps for one module's output
+    (reference plotting.py:1013-1045). ``x`` is an NHWC jax/numpy array
+    (the TPU-native layout; the reference slices NCHW channels — same maps,
+    different axis). Head/pointwise outputs (H==W==1) are skipped like the
+    reference skips Detect/Pose/... module types."""
+    from pathlib import Path
+
+    import numpy as np
+
+    x = np.asarray(x)
+    if x.ndim != 4 or x.shape[1] == 1 or x.shape[2] == 1:
+        return None
+    save_dir = Path(save_dir or "runs/features")
+    save_dir.mkdir(parents=True, exist_ok=True)
+    plt = _plt()
+    blocks = x[0].transpose(2, 0, 1)  # HWC -> C,H,W channel maps
+    n = min(n, blocks.shape[0])
+    ncols = 8
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(ncols * 1.5, nrows * 1.5),
+                             squeeze=False)
+    for i in range(nrows * ncols):
+        ax = axes[i // ncols][i % ncols]
+        ax.axis("off")
+        if i < n:
+            ax.imshow(blocks[i], cmap="gray")
+    f = save_dir / f"stage{stage}_{module_type.rsplit('.', 1)[-1]}_features.png"
+    fig.savefig(f, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return str(f)

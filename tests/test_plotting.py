@@ -172,3 +172,29 @@ def test_paper_report_no_tofu(tmp_path, recwarn):
     assert "消融" in cn and "ΔmAP50-95" in cn
     en = (tmp_path / "report" / "ablation_table_en.md").read_text()
     assert "+4.00" in en or "+" in en  # per-row delta present
+
+
+def test_feature_visualization(tmp_path):
+    import numpy as np
+
+    from fce_yolo_tpu.utils.plotting import feature_visualization
+
+    f = feature_visualization(np.random.rand(1, 16, 16, 12), "nn.C3k2", 4,
+                              n=8, save_dir=tmp_path)
+    assert f is not None and (tmp_path / "stage4_C3k2_features.png").exists()
+    # pointwise/head outputs are skipped (reference skips Detect/Pose types)
+    assert feature_visualization(np.random.rand(1, 1, 1, 12), "Detect", 9) is None
+
+
+def test_plt_color_scatter():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from fce_yolo_tpu.utils.plotting import plt_color_scatter
+
+    plt.figure()
+    plt_color_scatter(np.random.rand(50), np.random.rand(50), bins=5)
+    plt.close("all")
