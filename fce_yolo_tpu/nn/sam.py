@@ -650,20 +650,26 @@ class SAMModel(nn.Module):
     encoder_global_attn_indexes: Sequence[int] = (2, 5, 8, 11)
     img_size: int = 1024
     prompt_embed_dim: int = 256
+    mobile: bool = False  # Mobile-SAM: TinyViT trunk (build.py:72-82)
 
     pixel_mean: tuple[float, ...] = (123.675, 116.28, 103.53)
     pixel_std: tuple[float, ...] = (58.395, 57.12, 57.375)
 
     def setup(self):
         grid = self.img_size // 16
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size,
-            embed_dim=self.encoder_embed_dim,
-            depth=self.encoder_depth,
-            num_heads=self.encoder_num_heads,
-            global_attn_indexes=tuple(self.encoder_global_attn_indexes),
-            out_chans=self.prompt_embed_dim,
-        )
+        if self.mobile:
+            from fce_yolo_tpu.nn.tiny_encoder import TinyViT
+
+            self.image_encoder = TinyViT(neck_chans=self.prompt_embed_dim)
+        else:
+            self.image_encoder = ImageEncoderViT(
+                img_size=self.img_size,
+                embed_dim=self.encoder_embed_dim,
+                depth=self.encoder_depth,
+                num_heads=self.encoder_num_heads,
+                global_attn_indexes=tuple(self.encoder_global_attn_indexes),
+                out_chans=self.prompt_embed_dim,
+            )
         self.prompt_encoder = PromptEncoder(
             embed_dim=self.prompt_embed_dim,
             input_image_size=(self.img_size, self.img_size),
@@ -718,6 +724,8 @@ SAM_CONFIGS = {
                   encoder_global_attn_indexes=(5, 11, 17, 23)),
     "sam_b": dict(encoder_embed_dim=768, encoder_depth=12, encoder_num_heads=12,
                   encoder_global_attn_indexes=(2, 5, 8, 11)),
+    # reference build.py:72-82 — TinyViT [64,128,160,320] trunk
+    "mobile_sam": dict(mobile=True),
 }
 
 
@@ -741,6 +749,20 @@ def sam_state_dict_to_variables(sd: dict[str, Any], img_size: int = 1024) -> dic
     import re
 
     params: dict[str, Any] = {}
+
+    if any(k.startswith("image_encoder.layers.") for k in sd):
+        # Mobile-SAM: the trunk is a TinyViT — delegate its subtree
+        from fce_yolo_tpu.nn.tiny_encoder import tinyvit_state_dict_to_params
+
+        enc = {
+            k[len("image_encoder."):]: v
+            for k, v in sd.items()
+            if k.startswith("image_encoder.")
+        }
+        rest = {k: v for k, v in sd.items() if not k.startswith("image_encoder.")}
+        out = sam_state_dict_to_variables(rest, img_size=img_size)
+        out["params"]["image_encoder"] = tinyvit_state_dict_to_params(enc)
+        return out
 
     def put(path: list[str], value: np.ndarray):
         d = params

@@ -266,6 +266,85 @@ class TestSAMParity:
         )
 
 
+class TestTinyViTParity:
+    def test_tinyvit_parity(self, ref_sam):
+        """TinyViT (Mobile-SAM trunk) random-weight activation parity,
+        exercising the pad / no-pad / whole-grid window-attention paths."""
+        sys.path.insert(0, REF)
+        try:
+            from ultralytics.models.sam.modules.tiny_encoder import TinyViT as TTinyViT
+        finally:
+            sys.path.remove(REF)
+        from fce_yolo_tpu.nn.tiny_encoder import TinyViT, tinyvit_state_dict_to_params
+
+        dims, depths = (16, 32, 64, 320), (1, 1, 2, 1)
+        heads, wins = (2, 2, 4, 10), (7, 3, 2, 4)
+        t_enc = TTinyViT(
+            img_size=64,
+            embed_dims=list(dims),
+            depths=list(depths),
+            num_heads=list(heads),
+            window_sizes=list(wins),
+            drop_path_rate=0.0,
+        )
+        _seeded(t_enc, 7).eval()
+        x = np.random.RandomState(3).rand(2, 3, 64, 64).astype(np.float32)
+        with torch.no_grad():
+            ref = t_enc(torch.from_numpy(x)).numpy()  # (B, 256, 4, 4)
+
+        ours = TinyViT(embed_dims=dims, depths=depths, num_heads=heads,
+                       window_sizes=wins)
+        params = tinyvit_state_dict_to_params(t_enc.state_dict())
+        out = ours.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=2e-4, atol=2e-5
+        )
+
+    def test_mobile_sam_full_parity(self, ref_sam):
+        """Full Mobile-SAM (real TinyViT dims) prompt->mask parity at 256 px."""
+        sys.path.insert(0, REF)
+        try:
+            from ultralytics.models.sam.build import build_mobile_sam
+        finally:
+            sys.path.remove(REF)
+        t_sam = build_mobile_sam(None)
+        t_sam.eval()
+        t_sam.set_imgsz((256, 256))
+        from fce_yolo_tpu.nn.sam import SAMModel, sam_state_dict_to_variables
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 255, (1, 256, 256, 3)).astype(np.float32)
+        pts = np.array([[[90.0, 140.0]]], np.float32)
+        lab = np.array([[1.0]], np.float32)
+        with torch.no_grad():
+            t_in = (
+                (torch.from_numpy(img.transpose(0, 3, 1, 2)) - t_sam.pixel_mean)
+                / t_sam.pixel_std
+            )
+            emb = t_sam.image_encoder(t_in)
+            sparse, dense = t_sam.prompt_encoder(
+                (torch.from_numpy(pts), torch.from_numpy(lab)), None, None
+            )
+            ref_masks, ref_iou = t_sam.mask_decoder(
+                emb,
+                t_sam.prompt_encoder.get_dense_pe(),
+                sparse,
+                dense,
+                multimask_output=True,
+            )
+
+        ours = SAMModel(img_size=256, mobile=True)
+        variables = sam_state_dict_to_variables(t_sam.state_dict())
+        masks, iou = ours.apply(
+            variables,
+            jnp.asarray(img),
+            points=(jnp.asarray(pts), jnp.asarray(lab)),
+            multimask_output=True,
+        )
+        np.testing.assert_allclose(np.asarray(iou), ref_iou.numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(masks), ref_masks.numpy(), rtol=1e-3, atol=2e-3)
+
+
 class TestSAMFacade:
     def test_point_prompt_pipeline(self):
         """e2e: image -> point prompt -> binary mask at original resolution."""
@@ -285,3 +364,12 @@ class TestSAMFacade:
         img = np.random.RandomState(1).randint(0, 255, (64, 128, 3), np.uint8)
         res = sam.predict(img, bboxes=[[10, 10, 60, 50]])
         assert res.masks.shape[1:] == (64, 128)
+
+    def test_mobile_sam_facade(self):
+        """mobile_sam.pt routes to the TinyViT trunk (build.py:319-333)."""
+        from fce_yolo_tpu.models.sam import SAM
+
+        sam = SAM(variant="mobile_sam", img_size=128, _random_init=True)
+        img = np.random.RandomState(2).randint(0, 255, (96, 96, 3), np.uint8)
+        res = sam.predict(img, points=[[48, 48]], labels=[1])
+        assert res.masks.shape[1:] == (96, 96)
