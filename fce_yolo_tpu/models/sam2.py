@@ -33,7 +33,7 @@ from fce_yolo_tpu.nn.sam2 import (
     sam2_state_dict_to_variables,
 )
 
-__all__ = ["SAM2", "SAM2VideoPredictor"]
+__all__ = ["SAM2", "SAM2VideoPredictor", "SAM2DynamicInteractivePredictor"]
 
 
 class SAM2:
@@ -326,6 +326,229 @@ class SAM2VideoPredictor(SAM2):
             if len(recent) > self.num_maskmem - 1:
                 recent.pop(0)
             yield to_mask(high)
+
+
+class SAM2DynamicInteractivePredictor(SAM2):
+    """Interactive multi-object segmentation over INDEPENDENT images
+    (reference predict.py SAM2DynamicInteractivePredictor:1856-2185).
+
+    Prompt objects into a memory bank on any "support" image(s) — point, box
+    or mask prompts, added at any time — then segment every registered object
+    on arbitrary "query" images via memory attention. Unlike the video
+    predictor there is no temporal ordering: every bank entry carries the
+    same (last-slot) temporal embedding and no object pointers are used
+    (reference get_maskmem_enc:2121-2134, num_obj_ptr_tokens=0).
+
+    TPU re-design (vs the reference's python-list bank):
+      - the bank is a FIXED-CAPACITY array (max_mem_entries, B, HW, 64) with
+        an entry-validity mask lowered into the attention logits, so every
+        query runs ONE compiled program regardless of how many supports have
+        been added (adding beyond capacity evicts the oldest entry);
+      - object slots are a batch axis of size ``max_obj_num``: the support
+        step runs the SAM heads for ALL slots in one batched program
+        (unprompted slots get pad prompts and are overwritten with the
+        reference's -1024 mask / -32 score defaults, update_memory:2015-2035)
+        where the reference loops per object at batch 1.
+
+    Usage:
+        p = SAM2DynamicInteractivePredictor(variant="sam2_t")
+        p.add_support(img1, obj_ids=[0, 1], points=[[x1, y1], [x2, y2]])
+        out = p.query(img2)        # masks for objects 0 and 1
+        p.add_support(img3, obj_ids=[2], bboxes=[[x0, y0, x1, y1]])
+        out = p.query(img4)        # masks for objects 0, 1 and 2
+    """
+
+    def __init__(self, *a, max_obj_num: int = 3, max_mem_entries: int = 8,
+                 non_overlap_for_mem: bool = False, **kw):
+        super().__init__(*a, **kw)
+        self.max_obj_num = max_obj_num
+        self.max_mem_entries = max_mem_entries
+        self.non_overlap_for_mem = non_overlap_for_mem
+        self.obj_idx_set: set[int] = set()
+        self._bank_mem: np.ndarray | None = None  # (E, B, HW, 64)
+        self._bank_valid = np.zeros((max_mem_entries,), bool)
+        self._next_entry = 0
+
+    # ------------------------------------------------------------- programs
+    def _support_points_step(self, n_pts: int):
+        import jax.numpy as jnp
+
+        B = self.max_obj_num
+
+        def run(v, x, coords, labels, prompted):
+            # coords (B, P, 2), labels (B, P) with -1 pads; prompted (B,)
+            enc = self.model.apply(v, x, method=self.model.encode_image)
+            f0, f1, f16 = enc["backbone_fpn"]
+            f0, f1, f16 = (jnp.repeat(f, B, axis=0) for f in (f0, f1, f16))
+            feat = self.model.apply(v, f16, method=self.model.no_mem_features)
+            outs = self.model.apply(v, feat, (coords, labels), None, [f0, f1],
+                                    False, method=self.model.forward_sam_heads)
+            return self._consolidate_and_encode(v, f16, outs, prompted)
+
+        return self._jit(f"dyn_sup_{n_pts}", run)
+
+    def _support_masks_step(self):
+        import jax.numpy as jnp
+
+        B = self.max_obj_num
+
+        def run(v, x, mask_inputs, prompted):
+            # mask_inputs (B, H, W, 1) at model resolution; prompted (B,)
+            enc = self.model.apply(v, x, method=self.model.encode_image)
+            f0, f1, f16 = enc["backbone_fpn"]
+            f0, f1, f16 = (jnp.repeat(f, B, axis=0) for f in (f0, f1, f16))
+            outs = self.model.apply(v, mask_inputs, f16, [f0, f1],
+                                    method=self.model.use_mask_as_output)
+            return self._consolidate_and_encode(v, f16, outs, prompted)
+
+        return self._jit("dyn_sup_mask", run)
+
+    def _consolidate_and_encode(self, v, f16, outs, prompted):
+        """update_memory consolidation (reference :2015-2076): unprompted
+        slots -> -1024 masks / -32 scores, optional cross-object
+        non-overlap, then one batched memory encode."""
+        import jax.numpy as jnp
+
+        high = outs[4]  # (B, 1, H, W)
+        score = outs[6]  # (B, 1)
+        p = prompted[:, None, None, None]
+        high = jnp.where(p, high, jnp.full_like(high, -1024.0))
+        score = jnp.where(prompted[:, None], score, jnp.full_like(score, -32.0))
+        if self.non_overlap_for_mem and self.max_obj_num > 1:
+            # _apply_non_overlapping_constraints (sam.py): keep the argmax
+            # object per pixel, clamp the rest to <= -10
+            keep = high == high.max(axis=0, keepdims=True)
+            high = jnp.where(keep, high, jnp.minimum(high, -10.0))
+        mem, _ = self.model.apply(v, f16, high, score,
+                                  method=self.model.encode_memory)
+        b, h, w, md = mem.shape
+        return mem.reshape(b, h * w, md)
+
+    def _query_step(self):
+        import jax.numpy as jnp
+
+        B, E = self.max_obj_num, self.max_mem_entries
+        nm = getattr(self, "num_maskmem", 7)
+
+        def run(v, x, bank, entry_valid):
+            # bank (E, B, HW, 64); entry_valid (E,)
+            enc = self.model.apply(v, x, method=self.model.encode_image)
+            f0, f1, f16 = enc["backbone_fpn"]
+            f0, f1, f16 = (jnp.repeat(f, B, axis=0) for f in (f0, f1, f16))
+            _, h, w, _ = f16.shape
+            hw = h * w
+            mem_dim = bank.shape[-1]
+            memory = bank.transpose(1, 0, 2, 3).reshape(B, E * hw, mem_dim)
+            # every entry gets the LAST temporal slot embedding
+            # (get_maskmem_enc:2130 — tpos_enc[num_maskmem - 1])
+            spat = jnp.asarray(_sine_pos(h, w, mem_dim)).reshape(1, hw, mem_dim)
+            tpos = v["params"]["maskmem_tpos_enc"][nm - 1].reshape(1, 1, mem_dim)
+            mem_pos = jnp.broadcast_to(spat + tpos, (E, hw, mem_dim))
+            mem_pos = mem_pos.reshape(1, E * hw, mem_dim)
+            mem_pos = jnp.broadcast_to(mem_pos, (B, E * hw, mem_dim))
+            key_mask = jnp.broadcast_to(
+                jnp.repeat(entry_valid, hw)[None], (B, E * hw))
+            feat = self.model.apply(
+                v, f16, enc["vision_pos_enc"][-1], memory, mem_pos, 0,
+                key_mask, method=self.model.condition_features)
+            outs = self.model.apply(v, feat, None, None, [f0, f1], False,
+                                    method=self.model.forward_sam_heads)
+            return outs[4], outs[6]  # high (B,1,H,W), score (B,1)
+
+        return self._jit("dyn_query", run)
+
+    # ------------------------------------------------------------------ api
+    def add_support(self, img: np.ndarray, obj_ids, points=None, labels=None,
+                    bboxes=None, masks=None) -> None:
+        """Register/refresh objects by prompting them on ``img``. One prompt
+        per obj_id: N points (or boxes, encoded as corner-pair points with
+        labels 2/3) or N binary masks (reference inference:1917-1968)."""
+        import jax.numpy as jnp
+
+        obj_ids = [obj_ids] if isinstance(obj_ids, int) else list(obj_ids)
+        assert all(0 <= i < self.max_obj_num for i in obj_ids), \
+            f"obj_ids must be < max_obj_num={self.max_obj_num}"
+        x, (h0, w0) = self._prep(img)
+        sx, sy = self.image_size / w0, self.image_size / h0
+        B = self.max_obj_num
+        prompted = np.zeros((B,), bool)
+        prompted[obj_ids] = True
+
+        if masks is not None:
+            import cv2
+
+            m = np.zeros((B, self.image_size, self.image_size, 1), np.float32)
+            for i, om in zip(obj_ids, np.asarray(masks, np.float32)):
+                m[i, :, :, 0] = cv2.resize(om, (self.image_size,) * 2,
+                                           interpolation=cv2.INTER_LINEAR)
+            mem = self._support_masks_step()(
+                self.variables, jnp.asarray(x)[None], jnp.asarray(m),
+                jnp.asarray(prompted))
+        else:
+            if bboxes is not None:
+                bx = np.asarray(bboxes, np.float32).reshape(len(obj_ids), 2, 2)
+                pts_list = [bx[k] * [sx, sy] for k in range(len(obj_ids))]
+                lab_list = [np.array([2, 3], np.float32)] * len(obj_ids)
+            else:
+                pts = np.asarray(points, np.float32).reshape(len(obj_ids), -1, 2)
+                pts_list = [pts[k] * [sx, sy] for k in range(len(obj_ids))]
+                if labels is None:
+                    lab_list = [np.ones((pts.shape[1],), np.float32)] * len(obj_ids)
+                else:
+                    lab_list = list(np.asarray(labels, np.float32).reshape(
+                        len(obj_ids), -1))
+            P = max(len(l) for l in lab_list)
+            coords = np.zeros((B, P, 2), np.float32)
+            lab = -np.ones((B, P), np.float32)  # -1 = pad point
+            for i, pc, pl in zip(obj_ids, pts_list, lab_list):
+                coords[i, : len(pl)] = pc
+                lab[i, : len(pl)] = pl
+            mem = self._support_points_step(P)(
+                self.variables, jnp.asarray(x)[None], jnp.asarray(coords),
+                jnp.asarray(lab.astype(np.int32)), jnp.asarray(prompted))
+
+        mem = np.asarray(mem, np.float32)  # (B, HW, 64)
+        if self._bank_mem is None:
+            self._bank_mem = np.zeros(
+                (self.max_mem_entries,) + mem.shape, np.float32)
+        slot = self._next_entry % self.max_mem_entries
+        self._bank_mem[slot] = mem
+        self._bank_valid[slot] = True
+        self._next_entry += 1
+        self.obj_idx_set.update(obj_ids)
+
+    def query(self, img: np.ndarray) -> dict:
+        """Segment every registered object on ``img``. Returns masks
+        (N, H, W) bool at source resolution, scores in [0, 1] and obj_ids
+        (reference inference:1970-1979 score mapping clamp(s/32, min=0))."""
+        import cv2
+        import jax.numpy as jnp
+
+        if not self.obj_idx_set:
+            raise RuntimeError(
+                "No objects in the memory bank — call add_support first.")
+        x, (h0, w0) = self._prep(img)
+        high, score = self._query_step()(
+            self.variables, jnp.asarray(x)[None],
+            jnp.asarray(self._bank_mem), jnp.asarray(self._bank_valid))
+        idx = sorted(self.obj_idx_set)
+        masks = np.stack([
+            cv2.resize(np.asarray(high[i, 0], np.float32), (w0, h0),
+                       interpolation=cv2.INTER_LINEAR) > self.mask_threshold
+            for i in idx])
+        scores = np.clip(np.asarray(score, np.float32)[idx, 0] / 32.0, 0.0, None)
+        return {"masks": masks, "scores": scores, "obj_ids": idx}
+
+    def inference(self, img, points=None, labels=None, bboxes=None,
+                  masks=None, obj_ids=None, update_memory: bool = False):
+        """Reference-shaped entry point (predict.py:1917): with
+        ``update_memory`` the prompts are added to the bank; otherwise the
+        image is treated as a query."""
+        if update_memory:
+            assert obj_ids is not None, "obj_ids required with update_memory"
+            self.add_support(img, obj_ids, points=points, labels=labels,
+                             bboxes=bboxes, masks=masks)
+        return self.query(img)
 
 
 def _sine_pos(h: int, w: int, dim: int) -> np.ndarray:

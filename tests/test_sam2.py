@@ -77,6 +77,61 @@ def test_sam2_video_predictor_runs():
         assert m.shape == (96, 96) and m.dtype == bool
 
 
+def test_sam2_dynamic_interactive_predictor():
+    """Support-set workflow (reference SAM2DynamicInteractivePredictor):
+    prompt objects on support images (points, boxes, masks), query others;
+    the fixed-capacity bank keeps one compiled query program throughout."""
+    import cv2
+
+    from fce_yolo_tpu.models.sam2 import SAM2DynamicInteractivePredictor
+
+    p = SAM2DynamicInteractivePredictor(
+        variant="sam2_t", image_size=128, _random_init=True,
+        max_obj_num=3, max_mem_entries=4)
+    p.model = _tiny_model().__class__(**{**TINY, "image_size": 128})
+    small = jax.eval_shape(
+        lambda k, x: p.model.init(k, x, method=p.model.init_all),
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 128, 128, 3), np.float32))
+    leaves, treedef = jax.tree_util.tree_flatten(small)
+    rng = np.random.RandomState(0)
+    p.variables = jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(rng.normal(0, 0.02, l.shape), l.dtype) for l in leaves])
+    p._jits = {}
+
+    def scene(cx):
+        f = np.full((96, 96, 3), 40, np.uint8)
+        cv2.circle(f, (cx, 40), 12, (250, 120, 60), -1)
+        cv2.rectangle(f, (60, 60), (85, 85), (60, 200, 90), -1)
+        return f
+
+    with pytest.raises(RuntimeError):
+        p.query(scene(30))
+
+    # two point-prompted objects on support image 1
+    p.add_support(scene(30), obj_ids=[0, 1], points=[[30, 40], [72, 72]])
+    out = p.query(scene(40))
+    assert out["obj_ids"] == [0, 1]
+    assert out["masks"].shape == (2, 96, 96) and out["masks"].dtype == bool
+    assert out["scores"].shape == (2,) and (out["scores"] >= 0).all()
+
+    # a box-prompted third object on a second support image
+    p.add_support(scene(50), obj_ids=[2], bboxes=[[58, 58, 87, 87]])
+    out = p.query(scene(35))
+    assert out["obj_ids"] == [0, 1, 2] and out["masks"].shape == (3, 96, 96)
+
+    # mask-prompt refresh of object 0; bank stays within capacity
+    gt = np.zeros((96, 96), np.float32)
+    cv2.circle(gt, (35, 40), 12, 1.0, -1)
+    p.add_support(scene(35), obj_ids=[0], masks=[gt])
+    for _ in range(3):  # push past max_mem_entries -> oldest evicted
+        p.add_support(scene(45), obj_ids=[1], points=[[72, 72]])
+    assert p._bank_valid.sum() == 4
+    out = p.inference(scene(55))
+    assert out["masks"].shape == (3, 96, 96)
+    assert np.isfinite(out["scores"]).all()
+
+
 @pytest.mark.parity
 @pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "ultralytics")),
                     reason="no reference")
