@@ -233,7 +233,8 @@ class YOLO:
 
     # ----------------------------------------------------------------- val
     def val(self, data: str, imgsz: int = 640, batch: int = 16, conf: float = 0.001,
-            iou: float = 0.7, max_det: int = 300, workers: int = 8, verbose: bool = True) -> dict:
+            iou: float = 0.7, max_det: int = 300, workers: int = 8, verbose: bool = True,
+            plots_dir: str | None = None) -> dict:
         if self.task == "classify":
             return self._val_classify(data, imgsz=imgsz if imgsz != 640 else 224, batch=batch,
                                       verbose=verbose)
@@ -249,11 +250,12 @@ class YOLO:
                 None, self.names, imgsz=imgsz, conf=conf, iou=iou, max_det=max_det,
                 batch_size=batch, workers=workers, infer_fn=self.backend,
             )
-            return validator({}, data=data, verbose=verbose)
+            return validator({}, data=data, verbose=verbose, plots_dir=plots_dir)
         validator = self._make_validator(
             imgsz=imgsz, conf=conf, iou=iou, max_det=max_det, batch_size=batch, workers=workers
         )
-        return validator(self._ensure_variables(imgsz), data=data, verbose=verbose)
+        return validator(self._ensure_variables(imgsz), data=data, verbose=verbose,
+                         plots_dir=plots_dir)
 
     def _val_classify(self, data: str, imgsz: int = 224, batch: int = 16,
                       verbose: bool = True) -> dict:
@@ -566,6 +568,17 @@ class YOLO:
             for b in loader:
                 if batch_hook is not None:
                     b = batch_hook(dict(b))
+                if (epoch == start_epoch and nb < 3
+                        and hyp_overrides.get("plots", True)):
+                    # first-epoch sample mosaics (reference
+                    # plot_training_samples, trainer.py on_train_batch_end)
+                    try:
+                        from fce_yolo_tpu.utils.annotator import plot_images
+
+                        plot_images(b, names=self.names,
+                                    fname=save_dir / f"train_batch{nb}.jpg")
+                    except Exception:
+                        pass
                 bdev = put({k: b[k] for k in batch_keys if k in b})
                 state, m = step_fn(state, bdev)
                 nb += 1

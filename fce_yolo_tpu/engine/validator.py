@@ -145,11 +145,20 @@ class DetectionValidator:
         t_infer = t_post = 0.0
         n_images = 0
 
+        first_batch = True
         for batch in loader:
             t0 = time.perf_counter()
             out = self._predict(variables, batch["img"])
             out = jax.device_get(out)
             t_infer += time.perf_counter() - t0
+            if first_batch and plots_dir:
+                # val sample mosaics (reference plot_val_samples /
+                # plot_predictions, detect/val.py)
+                try:
+                    self._plot_val_batch(batch, out, plots_dir)
+                except Exception:
+                    pass
+                first_batch = False
 
             t0 = time.perf_counter()
             self._update_metrics(out, batch, metrics, cm, json_dets if save_json else None, n_images)
@@ -210,6 +219,43 @@ class DetectionValidator:
         results["confusion_matrix"] = cm
         results["metrics"] = metrics
         return results
+
+    def _plot_val_batch(self, batch: dict, out: dict, plots_dir: str,
+                        conf: float = 0.25, max_det: int = 50):
+        """First-val-batch mosaics: GT labels and predictions (reference
+        detect/val.py plot_val_samples -> val_batch0_labels.jpg and
+        plot_predictions -> val_batch0_pred.jpg)."""
+        from pathlib import Path
+
+        from fce_yolo_tpu.utils.annotator import plot_images
+
+        outp = Path(plots_dir)
+        outp.mkdir(parents=True, exist_ok=True)
+        plot_images(batch, names=self.names, fname=outp / "val_batch0_labels.jpg")
+
+        bh, bw = batch["img"].shape[1:3]
+        n = len(batch["img"])
+        pb = np.zeros((n, max_det, 4), np.float32)
+        pc = np.zeros((n, max_det), np.float32)
+        pm = np.zeros((n, max_det), bool)
+        for i in range(min(n, batch["n_valid"])):
+            valid = np.asarray(out["valid"][i])
+            boxes = np.asarray(out["boxes"][i])[valid]
+            scores = np.asarray(out["scores"][i])[valid]
+            cls_ = np.asarray(out["classes"][i])[valid]
+            keep = np.argsort(-scores)[:max_det]
+            keep = keep[scores[keep] >= conf]
+            k = len(keep)
+            if k:
+                xyxy = boxes[keep]
+                pb[i, :k, 0] = (xyxy[:, 0] + xyxy[:, 2]) / 2 / bw
+                pb[i, :k, 1] = (xyxy[:, 1] + xyxy[:, 3]) / 2 / bh
+                pb[i, :k, 2] = (xyxy[:, 2] - xyxy[:, 0]) / bw
+                pb[i, :k, 3] = (xyxy[:, 3] - xyxy[:, 1]) / bh
+                pc[i, :k] = cls_[keep]
+                pm[i, :k] = True
+        plot_images({"img": batch["img"], "cls": pc, "bboxes": pb, "mask": pm},
+                    names=self.names, fname=outp / "val_batch0_pred.jpg")
 
     def _update_metrics(
         self,

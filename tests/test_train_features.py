@@ -27,6 +27,27 @@ def test_freeze_mask_zeroes_updates():
 
 
 @pytest.mark.slow
+def test_train_and_val_sample_mosaics(tiny_dataset, tmp_path):
+    """First-epoch train_batch*.jpg mosaics (reference plot_training_samples)
+    and first-val-batch label/pred mosaics (plot_val_samples /
+    plot_predictions)."""
+    from fce_yolo_tpu.api import YOLO
+
+    m = YOLO("yolo11n.yaml", nc=3)
+    m.train(data=tiny_dataset, epochs=1, batch=4, imgsz=96, workers=2,
+            max_labels=16, mosaic=0.0, warmup_epochs=0.0, close_mosaic=0,
+            project=str(tmp_path), name="t", verbose=False, val=False)
+    run = tmp_path / "t"
+    assert (run / "train_batch0.jpg").exists()
+    assert (run / "train_batch1.jpg").exists()
+
+    res = m.val(data=tiny_dataset, imgsz=96, plots_dir=str(run / "valplots"))
+    assert (run / "valplots" / "val_batch0_labels.jpg").exists()
+    assert (run / "valplots" / "val_batch0_pred.jpg").exists()
+    assert "metrics/mAP50-95(B)" in res or res
+
+
+@pytest.mark.slow
 def test_resume_continues_training(tiny_dataset, tmp_path):
     from fce_yolo_tpu.api import YOLO
     from fce_yolo_tpu.experiments.analysis import load_results
