@@ -237,6 +237,26 @@ class DetectionPredictor:
                 valid = out["valid"][i]
                 boxes = out["boxes"][i][valid]
                 oh, ow = orig.shape[:2]
+                if "angle" in out:
+                    # rotated boxes are (cx, cy, w, h): shift only the center
+                    # out of the letterbox, never clip w/h (reference
+                    # obb/predict.py regularize + scale_boxes xywh=True)
+                    xywhr = np.concatenate(
+                        [boxes, out["angle"][i][valid][:, :1]], 1)
+                    xywhr[:, :2] = (xywhr[:, :2] - np.array([pw, ph])) / r
+                    xywhr[:, 2:4] = xywhr[:, 2:4] / r
+                    obb_data = np.concatenate(
+                        [xywhr, out["scores"][i][valid, None],
+                         out["classes"][i][valid, None]], 1)
+                    yield Results(
+                        orig, path, self.names, obb=obb_data,
+                        speed={
+                            "preprocess": t_pre * 1000 / n,
+                            "inference": t_inf * 1000 / n,
+                            "postprocess": (time.perf_counter() - t0) * 1000 / n,
+                        },
+                    )
+                    continue
                 boxes = (boxes - np.array([pw, ph, pw, ph])) / r
                 boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, ow)
                 boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, oh)

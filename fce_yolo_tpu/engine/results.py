@@ -127,6 +127,56 @@ class Probs:
         return self.data[self.top5]
 
 
+class OBB:
+    """Oriented boxes (reference Results OBB container, engine/results.py:1322).
+
+    data rows: [cx, cy, w, h, angle(rad), conf, cls] in original-image pixels.
+    """
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data, np.float32)
+        self.orig_shape = orig_shape
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, i) -> "OBB":
+        return OBB(self.data[i if isinstance(i, (slice, list, np.ndarray)) else [i]], self.orig_shape)
+
+    @property
+    def xywhr(self) -> np.ndarray:
+        return self.data[:, :5]
+
+    @property
+    def conf(self) -> np.ndarray:
+        return self.data[:, 5]
+
+    @property
+    def cls(self) -> np.ndarray:
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self) -> np.ndarray:
+        """(N, 4, 2) corner polygons (reference ops.xywhr2xyxyxyxy)."""
+        cx, cy, w, h, a = (self.data[:, i] for i in range(5))
+        cos, sin = np.cos(a), np.sin(a)
+        dx1, dy1 = w / 2 * cos, w / 2 * sin
+        dx2, dy2 = -h / 2 * sin, h / 2 * cos
+        pts = np.stack([
+            np.stack([cx + dx1 + dx2, cy + dy1 + dy2], -1),
+            np.stack([cx + dx1 - dx2, cy + dy1 - dy2], -1),
+            np.stack([cx - dx1 - dx2, cy - dy1 - dy2], -1),
+            np.stack([cx - dx1 + dx2, cy - dy1 + dy2], -1),
+        ], 1)
+        return pts.astype(np.float32)
+
+    @property
+    def xyxy(self) -> np.ndarray:
+        """Axis-aligned hull of each rotated box (reference OBB.xyxy)."""
+        p = self.xyxyxyxy
+        return np.concatenate([p.min(1), p.max(1)], -1)
+
+
 class Results:
     """One image's predictions + helpers (plot/save_txt/to-dict)."""
 
@@ -139,12 +189,18 @@ class Results:
         masks: np.ndarray | None = None,
         keypoints: np.ndarray | None = None,
         probs: np.ndarray | None = None,
+        obb: np.ndarray | None = None,
         speed: dict | None = None,
     ):
         self.orig_img = orig_img
         self.orig_shape = orig_img.shape[:2]
         self.path = path
         self.names = names
+        self.obb = OBB(obb, self.orig_shape) if obb is not None else None
+        if boxes is None and obb is not None:
+            # axis-aligned hulls keep .boxes usable for OBB results
+            ob = self.obb
+            boxes = np.concatenate([ob.xyxy, ob.conf[:, None], ob.cls[:, None]], 1)
         self.boxes = Boxes(boxes if boxes is not None else np.zeros((0, 6)), self.orig_shape)
         self.masks = Masks(masks, self.orig_shape) if masks is not None else None
         self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
@@ -152,7 +208,7 @@ class Results:
         self.speed = speed or {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
 
     def __len__(self) -> int:
-        return len(self.boxes)
+        return len(self.obb) if self.obb is not None else len(self.boxes)
 
     def __repr__(self) -> str:
         return f"Results(path={self.path!r}, n={len(self)}, shape={self.orig_shape})"
@@ -210,6 +266,16 @@ class Results:
                 for kp in kpts:
                     if kp.shape[-1] < 3 or kp[2] > 0.5:
                         cv2.circle(img, (int(kp[0]), int(kp[1])), max(lw, 2), (0, 255, 0), -1)
+        if self.obb is not None:
+            for poly, row in zip(self.obb.xyxyxyxy, self.obb.data):
+                c = int(row[6])
+                color = _class_color(c)
+                cv2.polylines(img, [poly.astype(np.int32)], True, color, lw)
+                x1, y1 = poly.min(0)
+                label = f"{self.names.get(c, c)} {row[5]:.2f}"
+                cv2.putText(img, label, (int(x1), int(y1) - 2),
+                            cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, 1)
+            return img
         for row in self.boxes.data:
             x1, y1, x2, y2, conf, c = row
             c = int(c)
@@ -230,8 +296,22 @@ class Results:
         return filename
 
     def save_txt(self, txt_file: str, save_conf: bool = False) -> str:
-        """One `cls cx cy w h [conf]` normalized row per detection."""
+        """One `cls cx cy w h [conf]` normalized row per detection; OBB
+        results write `cls x1 y1 ... x4 y4 [conf]` corner rows (reference
+        Results.save_txt obb branch)."""
         lines = []
+        if self.obb is not None:
+            h, w = self.orig_shape
+            norm = np.array([w, h] * 4, np.float32)
+            for poly, row in zip(self.obb.xyxyxyxy, self.obb.data):
+                vals = [int(row[6]), *(poly.reshape(8) / norm)]
+                if save_conf:
+                    vals.append(row[5])
+                lines.append(" ".join(
+                    f"{v:.6g}" if i else str(v) for i, v in enumerate(vals)))
+            Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+            Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
+            return txt_file
         for xywhn, row in zip(self.boxes.xywhn, self.boxes.data):
             vals = [int(row[5]), *xywhn]
             if save_conf:

@@ -38,6 +38,37 @@ def test_segment_predict_facade():
         assert plotted.shape == (100, 140, 3)
 
 
+def test_obb_predict_facade():
+    """OBB predict returns an OBB container: xywhr in ORIGINAL pixels
+    (center un-letterboxed, w/h scaled but never clipped), corner polygons,
+    axis-aligned hull boxes, plot + save_txt 8-coordinate rows."""
+    m = YOLO("yolo11n-obb.yaml", nc=3)
+    img = np.random.randint(0, 255, (100, 140, 3), np.uint8)
+    res = m.predict(img, imgsz=96, conf=0.0)
+    r = res[0]
+    assert r.obb is not None
+    if len(r):
+        assert r.obb.data.shape[1] == 7
+        assert r.obb.xywhr.shape == (len(r), 5)
+        polys = r.obb.xyxyxyxy
+        assert polys.shape == (len(r), 4, 2)
+        # hull boxes derive from the polygons
+        np.testing.assert_allclose(r.boxes.xyxy[:, :2], polys.min(1), atol=1e-4)
+        # polygon edge lengths reproduce w/h (rotation-invariant)
+        e1 = np.linalg.norm(polys[:, 0] - polys[:, 1], axis=1)
+        e2 = np.linalg.norm(polys[:, 1] - polys[:, 2], axis=1)
+        np.testing.assert_allclose(
+            np.sort(np.stack([e1, e2], 1), 1),
+            np.sort(r.obb.data[:, 2:4], 1), rtol=1e-4, atol=1e-3)
+        assert r.plot().shape == (100, 140, 3)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = r.save_txt(f"{d}/obb.txt", save_conf=True)
+            row = open(p).readline().split()
+            assert len(row) == 10  # cls + 8 coords + conf
+
+
 def test_pose_predict_facade():
     m = YOLO("yolo11n-pose.yaml")
     img = np.random.randint(0, 255, (100, 140, 3), np.uint8)
