@@ -139,7 +139,11 @@ class Tuner:
         (self.tune_dir / "best_hyperparameters.yaml").write_text(
             "\n".join(f"{k}: {v}" for k, v in best_hyp.items()) + "\n"
         )
-        return {"best_fitness": best_fit, "best_hyp": best_hyp, "csv": str(self.tune_csv)}
+        from fce_yolo_tpu.utils.plotting import plot_tune_results
+
+        plots = plot_tune_results(self.tune_csv)
+        return {"best_fitness": best_fit, "best_hyp": best_hyp,
+                "csv": str(self.tune_csv), "plots": plots}
 
     def _train_once(self, hyp: dict, iteration: int, cleanup: bool) -> float:
         if self.train_fn is not None:

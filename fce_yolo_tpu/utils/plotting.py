@@ -11,7 +11,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["plot_results", "plot_pr_curve", "plot_confusion_matrix", "plot_labels"]
+__all__ = ["plot_results", "plot_pr_curve", "plot_confusion_matrix", "plot_labels",
+           "plot_tune_results"]
 
 
 def _plt():
@@ -219,3 +220,58 @@ def feature_visualization(x, module_type: str, stage: int, n: int = 32,
     fig.savefig(f, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return str(f)
+
+
+def plot_tune_results(csv_file: str | Path = "tune_results.csv",
+                      exclude_zero_fitness_points: bool = True) -> list[str]:
+    """Hyperparameter-evolution figures from a Tuner's tune_results.csv
+    (reference utils/plotting.py:944-1010 plot_tune_results).
+
+    Writes two files next to the CSV: ``tune_scatter_plots.png`` (one
+    fitness-colored scatter per gene, best iteration marked) and
+    ``tune_fitness.png`` (fitness vs iteration with the running best).
+    Returns the written paths.
+    """
+    import csv as _csv
+
+    plt = _plt()
+    csv_file = Path(csv_file)
+    rows = list(_csv.reader(csv_file.read_text().splitlines()))
+    keys, data = rows[0][1:], np.asarray(rows[1:], np.float64)
+    if not len(data):
+        return []
+    fitness, genes = data[:, 0], data[:, 1:]
+    if exclude_zero_fitness_points and (fitness > 0).any():
+        keep = fitness > 0
+        fitness, genes = fitness[keep], genes[keep]
+    best_i = int(fitness.argmax())
+
+    n = len(keys)
+    ncols = int(np.ceil(np.sqrt(n))) or 1
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3.2 * ncols, 3.0 * nrows),
+                             squeeze=False)
+    for i, k in enumerate(keys):
+        ax = axes[i // ncols][i % ncols]
+        plt.sca(ax)
+        plt_color_scatter(genes[:, i], fitness, alpha=0.8)
+        ax.plot(genes[best_i, i], fitness[best_i], "k+", markersize=13)
+        ax.set_title(f"{k} = {genes[best_i, i]:.3g}", fontsize=9)
+        ax.tick_params(axis="both", labelsize=7)
+    for j in range(n, nrows * ncols):
+        axes[j // ncols][j % ncols].axis("off")
+    fig.tight_layout()
+    scatter_path = str(csv_file.with_name("tune_scatter_plots.png"))
+    fig.savefig(scatter_path, dpi=120)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(6.4, 4.0))
+    it = np.arange(1, len(fitness) + 1)
+    ax.plot(it, fitness, marker="o", ms=3, lw=1, label="fitness")
+    ax.plot(it, np.maximum.accumulate(fitness), lw=2, label="best so far")
+    ax.set_xlabel("iteration"); ax.set_ylabel("fitness"); ax.legend()
+    fig.tight_layout()
+    fit_path = str(csv_file.with_name("tune_fitness.png"))
+    fig.savefig(fit_path, dpi=120)
+    plt.close(fig)
+    return [scatter_path, fit_path]

@@ -198,3 +198,22 @@ def test_plt_color_scatter():
     plt.figure()
     plt_color_scatter(np.random.rand(50), np.random.rand(50), bins=5)
     plt.close("all")
+
+
+def test_plot_tune_results(tmp_path):
+    """Scatter grid + fitness curve from a Tuner CSV (reference
+    plotting.py:944 plot_tune_results)."""
+    from fce_yolo_tpu.utils.plotting import plot_tune_results
+
+    csv = tmp_path / "tune_results.csv"
+    csv.write_text(
+        "fitness,lr0,momentum,weight_decay\n"
+        "0.1,0.01,0.9,0.0005\n"
+        "0.0,0.02,0.95,0.001\n"     # zero-fitness point excluded
+        "0.3,0.015,0.92,0.0004\n"
+        "0.25,0.012,0.93,0.0006\n"
+    )
+    paths = plot_tune_results(csv)
+    assert len(paths) == 2
+    for p in paths:
+        assert (tmp_path / p.split("/")[-1]).exists()

@@ -20,6 +20,9 @@ def test_tuner_improves(tmp_path):
     assert out["best_fitness"] > quadratic_fitness({"lr0": 0.0005, "mosaic": 0.1})
     assert (tmp_path / "tune_results.csv").exists()
     assert (tmp_path / "best_hyperparameters.yaml").exists()
+    # evolution figures written at loop end (reference plot_tune_results)
+    assert (tmp_path / "tune_scatter_plots.png").exists()
+    assert (tmp_path / "tune_fitness.png").exists()
     # resumable: a second tuner continues from the CSV
     t2 = Tuner(space=space, tune_dir=str(tmp_path), train_fn=quadratic_fitness, seed=1)
     out2 = t2(iterations=5, verbose=False)
