@@ -497,3 +497,88 @@ def test_auto_annotate_real_sam_pipeline(tmp_path):
             vals = line.split()
             assert int(vals[0]) == 0 and len(vals[1:]) % 2 == 0 and len(vals[1:]) >= 6
             assert all(-0.01 <= float(v) <= 1.01 for v in vals[1:])
+
+
+# ------------------------------------------------------------- new converters
+def test_coco_class_maps_roundtrip():
+    from fce_yolo_tpu.data.converter import coco80_to_coco91_class, coco91_to_coco80_class
+
+    fwd, inv = coco91_to_coco80_class(), coco80_to_coco91_class()
+    assert len(inv) == 80 and len(fwd) == 91
+    for c80, c91 in enumerate(inv):
+        assert fwd[c91 - 1] == c80  # inverse property
+
+
+def test_merge_multi_segment_contains_all_points():
+    from fce_yolo_tpu.data.converter import merge_multi_segment, min_index
+
+    a = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float64)
+    b = a + 100
+    i, j = min_index(a, b)
+    assert (i, j) == (2, 0)  # (10,10) vs (100,100)
+    merged = merge_multi_segment([a.reshape(-1).tolist(), b.reshape(-1).tolist()])[0]
+    pts = {tuple(p) for p in merged}
+    assert {tuple(p) for p in a} <= pts and {tuple(p) for p in b} <= pts
+
+
+def test_convert_segment_masks_to_yolo_seg(tmp_path):
+    import cv2
+
+    from fce_yolo_tpu.data.converter import convert_segment_masks_to_yolo_seg
+
+    masks = tmp_path / "masks"
+    masks.mkdir()
+    m = np.zeros((100, 200), np.uint8)
+    m[10:50, 20:80] = 1     # class 0 region
+    m[60:90, 120:180] = 3   # class 2 region
+    cv2.imwrite(str(masks / "a.png"), m)
+    out = convert_segment_masks_to_yolo_seg(masks, tmp_path / "labels", classes=3)
+    rows = (out / "a.txt").read_text().splitlines()
+    assert sorted(int(r.split()[0]) for r in rows) == [0, 2]
+    for r in rows:
+        vals = np.asarray(r.split()[1:], np.float64)
+        assert len(vals) % 2 == 0 and (0 <= vals).all() and (vals <= 1).all()
+    cls0 = rows[0] if rows[0].split()[0] == "0" else rows[1]
+    xs0 = np.asarray(cls0.split()[1:], np.float64)[0::2]
+    assert xs0.min() == pytest.approx(20 / 200) and xs0.max() == pytest.approx(79 / 200)
+
+
+def test_convert_dota_to_yolo_obb(tmp_path):
+    import cv2
+
+    from fce_yolo_tpu.data.converter import convert_dota_to_yolo_obb
+
+    (tmp_path / "images" / "train").mkdir(parents=True)
+    (tmp_path / "labels" / "train_original").mkdir(parents=True)
+    cv2.imwrite(str(tmp_path / "images" / "train" / "P0001.png"),
+                np.zeros((100, 200, 3), np.uint8))
+    (tmp_path / "labels" / "train_original" / "P0001.txt").write_text(
+        "20 10 60 10 60 40 20 40 plane 0\n"
+        "0 0 10 0 10 10 0 10 unknown-class 0\n"
+    )
+    convert_dota_to_yolo_obb(tmp_path)
+    rows = (tmp_path / "labels" / "train" / "P0001.txt").read_text().splitlines()
+    assert len(rows) == 1  # unknown class skipped
+    vals = rows[0].split()
+    assert vals[0] == "0"  # plane
+    np.testing.assert_allclose(
+        np.asarray(vals[1:], np.float64),
+        [20 / 200, 10 / 100, 60 / 200, 10 / 100, 60 / 200, 40 / 100, 20 / 200, 40 / 100],
+    )
+
+
+def test_yolo_bbox2segment(tmp_path):
+    import cv2
+
+    from fce_yolo_tpu.data.converter import yolo_bbox2segment
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    cv2.imwrite(str(tmp_path / "images" / "x.jpg"), np.full((100, 200, 3), 80, np.uint8))
+    (tmp_path / "labels" / "x.txt").write_text("1 0.2 0.3 0.2 0.4\n")  # box 20..60 x 10..50
+    out = yolo_bbox2segment(tmp_path / "images", sam_model=_FakeSAM())
+    row = (out / "x.txt").read_text().split()
+    assert int(row[0]) == 1
+    coords = np.asarray(row[1:], np.float64).reshape(-1, 2)
+    assert coords[:, 0].min() == pytest.approx(20 / 200)
+    assert coords[:, 1].max() == pytest.approx(49 / 100)
