@@ -19,6 +19,7 @@ __all__ = [
     "convert_segment_masks_to_yolo_seg",
     "convert_dota_to_yolo_obb",
     "yolo_bbox2segment",
+    "convert_to_multispectral",
 ]
 
 
@@ -268,3 +269,36 @@ def yolo_bbox2segment(
             lines.append(f"{c} " + " ".join(f"{v:.6g}" for v in poly.reshape(-1)))
         (out / lp.name).write_text("\n".join(lines) + ("\n" if lines else ""))
     return out
+
+
+def convert_to_multispectral(
+    path: str | Path, n_channels: int = 10, replace: bool = False
+) -> None:
+    """RGB -> n-channel multispectral TIFF by linear wavelength interpolation
+    (reference converter.py:698: bands at B=475/G=510/R=650 nm, targets on
+    [450, 700] nm, linear with extrapolation beyond the RGB anchors)."""
+    import cv2
+
+    p = Path(path)
+    if p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp"):
+                convert_to_multispectral(f, n_channels)
+                if replace:
+                    f.unlink()
+        return
+
+    img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB).astype(np.float64)
+    # anchors sorted by wavelength: (B 475, G 510, R 650)
+    wl = np.array([475.0, 510.0, 650.0])
+    ch = np.stack([img[..., 2], img[..., 1], img[..., 0]], -1)  # B, G, R planes
+    targets = np.linspace(450, 700, n_channels)
+    # piecewise-linear with end-slope extrapolation (scipy-free)
+    out = np.empty((*img.shape[:2], n_channels), np.float64)
+    for i, t in enumerate(targets):
+        k = 0 if t <= wl[1] else 1  # segment index
+        w0, w1 = wl[k], wl[k + 1]
+        f0, f1 = ch[..., k], ch[..., k + 1]
+        out[..., i] = f0 + (t - w0) * (f1 - f0) / (w1 - w0)
+    planes = np.clip(out, 0, 255).astype(np.uint8).transpose(2, 0, 1)
+    cv2.imwritemulti(str(p.with_suffix(".tiff")), list(planes))

@@ -582,3 +582,23 @@ def test_yolo_bbox2segment(tmp_path):
     coords = np.asarray(row[1:], np.float64).reshape(-1, 2)
     assert coords[:, 0].min() == pytest.approx(20 / 200)
     assert coords[:, 1].max() == pytest.approx(49 / 100)
+
+
+def test_convert_to_multispectral(tmp_path):
+    import cv2
+
+    from fce_yolo_tpu.data.converter import convert_to_multispectral
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[..., 0] = 100  # B
+    img[..., 1] = 150  # G
+    img[..., 2] = 250  # R
+    p = tmp_path / "a.jpg"
+    cv2.imwrite(str(p), img)
+    convert_to_multispectral(p, n_channels=5)
+    ok, planes = cv2.imreadmulti(str(tmp_path / "a.tiff"), flags=cv2.IMREAD_GRAYSCALE)
+    assert ok and len(planes) == 5
+    # target 450nm extrapolates below B(475): value < B plane's 100
+    assert planes[0].mean() < 100
+    # mid target between G(510) and R(650) sits between their values
+    assert 150 <= planes[2].mean() <= 250
