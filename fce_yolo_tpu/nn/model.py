@@ -217,6 +217,15 @@ def make_layer(ls: LayerSpec, strides: tuple[int, ...] | None, export: bool = Fa
             embed=a[3] if len(a) > 4 else 512, with_bn=a[4] if len(a) > 5 else True,
             ch=tuple(a[-1]), strides=strides, export=export, name=name,
         )
+    if n == "TorchVision":
+        from fce_yolo_tpu.nn.resnet import TorchVision
+
+        return TorchVision(
+            c2=a[0], model=a[1], weights=a[2] if len(a) > 2 else "DEFAULT",
+            unwrap=a[3] if len(a) > 3 else True,
+            truncate=a[4] if len(a) > 4 else 2,
+            split=a[5] if len(a) > 5 else False, name=name,
+        )
     if n in _POSITIONAL:
         cls = _POSITIONAL[n]
         clean = tuple(tuple(x) if isinstance(x, list) else x for x in a)

@@ -1347,10 +1347,11 @@ MODULE_REGISTRY: dict[str, Any] = {}
 
 def register_modules() -> dict[str, Any]:
     """Name -> constructor registry used by the YAML parser."""
-    from fce_yolo_tpu.nn import fce, heads, transformer, world
+    from fce_yolo_tpu.nn import fce, heads, resnet, transformer, world
 
     MODULE_REGISTRY.update(
         {
+            "TorchVision": resnet.TorchVision,
             "AIFI": transformer.AIFI,
             "TransformerEncoderLayer": transformer.TransformerEncoderLayer,
             "MLP": transformer.MLP,

@@ -203,6 +203,10 @@ def parse_model_yaml(d: dict, ch: int = 3, scale: str | None = None) -> ModelSpe
         elif name == "Index":
             c2 = args[0]
             args = args[1:]
+        elif name == "TorchVision":
+            # passthrough trunk: (c2, model, weights, unwrap, truncate[, split])
+            # — args go to the module verbatim (reference tasks.py TorchVision)
+            c2 = args[0]
         elif name in ("nn.MaxPool2d", "nn.ZeroPad2d", "nn.Identity"):
             c2 = ch_list[f]
         elif name == "v10Detect":

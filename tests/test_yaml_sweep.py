@@ -22,11 +22,8 @@ from fce_yolo_tpu.nn.model import build_model
 
 REF_CFG = "/root/reference/ultralytics/cfg/models"
 
-EXCLUDE = (
-    # TorchVision wrapper config: loads torch-hub resnet18 weights at build
-    # time — a torch-model-zoo passthrough, not an architecture to rebuild
-    "resnet18",
-)
+EXCLUDE = ()  # 57/57: the TorchVision resnet18 passthrough now builds
+# through the in-house flax ResNet trunk (nn/resnet.py)
 
 
 def _ref_yamls():
