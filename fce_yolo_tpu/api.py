@@ -351,6 +351,7 @@ class YOLO:
         verbose: bool = True,
         freeze: int | list[int] | None = None,
         resume: bool = False,
+        exist_ok: bool = False,
         time_limit_hours: float | None = None,
         callbacks=None,
         tensorboard: bool = False,
@@ -368,7 +369,7 @@ class YOLO:
                 data=data, epochs=epochs, batch=batch, imgsz=imgsz, optimizer=optimizer,
                 lr0=lr0, lrf=lrf, cos_lr=cos_lr, patience=patience, workers=workers,
                 project=project, name=name, val=val, seed=seed, verbose=verbose,
-                **hyp_overrides,
+                exist_ok=exist_ok or resume, **hyp_overrides,
             )
 
         import jax
@@ -419,8 +420,12 @@ class YOLO:
             loader = DataLoader(train_ds, batch_size=batch, workers=workers, max_labels=max_labels, seed=seed)
         steps_per_epoch = len(loader)
 
-        save_dir = Path(project) / name
-        save_dir.mkdir(parents=True, exist_ok=True)
+        # run-dir incrementing (reference get_save_dir/increment_path):
+        # train -> train2 -> ...; resume/exist_ok reuse the dir as-is
+        from fce_yolo_tpu.utils.files import increment_path
+
+        save_dir = increment_path(Path(project) / name,
+                                  exist_ok=resume or exist_ok, mkdir=True)
 
         from fce_yolo_tpu.utils.callbacks import CallbackList
         from fce_yolo_tpu.utils.integrations import add_integration_callbacks
@@ -508,6 +513,17 @@ class YOLO:
 
         start_epoch = 0
         save_dir_w = save_dir / "weights"
+        if resume and not is_checkpoint(save_dir_w / "last"):
+            # no checkpoint at project/name: fall back to the most recent
+            # run under project (reference get_latest_run, utils/files.py:177)
+            from fce_yolo_tpu.utils.files import get_latest_run
+
+            latest = get_latest_run(str(project))
+            if latest:
+                save_dir = Path(latest).parent.parent
+                save_dir_w = save_dir / "weights"
+                if verbose:
+                    print(f"resume: picked up latest run {save_dir}")
         if resume and is_checkpoint(save_dir_w / "last"):
             # full-state resume (reference check_resume/resume_training,
             # trainer.py:793-906): leaves are restored into a freshly-built
@@ -736,7 +752,10 @@ class YOLO:
             return top1, top5
 
         params, bstats = v["params"], v.get("batch_stats", {})
-        save_dir = Path(project) / name
+        from fce_yolo_tpu.utils.files import increment_path
+
+        save_dir = increment_path(Path(project) / name,
+                                  exist_ok=bool(hyp.get("exist_ok")))
         (save_dir / "weights").mkdir(parents=True, exist_ok=True)
         stopper = EarlyStopping(patience)
         rng = np.random.default_rng(seed)

@@ -41,6 +41,9 @@ class ExperimentTrainer:
             cos_lr=stage.cos_lr,
             close_mosaic=stage.close_mosaic,
             name=name,
+            # ablation dirs are fixed by contract (stale runs are detected
+            # explicitly, ablation.py:27) — never auto-increment
+            exist_ok=True,
         )
         # the wiou variant carries its loss in the model config (config.py:203)
         if self.model_cfg.iou_type != "CIoU" and kw.get("iou_type", "CIoU") == "CIoU":

@@ -1,5 +1,7 @@
 """checks / settings / autobatch / logger utilities."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -108,3 +110,57 @@ def test_mlflow_file_sink(tmp_path):
     ts, val, step = rows[1].split()
     assert float(val) == 0.5 and step == "1"
     assert "end_time: null" not in (run_dir / "meta.yaml").read_text()
+
+
+# ---------------------------------------------------------------- utils.files
+def test_increment_path(tmp_path):
+    from fce_yolo_tpu.utils.files import increment_path
+
+    p = tmp_path / "train"
+    assert increment_path(p) == p  # free slot: unchanged
+    p.mkdir()
+    p2 = increment_path(p)
+    assert p2 == tmp_path / "train2"
+    assert increment_path(p, exist_ok=True) == p  # resume semantics
+    p2.mkdir()
+    assert increment_path(p) == tmp_path / "train3"
+    # file paths keep their suffix
+    f = tmp_path / "r.csv"
+    f.write_text("x")
+    assert increment_path(f).name == "r2.csv"
+    made = increment_path(tmp_path / "new" / "dir", mkdir=True)
+    assert made.is_dir()
+
+
+def test_file_size_and_latest_run(tmp_path):
+    from fce_yolo_tpu.utils.files import file_size, get_latest_run
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"0" * (1 << 20))
+    assert file_size(f) == pytest.approx(1.0)
+    assert file_size(tmp_path) >= 1.0
+    assert file_size(tmp_path / "missing") == 0.0
+
+    (tmp_path / "a" / "weights" / "last").mkdir(parents=True)
+    (tmp_path / "a" / "weights" / "last" / "meta.json").write_text("{}")
+    assert get_latest_run(str(tmp_path)).endswith("a/weights/last")
+    assert get_latest_run(str(tmp_path / "nothing")) == ""
+
+
+def test_working_directory_and_spaces(tmp_path):
+    import os
+
+    from fce_yolo_tpu.utils.files import WorkingDirectory, spaces_in_path
+
+    before = os.getcwd()
+    with WorkingDirectory(tmp_path):
+        assert os.getcwd() == str(tmp_path.resolve())
+    assert os.getcwd() == before
+
+    d = tmp_path / "with space"
+    d.mkdir()
+    (d / "x.txt").write_text("1")
+    with spaces_in_path(d) as clean:
+        assert " " not in str(clean) and (Path(clean) / "x.txt").exists()
+        (Path(clean) / "y.txt").write_text("2")
+    assert (d / "y.txt").exists()  # synced back
