@@ -26,6 +26,20 @@ from fce_yolo_tpu.ops.anchors import (
     make_anchors,
 )
 from fce_yolo_tpu.ops.nms import batched_nms, single_image_nms
+from fce_yolo_tpu.ops.geometry import (
+    clean_str,
+    clip_coords,
+    masks2segments,
+    regularize_rboxes,
+    resample_segments,
+    scale_coords,
+    segment2box,
+    segments2boxes,
+    xywhn2xyxy,
+    xywhr2xyxyxyxy,
+    xyxy2xywhn,
+    xyxyxyxy2xywhr,
+)
 
 __all__ = [
     "bbox2dist",

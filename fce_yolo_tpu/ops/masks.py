@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["crop_mask", "process_mask", "scale_masks_np"]
+__all__ = ["crop_mask", "process_mask", "process_mask_native", "scale_masks_np"]
 
 
 def crop_mask(masks: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
@@ -67,3 +67,20 @@ def scale_masks_np(masks, orig_shape: tuple[int, int], ratio: float, pad: tuple[
         if crop.size:
             out[i] = cv2.resize(crop, (orig_shape[1], orig_shape[0]), interpolation=cv2.INTER_LINEAR) > 0
     return out
+
+
+def process_mask_native(
+    mask_coefs: jnp.ndarray,
+    proto: jnp.ndarray,
+    boxes: jnp.ndarray,
+    img_shape: tuple[int, int],
+    threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Like :func:`process_mask` but upsample-first then crop at native
+    resolution (reference ops.py:499 process_mask_native) — avoids the
+    low-res crop aliasing at box edges."""
+    ih, iw = img_shape
+    m = jax.nn.sigmoid(jnp.einsum("nk,hwk->nhw", mask_coefs, proto))
+    m = jax.image.resize(m, (m.shape[0], ih, iw), method="bilinear")
+    m = crop_mask(m, boxes)
+    return m > threshold

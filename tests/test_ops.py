@@ -228,3 +228,96 @@ class TestNMS:
         out = batched_nms(pred, max_det=30, pre_nms_topk=64)
         assert out["boxes"].shape == (2, 30, 4)
         assert out["classes"].dtype == jnp.int32
+
+
+# -------------------------------------------------------- geometry (host ops)
+class TestGeometry:
+    def test_segment2box_and_segments2boxes(self):
+        from fce_yolo_tpu.ops.geometry import segment2box, segments2boxes
+
+        seg = np.array([[10, 20], [50, 20], [50, 60], [-5, 60]], np.float32)
+        np.testing.assert_allclose(segment2box(seg, 640, 640), [10, 20, 50, 60])
+        assert (segment2box(np.array([[-1, -1], [700, 700]]), 640, 640) == 0).all()
+        b = segments2boxes([seg[:3]])
+        np.testing.assert_allclose(b, [[30, 40, 40, 40]])
+
+    def test_norm_roundtrip(self):
+        from fce_yolo_tpu.ops.geometry import xywhn2xyxy, xyxy2xywhn
+
+        xywhn = np.array([[0.5, 0.5, 0.25, 0.5]], np.float32)
+        xyxy = xywhn2xyxy(xywhn, w=200, h=100)
+        np.testing.assert_allclose(xyxy, [[75, 25, 125, 75]])
+        back = xyxy2xywhn(xyxy, w=200, h=100)
+        np.testing.assert_allclose(back, xywhn, atol=1e-6)
+        # mosaic pad offset
+        np.testing.assert_allclose(
+            xywhn2xyxy(xywhn, 200, 100, padw=10, padh=5), [[85, 30, 135, 80]]
+        )
+
+    def test_rotated_roundtrip(self):
+        from fce_yolo_tpu.ops.geometry import (
+            regularize_rboxes,
+            xywhr2xyxyxyxy,
+            xyxyxyxy2xywhr,
+        )
+
+        r = np.array([[100, 50, 60, 20, 0.3]], np.float32)
+        corners = xywhr2xyxyxyxy(r)
+        assert corners.shape == (1, 4, 2)
+        back = xyxyxyxy2xywhr(corners)
+        np.testing.assert_allclose(back[0, :2], [100, 50], atol=0.5)
+        assert {round(float(back[0, 2])), round(float(back[0, 3]))} == {60, 20}
+        # regularize: w >= h, angle in [0, pi)
+        reg = regularize_rboxes(np.array([[0, 0, 20, 60, 0.3]], np.float32))
+        assert reg[0, 2] == 60 and reg[0, 3] == 20
+        assert 0 <= reg[0, 4] < np.pi
+
+    def test_resample_and_masks2segments(self):
+        from fce_yolo_tpu.ops.geometry import masks2segments, resample_segments
+
+        seg = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float32)
+        rs = resample_segments([seg], n=40)[0]
+        assert rs.shape == (40, 2)
+        assert rs[:, 0].min() >= 0 and rs[:, 0].max() <= 10
+
+        m = np.zeros((2, 32, 32), np.uint8)
+        m[0, 5:15, 5:15] = 1
+        m[1, 2:6, 2:6] = 1
+        m[1, 20:30, 20:30] = 1
+        segs_all = masks2segments(m, "all")
+        segs_big = masks2segments(m, "largest")
+        assert len(segs_all) == 2 and len(segs_all[1]) > len(segs_big[1])
+        assert segs_big[1][:, 0].min() >= 19  # largest is the 20:30 square
+
+    def test_scale_coords_inverts_letterbox(self):
+        from fce_yolo_tpu.ops.geometry import scale_coords
+
+        # original 100x200 -> letterbox 640: gain 3.2, pad (0, 160)
+        pts1 = np.array([[0 * 3.2 + 0, 0 * 3.2 + 160], [200 * 3.2, 100 * 3.2 + 160]])
+        back = scale_coords((640, 640), pts1, (100, 200))
+        np.testing.assert_allclose(back, [[0, 0], [200, 100]], atol=1e-4)
+
+    def test_clean_str(self):
+        from fce_yolo_tpu.ops.geometry import clean_str
+
+        assert clean_str("a|b@c#d!e") == "a_b_c_d_e"
+
+    def test_process_mask_native_shapes(self):
+        import jax.numpy as jnp
+
+        from fce_yolo_tpu.ops.masks import process_mask, process_mask_native
+
+        rng = np.random.RandomState(0)
+        proto = jnp.asarray(rng.randn(20, 20, 8).astype(np.float32))
+        coefs = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+        boxes = jnp.asarray([[10, 10, 60, 60], [0, 0, 80, 80], [20, 20, 40, 40]],
+                            jnp.float32)
+        out = process_mask_native(coefs, proto, boxes, (80, 80))
+        assert out.shape == (3, 80, 80) and out.dtype == jnp.bool_
+        # everything outside box 2 is zero
+        m2 = np.asarray(out[2])
+        assert not m2[:19].any() and not m2[:, :19].any() and not m2[41:].any()
+        # agrees with the crop-then-upsample variant inside box interiors
+        ref = np.asarray(process_mask(coefs, proto, boxes, (80, 80)))
+        inter = m2[25:35, 25:35] == np.asarray(ref)[2, 25:35, 25:35]
+        assert inter.mean() > 0.9
