@@ -321,6 +321,35 @@ class Results:
         Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
         return txt_file
 
+    def save_crop(self, save_dir: str, file_name: str = "im.jpg") -> None:
+        """Save one crop per detection under save_dir/<class-name>/
+        (reference Results.save_crop, engine/results.py:714)."""
+        from fce_yolo_tpu.utils.annotator import save_one_box
+
+        stem, suffix = Path(file_name).stem, Path(file_name).suffix or ".jpg"
+        for i, row in enumerate(self.boxes.data):
+            c = int(row[5])
+            name = self.names.get(c, str(c))
+            save_one_box(
+                row[:4], self.orig_img,
+                file=Path(save_dir) / name / f"{stem}{i}{suffix}", square=False,
+            )
+
+    def __getitem__(self, idx) -> "Results":
+        """Index/slice detections into a new Results (reference
+        Results.__getitem__)."""
+        sel = np.atleast_1d(np.arange(len(self))[idx])
+        pick = lambda c: None if c is None else np.asarray(c.data)[sel]
+        return Results(
+            self.orig_img, self.path, self.names,
+            boxes=pick(self.boxes) if self.obb is None else None,
+            masks=pick(self.masks),
+            keypoints=pick(self.keypoints),
+            probs=self.probs.data if self.probs is not None else None,
+            obb=pick(self.obb),
+            speed=self.speed,
+        )
+
 
 def _class_color(c: int) -> tuple[int, int, int]:
     """Deterministic per-class BGR color."""

@@ -110,3 +110,24 @@ def test_train_learns_tiny_dataset(tiny_dataset, tmp_path):
     m2 = YOLO(str(tmp_path / "t" / "weights" / "best"))
     res = m2.val(data=tiny_dataset, imgsz=96, batch=4, verbose=False)
     assert np.isfinite(res["fitness"]) and 0.0 <= res["fitness"] <= 1.0
+
+
+def test_results_save_crop_and_getitem(tmp_path):
+    from fce_yolo_tpu.engine.results import Results
+
+    img = np.full((100, 200, 3), 120, np.uint8)
+    boxes = np.array([[20, 10, 60, 50, 0.9, 0], [100, 20, 180, 80, 0.8, 1]], np.float32)
+    r = Results(img, "x.jpg", {0: "cat", 1: "dog"}, boxes=boxes)
+    r.save_crop(tmp_path, "x.jpg")
+    assert (tmp_path / "cat" / "x0.jpg").exists()
+    assert (tmp_path / "dog" / "x1.jpg").exists()
+    import cv2
+
+    crop = cv2.imread(str(tmp_path / "cat" / "x0.jpg"))
+    # gain 1.02 + pad 10 around a 40x40 box
+    assert 40 <= crop.shape[0] <= 62 and 40 <= crop.shape[1] <= 62
+
+    r0 = r[0]
+    assert len(r0) == 1 and int(r0.boxes.cls[0]) == 0
+    r_rev = r[::-1]
+    assert [int(c) for c in r_rev.boxes.cls] == [1, 0]
