@@ -200,7 +200,7 @@ def entrypoint(argv: list[str] | None = None) -> Any:
         if cfg.verbose:  # reference per-image log line (engine/predictor.py)
             for i, r in enumerate(results):
                 print(f"image {i + 1}/{len(results)} {r.path}: {r.verbose()}")
-        if cfg.save or cfg.save_txt:
+        if cfg.save or cfg.save_txt or cfg.save_crop:
             out_dir = Path(cfg.project or f"runs/{model.task}") / (cfg.name or "predict")
             out_dir.mkdir(parents=True, exist_ok=True)
             for i, r in enumerate(results):
@@ -209,6 +209,8 @@ def entrypoint(argv: list[str] | None = None) -> Any:
                     r.save(str(out_dir / f"{stem}.jpg"))
                 if cfg.save_txt:
                     r.save_txt(str(out_dir / "labels" / f"{stem}.txt"), save_conf=cfg.save_conf)
+                if cfg.save_crop:
+                    r.save_crop(str(out_dir / "crops"), f"{stem}.jpg")
         return results
     if mode == "track":
         assert source, "track requires source=<path>"

@@ -61,7 +61,8 @@ def test_cli_train_val_predict(task, task_data, tmp_path, monkeypatch):
     src = sorted(img_dir.glob("*.jpg"))[0]
     results = entrypoint([
         task, "predict", f"model={ckpt}", f"source={src}", "imgsz=64",
-        "conf=0.01", f"project={tmp_path}/runs",
+        "conf=0.01", f"project={tmp_path}/runs", "save=True", "save_txt=True",
+        "save_crop=True",
     ])
     assert len(results) == 1
     r = results[0]
@@ -69,6 +70,11 @@ def test_cli_train_val_predict(task, task_data, tmp_path, monkeypatch):
         assert r.probs is not None and 0 <= r.probs.top1 < 2
     else:
         assert r.boxes is not None
+        out_dir = Path(f"{tmp_path}/runs") / "predict"
+        assert (out_dir / f"{src.stem}.jpg").exists()
+        assert (out_dir / "labels" / f"{src.stem}.txt").exists()
+        if len(r.boxes):  # crops only when something was detected
+            assert any((out_dir / "crops").rglob("*.jpg"))
 
 
 @pytest.mark.slow
