@@ -31,6 +31,25 @@ class ObjectCounter(BaseSolution):
         (x1, y1), (x2, y2) = self.region[0], self.region[1]
         return (x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1)
 
+    def _crossing(self, prev: np.ndarray, cur: np.ndarray) -> int:
+        """+1 = IN crossing, -1 = OUT crossing, 0 = none. A 2-point region
+        counts by line side change; a >=3-point region counts by polygon
+        entry/exit (reference object_counter.py count_objects: both forms)."""
+        if len(self.region) >= 3:
+            from fce_yolo_tpu.solutions.zone import _in_polygon
+
+            poly = np.asarray(self.region, np.float32)
+            was_in, is_in = (bool(_in_polygon(p[None], poly)[0]) for p in (prev, cur))
+            if is_in and not was_in:
+                return 1
+            if was_in and not is_in:
+                return -1
+            return 0
+        s0, s1 = self._side(prev), self._side(cur)
+        if s0 * s1 < 0:
+            return 1 if s1 > 0 else -1
+        return 0
+
     def process(self, result, tracks: np.ndarray) -> SolutionResults:
         ann = self.annotator(result.plot())
         ann.draw_region(self.region, color=(104, 0, 123),
@@ -42,12 +61,12 @@ class ObjectCounter(BaseSolution):
             self.prev_pos[tid] = center
             if prev is None or tid in self.counted:
                 continue
-            s0, s1 = self._side(prev), self._side(center)
-            if s0 * s1 < 0:  # crossed the line
+            direction = self._crossing(prev, center)
+            if direction:
                 self.counted.add(tid)
                 name = self.names.get(int(row[6]), str(int(row[6])))
                 cw = self.classwise.setdefault(name, {"IN": 0, "OUT": 0})
-                if s1 > 0:
+                if direction > 0:
                     self.in_count += 1
                     cw["IN"] += 1
                 else:

@@ -284,3 +284,21 @@ def test_solution_annotator_methods():
     # angle formula: right angle is 90 degrees
     ang = SolutionAnnotator.estimate_pose_angle((0, 0), (0, 10), (10, 10))
     assert abs(ang - 90.0) < 1e-6
+
+
+def test_counter_polygon_region():
+    """>=3-point regions count polygon entry (IN) and exit (OUT)
+    (reference object_counter.py count_objects region branch)."""
+    c = _Stub(ObjectCounter, region=[(40, 40), (80, 40), (80, 80), (40, 80)])
+    c.in_count = c.out_count = 0
+    c.counted, c.prev_pos, c.classwise = set(), {}, {}
+
+    frames = [
+        # t1 outside, t2 inside
+        np.array([[0, 0, 10, 10, 1, 0.9, 0], [55, 55, 65, 65, 2, 0.9, 0]], float),
+        # t1 entered, t2 left
+        np.array([[55, 55, 65, 65, 1, 0.9, 0], [0, 0, 10, 10, 2, 0.9, 0]], float),
+    ]
+    for tr in frames:
+        r = c.process(_result(), tr)
+    assert r.in_count == 1 and r.out_count == 1
