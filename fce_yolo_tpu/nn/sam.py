@@ -148,6 +148,11 @@ class REAttention(nn.Module):
     qkv_bias: bool = True
     use_rel_pos: bool = False
     input_size: tuple[int, int] | None = None
+    # grid the stored rel-pos tables were trained at (like pos_embed's
+    # pretrain grid): checkpoints always carry 2*table_size-1 rows and
+    # _get_rel_pos resizes to the runtime grid, exactly the reference's
+    # on-the-fly interpolation (utils.py:292-330). None -> input_size.
+    table_size: tuple[int, int] | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -160,11 +165,12 @@ class REAttention(nn.Module):
 
         attn = jnp.einsum("bhqc,bhkc->bhqk", q * (hd**-0.5), k)
         if self.use_rel_pos:
+            ts = self.table_size or self.input_size
             rel_h = self.param(
-                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, hd)
+                "rel_pos_h", nn.initializers.zeros, (2 * ts[0] - 1, hd)
             )
             rel_w = self.param(
-                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, hd)
+                "rel_pos_w", nn.initializers.zeros, (2 * ts[1] - 1, hd)
             )
             rh = _get_rel_pos(h, h, rel_h)  # (h, h, hd)
             rw = _get_rel_pos(w, w, rel_w)
@@ -193,6 +199,9 @@ class ViTBlock(nn.Module):
     use_rel_pos: bool = False
     window_size: int = 0
     input_size: tuple[int, int] | None = None
+    # rel-pos table grid for GLOBAL attention (checkpoint pretrain grid);
+    # window blocks always store window-sized tables
+    global_table_size: tuple[int, int] | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -212,6 +221,7 @@ class ViTBlock(nn.Module):
             qkv_bias=self.qkv_bias,
             use_rel_pos=self.use_rel_pos,
             input_size=attn_size,
+            table_size=None if self.window_size > 0 else self.global_table_size,
             name="attn",
         )(x)
         if self.window_size > 0:
@@ -249,11 +259,11 @@ class ImageEncoderViT(nn.Module):
             self.embed_dim, (p, p), strides=(p, p), padding="VALID", name="patch_embed"
         )(x)  # (B, H/p, W/p, E)
         grid = self.img_size // p
+        g0 = self.pretrain_img_size // p  # checkpoint grid (64 for 1024px)
         if self.use_abs_pos:
             # stored at the pretrain grid; rescaled torch-nearest
             # (src = floor(dst * in/out)) for other image sizes — bit-matches
             # the reference's F.interpolate default (encoders.py:139-143)
-            g0 = self.pretrain_img_size // p
             pos = self.param(
                 "pos_embed", nn.initializers.zeros, (1, g0, g0, self.embed_dim)
             )
@@ -270,6 +280,9 @@ class ImageEncoderViT(nn.Module):
                 use_rel_pos=self.use_rel_pos,
                 window_size=0 if i in tuple(self.global_attn_indexes) else self.window_size,
                 input_size=(x.shape[1], x.shape[2]),
+                # global rel-pos tables live at the checkpoint's pretrain
+                # grid (like pos_embed) and resize at runtime
+                global_table_size=(g0, g0),
                 name=f"blocks_{i}",
             )(x)
         # neck: 1x1 conv -> LN2d -> 3x3 conv -> LN2d (both convs bias-free)

@@ -24,9 +24,12 @@ def main(port: int, pid: int, nprocs: int, expected_file: str) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
-    # share the test suite's persistent compile cache (tests/conftest.py)
-    root = __file__.rsplit("/tests/", 1)[0]
-    cache = os.path.join(root, ".cache", "jax")
+    # per-RUN compile cache shared by both workers, NOT the repo-wide one:
+    # a stale repo-cache AOT entry (written under different CPU target
+    # features) can hit on one worker while the other compiles fresh, giving
+    # the two processes different collective schedules — their Gloo cliques
+    # then never line up and GetKeyValue times out after its hard 30 s.
+    cache = os.path.join(os.path.dirname(expected_file), "jax_cache")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -87,7 +90,16 @@ def main(port: int, pid: int, nprocs: int, expected_file: str) -> None:
         "mask": globalize(raw["mask"], P("dp")),
     }
 
-    new_state, metrics = step(state, batch_data)
+    # AOT-compile first, then rendezvous at the coordination-service barrier
+    # (10-min timeout) so BOTH processes enter the Gloo collective together —
+    # Gloo's own context-init timeout is a hard 30 s, which a cold-cache
+    # compile on a loaded machine can overshoot if one process runs ahead.
+    compiled = step.lower(state, batch_data).compile()
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        _dist.global_state.client.wait_at_barrier("fy_compiled", timeout_in_ms=600_000)
+    new_state, metrics = compiled(state, batch_data)
     jax.block_until_ready(new_state.params)
     loss = float(metrics["loss"])
     expected = float(open(expected_file).read().strip())
