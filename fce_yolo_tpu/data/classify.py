@@ -14,6 +14,7 @@ import cv2
 import numpy as np
 
 from fce_yolo_tpu.data.dataset import IMG_FORMATS
+from fce_yolo_tpu.utils.patches import imread
 
 __all__ = ["ClassificationDataset", "classify_collate"]
 
@@ -46,7 +47,7 @@ class ClassificationDataset:
 
     def __getitem__(self, i: int) -> dict:
         path, label = self.samples[i]
-        img = cv2.imread(path)
+        img = imread(path)
         if img is None:
             raise FileNotFoundError(path)
         s = self.imgsz

@@ -26,6 +26,8 @@ import cv2
 import numpy as np
 import yaml
 
+from fce_yolo_tpu.utils.patches import imread
+
 from fce_yolo_tpu.data.augment import AugmentCfg, train_augment, val_transform
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
@@ -165,7 +167,7 @@ class YOLODataset:
         """
         shapes = []
         for f in self.im_files:
-            img = cv2.imread(f)
+            img = imread(f)
             shapes.append(img.shape[:2] if img is not None else (self.imgsz, self.imgsz))
         s = np.array(shapes, np.float64)  # (N, 2) hw
         ar = s[:, 0] / s[:, 1]
@@ -211,7 +213,7 @@ class YOLODataset:
         sample_idx = self._rng.choice(n, size=min(n, 30), replace=False)
         b = 0
         for i in sample_idx:
-            img = cv2.imread(self.im_files[int(i)])
+            img = imread(self.im_files[int(i)])
             if img is not None:
                 b += img.nbytes
         required = b * n / max(len(sample_idx), 1) * 1.5  # +50% safety margin
@@ -226,7 +228,7 @@ class YOLODataset:
             for f in self.im_files:
                 npy = Path(f).with_suffix(".npy")
                 if not npy.exists():
-                    img = cv2.imread(f)
+                    img = imread(f)
                     if img is not None:
                         np.save(str(npy), img, allow_pickle=False)
                 self._npy_files.append(npy)
@@ -234,7 +236,7 @@ class YOLODataset:
             if required > self._mem_available():
                 self.cache = None
                 return
-            self._ims = [cv2.imread(f) for f in self.im_files]
+            self._ims = [imread(f) for f in self.im_files]
 
     def _load_labels(self, use_cache: bool) -> list[dict]:
         # cache key covers paths + label mtimes/sizes + task, so edited label
@@ -327,7 +329,7 @@ class YOLODataset:
         elif self._npy_files is not None and self._npy_files[i].exists():  # disk cache
             img = np.load(str(self._npy_files[i]))
         else:
-            img = cv2.imread(self.im_files[i])  # BGR HWC uint8
+            img = imread(self.im_files[i])  # BGR HWC uint8
         if img is None:
             raise FileNotFoundError(f"failed to read image {self.im_files[i]}")
         h, w = img.shape[:2]

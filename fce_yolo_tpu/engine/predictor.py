@@ -35,6 +35,8 @@ def load_source(source) -> Iterator[tuple[np.ndarray, str]]:
     """
     import cv2
 
+    from fce_yolo_tpu.utils.patches import imread
+
     if isinstance(source, (list, tuple)):
         for s in source:
             yield from load_source(s)
@@ -68,7 +70,7 @@ def load_source(source) -> Iterator[tuple[np.ndarray, str]]:
     if p.is_dir():
         for f in sorted(p.rglob("*")):
             if f.suffix[1:].lower() in IMG_FORMATS:
-                img = cv2.imread(str(f))
+                img = imread(str(f))
                 if img is not None:
                     yield img, str(f)
         return
@@ -84,7 +86,7 @@ def load_source(source) -> Iterator[tuple[np.ndarray, str]]:
                 i += 1
             cap.release()
             return
-        img = cv2.imread(str(p))
+        img = imread(str(p))
         if img is None:
             raise FileNotFoundError(f"failed to read {p}")
         yield img, str(p)

@@ -164,3 +164,23 @@ def test_working_directory_and_spaces(tmp_path):
         assert " " not in str(clean) and (Path(clean) / "x.txt").exists()
         (Path(clean) / "y.txt").write_text("2")
     assert (d / "y.txt").exists()  # synced back
+
+
+def test_unicode_safe_image_io(tmp_path):
+    """imread/imwrite round-trip through non-ASCII (CJK) paths — the fork's
+    user base (reference utils/patches.py:14-70)."""
+    import cv2
+
+    from fce_yolo_tpu.utils.patches import imread, imwrite
+
+    img = np.random.RandomState(0).randint(0, 255, (32, 48, 3), np.uint8)
+    p = tmp_path / "图像目录"
+    p.mkdir()
+    f = p / "测试_imagé.png"
+    assert imwrite(f, img)
+    back = imread(f)
+    assert back is not None and back.shape == img.shape
+    np.testing.assert_array_equal(back, img)  # png lossless
+    assert imread(tmp_path / "missing.png") is None
+    # dataset pipeline reads through the same wrapper
+    from fce_yolo_tpu.data.dataset import YOLODataset  # noqa: F401  (import check)
