@@ -12,10 +12,20 @@ Public API mirrors the reference's `from ultralytics import YOLO` facade
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "SETTINGS", "__version__"]
+__all__ = ["YOLO", "RTDETR", "SAM", "SAM2", "SAM3", "FastSAM", "NAS",
+           "YOLOWorld", "SETTINGS", "__version__"]
 
+# the reference's `from ultralytics import YOLO, RTDETR, SAM, FastSAM, NAS,
+# YOLOWorld, settings` surface (ultralytics/__init__.py)
 _LAZY = {
     "YOLO": ("fce_yolo_tpu.api", "YOLO"),
+    "RTDETR": ("fce_yolo_tpu.models.rtdetr", "RTDETR"),
+    "SAM": ("fce_yolo_tpu.models.sam", "SAM"),
+    "SAM2": ("fce_yolo_tpu.models.sam2", "SAM2"),
+    "SAM3": ("fce_yolo_tpu.models.sam3", "SAM3"),
+    "FastSAM": ("fce_yolo_tpu.models.fastsam", "FastSAM"),
+    "NAS": ("fce_yolo_tpu.models.nas", "NAS"),
+    "YOLOWorld": ("fce_yolo_tpu.models.world", "YOLOWorld"),
     "SETTINGS": ("fce_yolo_tpu.utils.settings", "SETTINGS"),
 }
 
