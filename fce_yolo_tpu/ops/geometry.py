@@ -73,7 +73,8 @@ def xyxy2xywhn(x: np.ndarray, w: int = 640, h: int = 640, clip: bool = False,
 
 def xyxyxyxy2xywhr(x: np.ndarray) -> np.ndarray:
     """(N, 4, 2) or (N, 8) corner polygons -> (N, 5) cx cy w h rad via
-    cv2.minAreaRect (reference ops.py:339; angle in [0, pi/2))."""
+    cv2.minAreaRect (reference ops.py:339: raw minAreaRect values, angle in
+    (0, pi/2]; call :func:`regularize_rboxes` separately to canonicalize)."""
     import cv2
 
     pts = np.asarray(x, np.float32).reshape(-1, 4, 2)
@@ -81,7 +82,7 @@ def xyxyxyxy2xywhr(x: np.ndarray) -> np.ndarray:
     for i, p in enumerate(pts):
         (cx, cy), (w, h), a = cv2.minAreaRect(p)
         out[i] = [cx, cy, w, h, np.deg2rad(a)]
-    return regularize_rboxes(out)
+    return out
 
 
 def xywhr2xyxyxyxy(x: np.ndarray) -> np.ndarray:
