@@ -167,8 +167,12 @@ def regularize_rboxes(rboxes: np.ndarray) -> np.ndarray:
 
 def masks2segments(masks: np.ndarray, strategy: str = "all") -> list[np.ndarray]:
     """(N, H, W) binary masks -> polygon per mask (reference ops.py:607).
-    strategy 'all': concatenate every contour; 'largest': biggest only."""
+    strategy 'all': nearest-point-splice every contour into one traversable
+    outline (via merge_multi_segment, like the reference); 'largest': the
+    contour with the most points."""
     import cv2
+
+    from fce_yolo_tpu.data.converter import merge_multi_segment
 
     out = []
     for m in np.asarray(masks, np.uint8):
@@ -177,9 +181,13 @@ def masks2segments(masks: np.ndarray, strategy: str = "all") -> list[np.ndarray]
             out.append(np.zeros((0, 2), np.float32))
             continue
         if strategy == "largest":
-            c = max(contours, key=cv2.contourArea).reshape(-1, 2)
-        else:  # 'all'
-            c = np.concatenate([x.reshape(-1, 2) for x in contours])
+            c = max(contours, key=len).reshape(-1, 2)
+        elif len(contours) > 1:  # 'all': one spliced outline
+            c = np.concatenate(
+                merge_multi_segment([x.reshape(-1, 2) for x in contours])
+            )
+        else:
+            c = contours[0].reshape(-1, 2)
         out.append(c.astype(np.float32))
     return out
 
