@@ -12,7 +12,7 @@ from pathlib import Path
 import numpy as np
 
 __all__ = ["plot_results", "plot_pr_curve", "plot_confusion_matrix", "plot_labels",
-           "plot_tune_results"]
+           "plot_tune_results", "visualize_image_annotations"]
 
 
 def _plt():
@@ -275,3 +275,39 @@ def plot_tune_results(csv_file: str | Path = "tune_results.csv",
     fig.savefig(fit_path, dpi=120)
     plt.close(fig)
     return [scatter_path, fit_path]
+
+
+def visualize_image_annotations(image_path: str | Path, txt_path: str | Path,
+                                label_map: dict[int, str],
+                                save_path: str | Path | None = None) -> str:
+    """Draw a YOLO label file's boxes + class names onto its image
+    (reference data/utils.py:252 visualize_image_annotations; headless here —
+    saves a file instead of plt.show, text color picked by box-color
+    luminance)."""
+    import cv2
+
+    from fce_yolo_tpu.utils.annotator import colors
+    from fce_yolo_tpu.utils.patches import imread, imwrite
+
+    img = imread(image_path)
+    assert img is not None, f"cannot read {image_path}"
+    h, w = img.shape[:2]
+    for line in Path(txt_path).read_text(encoding="utf-8").splitlines():
+        vals = line.split()
+        if len(vals) < 5:
+            continue
+        c = int(float(vals[0]))
+        xc, yc, bw, bh = (float(v) for v in vals[1:5])
+        x1, y1 = int((xc - bw / 2) * w), int((yc - bh / 2) * h)
+        x2, y2 = int((xc + bw / 2) * w), int((yc + bh / 2) * h)
+        color = colors(c, bgr=True)
+        cv2.rectangle(img, (x1, y1), (x2, y2), color, 2)
+        lum = 0.2126 * color[2] + 0.7152 * color[1] + 0.0722 * color[0]
+        txt = (255, 255, 255) if lum < 128 else (0, 0, 0)
+        label = label_map.get(c, str(c))
+        (tw, th), _ = cv2.getTextSize(label, cv2.FONT_HERSHEY_SIMPLEX, 0.5, 1)
+        cv2.rectangle(img, (x1, y1 - th - 6), (x1 + tw, y1), color, -1)
+        cv2.putText(img, label, (x1, y1 - 4), cv2.FONT_HERSHEY_SIMPLEX, 0.5, txt, 1)
+    out = str(save_path or Path(image_path).with_name(Path(image_path).stem + "_annotated.jpg"))
+    imwrite(out, img)
+    return out

@@ -217,3 +217,17 @@ def test_plot_tune_results(tmp_path):
     assert len(paths) == 2
     for p in paths:
         assert (tmp_path / p.split("/")[-1]).exists()
+
+
+def test_visualize_image_annotations(tmp_path):
+    import cv2
+
+    from fce_yolo_tpu.utils.plotting import visualize_image_annotations
+
+    img = np.full((100, 200, 3), 40, np.uint8)
+    cv2.imwrite(str(tmp_path / "im.jpg"), img)
+    (tmp_path / "im.txt").write_text("0 0.25 0.3 0.2 0.4\n1 0.7 0.6 0.2 0.2\n")
+    out = visualize_image_annotations(tmp_path / "im.jpg", tmp_path / "im.txt",
+                                      {0: "cat", 1: "dog"})
+    drawn = cv2.imread(out)
+    assert drawn is not None and (drawn != 40).any()  # something was drawn
