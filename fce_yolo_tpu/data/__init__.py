@@ -6,7 +6,14 @@ augmentation on the host, static padded shapes on the device.
 """
 
 from fce_yolo_tpu.data.augment import AugmentCfg, letterbox, train_augment, val_transform
-from fce_yolo_tpu.data.dataset import YOLODataset, check_det_dataset, collate
+from fce_yolo_tpu.data.dataset import (
+    YOLODataset,
+    check_det_dataset,
+    collate,
+    polygon2mask,
+    polygons2masks,
+    polygons2masks_overlap,
+)
 from fce_yolo_tpu.data.loader import DataLoader, build_dataloader
 
 __all__ = [

@@ -26,13 +26,13 @@ import cv2
 import numpy as np
 import yaml
 
-from fce_yolo_tpu.utils.patches import imread
-
 from fce_yolo_tpu.data.augment import AugmentCfg, train_augment, val_transform
+from fce_yolo_tpu.utils.patches import imread
 
 IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
 
-__all__ = ["check_det_dataset", "YOLODataset", "collate"]
+__all__ = ["check_det_dataset", "YOLODataset", "collate",
+           "polygon2mask", "polygons2masks", "polygons2masks_overlap"]
 
 
 def check_det_dataset(dataset: str | dict) -> dict:
@@ -481,3 +481,44 @@ def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb
         out["pad"] = np.array([x["pad"] for x in samples], np.float32)
         out["orig_shape"] = np.array([x["orig_shape"] for x in samples], np.int32)
     return out
+
+
+def polygon2mask(imgsz: tuple[int, int], polygons, color: int = 1,
+                 downsample_ratio: int = 1) -> np.ndarray:
+    """Rasterize polygons into one (H/r, W/r) mask (reference
+    data/utils.py:295)."""
+    mask = np.zeros(imgsz, np.uint8)
+    pts = [np.asarray(p, np.float64).reshape(-1, 2).astype(np.int32) for p in polygons]
+    cv2.fillPoly(mask, pts, color)
+    if downsample_ratio > 1:
+        mask = cv2.resize(mask, (imgsz[1] // downsample_ratio, imgsz[0] // downsample_ratio))
+    return mask
+
+
+def polygons2masks(imgsz: tuple[int, int], polygons, color: int = 1,
+                   downsample_ratio: int = 1) -> np.ndarray:
+    """One mask per polygon, stacked (N, H/r, W/r) (reference
+    data/utils.py:319)."""
+    return np.stack([
+        polygon2mask(imgsz, [p], color, downsample_ratio) for p in polygons
+    ]) if len(polygons) else np.zeros((0, imgsz[0] // downsample_ratio,
+                                       imgsz[1] // downsample_ratio), np.uint8)
+
+
+def polygons2masks_overlap(imgsz: tuple[int, int], segments,
+                           downsample_ratio: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Single (H/r, W/r) index mask where every pixel belongs to exactly one
+    instance (1-based), larger instances drawn first so smaller ones win
+    overlaps; returns (mask, area-descending order) (reference
+    data/utils.py:337)."""
+    h, w = imgsz[0] // downsample_ratio, imgsz[1] // downsample_ratio
+    masks = np.zeros((h, w), np.uint8 if len(segments) <= 255 else np.int32)
+    areas, ms = [], []
+    for seg in segments:
+        m = polygon2mask(imgsz, [seg], color=1, downsample_ratio=downsample_ratio)
+        ms.append(m)
+        areas.append(m.sum())
+    order = np.argsort(-np.asarray(areas)) if areas else np.zeros(0, np.int64)
+    for rank, idx in enumerate(order):
+        masks = np.where(ms[idx] > 0, rank + 1, masks)
+    return masks, order

@@ -602,3 +602,21 @@ def test_convert_to_multispectral(tmp_path):
     assert planes[0].mean() < 100
     # mid target between G(510) and R(650) sits between their values
     assert 150 <= planes[2].mean() <= 250
+
+
+def test_polygon_mask_helpers():
+    from fce_yolo_tpu.data import polygon2mask, polygons2masks, polygons2masks_overlap
+
+    sq = np.array([10, 10, 40, 10, 40, 40, 10, 40], np.float64)
+    big = np.array([0, 0, 60, 0, 60, 60, 0, 60], np.float64)
+    m = polygon2mask((64, 64), [sq])
+    assert m.shape == (64, 64) and m[20, 20] == 1 and m[50, 50] == 0
+    md = polygon2mask((64, 64), [sq], downsample_ratio=2)
+    assert md.shape == (32, 32)
+    ms = polygons2masks((64, 64), [sq, big])
+    assert ms.shape == (2, 64, 64)
+    overlap, order = polygons2masks_overlap((64, 64), [sq, big])
+    # big drawn first (area-desc), small overwrites: pixel inside both = small's index
+    assert list(order) == [1, 0]
+    assert overlap[20, 20] == 2  # small instance rank 2 wins the overlap
+    assert overlap[50, 50] == 1  # big-only region keeps rank 1
