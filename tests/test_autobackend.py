@@ -96,3 +96,31 @@ class TestAutoBackend:
         assert {"stablehlo", "saved_model", "tflite"} <= set(fmts)
         ok = [f for f, s in fmts.items() if s == "OK"]
         assert len(ok) >= 3, fmts
+
+    @pytest.mark.slow
+    def test_tflite_int8_roundtrip(self, trained_tiny, tmp_path):
+        """int8 PTQ artifact loads and runs through AutoBackend; raw preds
+        stay broadly faithful to fp32 (quantization-loose tolerance)."""
+        from fce_yolo_tpu.engine.exporter import export_model
+
+        import jax
+        import jax.numpy as jnp
+
+        y, img = trained_tiny
+        path = export_model(y, fmt="tflite", imgsz=64, int8=True,
+                            out_dir=str(tmp_path / "int8"))
+        m = YOLO(path)
+        assert m.backend.fmt == "tflite"
+        x = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3)).astype(np.float32)
+        got = np.asarray(m.backend(x), np.float32)
+        v = y._ensure_variables(64)
+        ref = np.asarray(jax.jit(
+            lambda v, t: y.model.apply(v, t / 255.0, train=False)["preds"]
+        )(v, jnp.asarray(x)))
+        assert got.shape == ref.shape and np.isfinite(got).all()
+        # int8 errors are large in absolute units of the raw head outputs;
+        # demand strong correlation, not closeness
+        corr = np.corrcoef(got.reshape(-1), ref.reshape(-1))[0, 1]
+        assert corr > 0.95, f"int8 preds decorrelated from fp32 (r={corr:.3f})"
+        out = m.predict(img, conf=0.25)
+        assert len(out) == 1 and out[0].boxes is not None
