@@ -117,6 +117,8 @@ HELP_MSG = """FCE-YOLO-TPU CLI — usage:  yolo-tpu TASK MODE [k=v ...]
 
   TASK: detect (default) | segment | classify | pose | obb
   MODE: train | val | predict | track | export | benchmark
+  or:   yolo-tpu solutions [count|heatmap|speed|queue|workout|crop|blur|
+        isegment|visioneye|analytics|trackzone|inference] source=... [k=v ...]
 
 examples:
   yolo-tpu detect train data=coco_custom.yaml model=yolo11n-fce.yaml epochs=100 iou_type=WIoU
@@ -137,12 +139,68 @@ TASK2MODEL = {
 }
 
 
+# `yolo solutions NAME` routing (reference cfg/__init__.py:38 SOLUTION_MAP +
+# handle_yolo_solutions:638); GUI-only streamlit app excluded
+SOLUTION_MAP = {
+    "count": "ObjectCounter",
+    "crop": "ObjectCropper",
+    "blur": "ObjectBlurrer",
+    "workout": "AIGym",
+    "heatmap": "Heatmap",
+    "isegment": "InstanceSegmentation",
+    "visioneye": "VisionEye",
+    "speed": "SpeedEstimator",
+    "queue": "QueueManager",
+    "analytics": "Analytics",
+    "inference": "Inference",
+    "trackzone": "TrackZone",
+}
+
+
+def handle_solutions(args: list[str]) -> list:
+    """`yolo-tpu solutions NAME [k=v ...]` -> run the solution over source,
+    returning the per-frame SolutionResults list (reference
+    handle_yolo_solutions; frames are saved when save_dir= is given)."""
+    import fce_yolo_tpu.solutions as S
+
+    name = args[0] if args and "=" not in args[0] else "count"
+    if name == "help" or name not in SOLUTION_MAP:
+        print(f"solutions: one of {sorted(SOLUTION_MAP)}")
+        return []
+    kv: dict[str, Any] = {}
+    structured = ("region", "regions", "slots", "selected_ids", "kpts", "classes")
+    for a in args[1:] if (args and "=" not in args[0]) else args:
+        k, v = a.split("=", 1)
+        if k in structured:  # python-literal values like [(0,50),(100,50)]
+            import ast
+
+            kv[k] = ast.literal_eval(v)
+        else:
+            kv[k] = _coerce(k, v)
+    source = kv.pop("source", None)
+    assert source, "solutions requires source=<path>"
+    save_dir = kv.pop("save_dir", None)
+    sol = getattr(S, SOLUTION_MAP[name])(**kv)
+    results = []
+    for i, r in enumerate(sol(source)):
+        results.append(r)
+        if save_dir and r.plot_im is not None:
+            import cv2
+
+            p = Path(save_dir)
+            p.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(p / f"{i:06d}.jpg"), r.plot_im)
+    return results
+
+
 def entrypoint(argv: list[str] | None = None) -> Any:
     """CLI: `yolo-tpu [task] [mode] k=v ...` (reference entrypoint:824-995)."""
     args = list(argv if argv is not None else sys.argv[1:])
     if not args or args[0] in ("help", "-h", "--help"):
         print(HELP_MSG)
         return None
+    if args[0] == "solutions":
+        return handle_solutions(args[1:])
 
     task, mode, kv = "detect", None, {}
     for a in args:

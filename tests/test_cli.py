@@ -97,3 +97,22 @@ def test_cli_task_default_models():
     for task, model in TASK2MODEL.items():
         y = YOLO(model)
         assert y.task == task, f"{model} resolved to task {y.task}"
+
+
+@pytest.mark.slow
+def test_cli_solutions_count(tiny_dataset, tmp_path):
+    """`yolo-tpu solutions count ...` runs a solution over an image-dir
+    source (reference handle_yolo_solutions, cfg/__init__.py:638)."""
+    import yaml
+
+    d = yaml.safe_load(open(tiny_dataset))
+    img_dir = Path(d["path"]) / d["val"]
+    results = entrypoint([
+        "solutions", "count", f"source={img_dir}", "model=yolo11n.yaml",
+        "region=[(0,50),(640,50)]", "conf=0.01", f"save_dir={tmp_path}/frames",
+    ])
+    assert len(results) == 4  # one SolutionResults per val image
+    assert all(hasattr(r, "in_count") for r in results)
+    assert len(list((tmp_path / "frames").glob("*.jpg"))) == 4
+    # help path lists names
+    assert entrypoint(["solutions", "help"]) == []
