@@ -16,11 +16,16 @@ __all__ = ["SpeedEstimator"]
 
 
 class SpeedEstimator(BaseSolution):
-    def __init__(self, meters_per_pixel: float = 0.05, fps: float = 30.0, window: int = 5, **kw):
+    def __init__(self, meter_per_pixel: float | None = None, fps: float | None = None,
+                 window: int | None = None, **kw):
         super().__init__(**kw)
-        self.mpp = meters_per_pixel
-        self.fps = fps
-        self.hist: dict[int, deque] = defaultdict(lambda: deque(maxlen=window))
+        # knob names follow SolutionConfig / the reference (meter_per_pixel,
+        # fps, max_hist) so CLI k=v values reach the estimator
+        self.mpp = meter_per_pixel if meter_per_pixel is not None else self.CFG.meter_per_pixel
+        self.fps = fps if fps is not None else self.CFG.fps
+        self.max_speed = self.CFG.max_speed
+        maxlen = window if window is not None else self.CFG.max_hist
+        self.hist: dict[int, deque] = defaultdict(lambda: deque(maxlen=maxlen))
         self.speeds: dict[int, float] = {}
 
     def process(self, result, tracks: np.ndarray) -> SolutionResults:
@@ -32,7 +37,9 @@ class SpeedEstimator(BaseSolution):
             pts = self.hist[tid]
             if len(pts) >= 2:
                 dist_px = float(np.linalg.norm(pts[-1] - pts[0])) / (len(pts) - 1)
-                self.speeds[tid] = dist_px * self.mpp * self.fps * 3.6  # km/h
+                # km/h, capped at max_speed (reference speed_estimation.py)
+                self.speeds[tid] = min(dist_px * self.mpp * self.fps * 3.6,
+                                       float(self.max_speed))
                 ann.adaptive_label(row[:4], f"{self.speeds[tid]:.1f} km/h",
                                    color=(104, 31, 17))
         return SolutionResults(plot_im=ann.result(),

@@ -62,7 +62,7 @@ def test_speed_estimator():
 
     from fce_yolo_tpu.solutions.speed import SpeedEstimator
 
-    s = _Stub(SpeedEstimator, mpp=0.1, fps=30.0)
+    s = _Stub(SpeedEstimator, mpp=0.1, fps=30.0, max_speed=120)
     s.hist = defaultdict(lambda: deque(maxlen=5))
     s.speeds = {}
     # object moving 10 px/frame -> 10 * 0.1 m * 30 fps * 3.6 = 108 km/h
