@@ -18,7 +18,7 @@ class VisionEye(BaseSolution):
     """Draw vision-mapping lines from a fixed eye point to every tracked
     object's centroid (reference vision_eye.py:20-67)."""
 
-    def __init__(self, vision_point: tuple[int, int] = (30, 30), **kw):
+    def __init__(self, vision_point: tuple[int, int] = (20, 20), **kw):
         super().__init__(**kw)
         self.vision_point = tuple(int(v) for v in vision_point)
 
@@ -53,7 +53,7 @@ class ObjectBlurrer(BaseSolution):
 class ObjectCropper(BaseSolution):
     """Save a crop per detection (reference object_cropper.py)."""
 
-    def __init__(self, crop_dir: str = "runs/crops", **kw):
+    def __init__(self, crop_dir: str = "cropped-detections", **kw):
         super().__init__(**kw)
         self.crop_dir = Path(crop_dir)
         self.crop_dir.mkdir(parents=True, exist_ok=True)
