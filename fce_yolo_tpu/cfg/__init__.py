@@ -272,8 +272,22 @@ def entrypoint(argv: list[str] | None = None) -> Any:
         return results
     if mode == "track":
         assert source, "track requires source=<path>"
-        return model.track(source, tracker=cfg.tracker, conf=cfg.conf or 0.25,
-                           iou=cfg.iou, imgsz=cfg.imgsz)
+        out = model.track(source, tracker=cfg.tracker, conf=cfg.conf or 0.25,
+                          iou=cfg.iou, imgsz=cfg.imgsz)
+        if cfg.save:  # annotated frames with track ids (reference save=True)
+            import cv2
+
+            from fce_yolo_tpu.solutions.annotator import SolutionAnnotator
+
+            out_dir = Path(cfg.project or f"runs/{model.task}") / (cfg.name or "track")
+            out_dir.mkdir(parents=True, exist_ok=True)
+            for i, (r, tracks) in enumerate(out):
+                ann = SolutionAnnotator(r.orig_img.copy(), cfg.line_width or 2)
+                for row in tracks:
+                    ann.box_label(row[:4], f"id{int(row[4])} {model.names.get(int(row[6]), '')}",
+                                  color=(0, 255, 0))
+                cv2.imwrite(str(out_dir / f"{i:06d}.jpg"), ann.result())
+        return out
     if mode == "export":
         from fce_yolo_tpu.engine.exporter import export_model
 

@@ -116,3 +116,18 @@ def test_cli_solutions_count(tiny_dataset, tmp_path):
     assert len(list((tmp_path / "frames").glob("*.jpg"))) == 4
     # help path lists names
     assert entrypoint(["solutions", "help"]) == []
+
+
+@pytest.mark.slow
+def test_cli_track_save(tiny_dataset, tmp_path):
+    import yaml
+
+    d = yaml.safe_load(open(tiny_dataset))
+    img_dir = Path(d["path"]) / d["val"]
+    out = entrypoint([
+        "detect", "track", "model=yolo11n.yaml", f"source={img_dir}",
+        "imgsz=64", "conf=0.01", "save=True", f"project={tmp_path}/runs",
+    ])
+    assert len(out) == 4
+    frames = list((Path(f"{tmp_path}/runs") / "track").glob("*.jpg"))
+    assert len(frames) == 4
