@@ -262,7 +262,13 @@ def entrypoint(argv: list[str] | None = None) -> Any:
             out_dir = Path(cfg.project or f"runs/{model.task}") / (cfg.name or "predict")
             out_dir.mkdir(parents=True, exist_ok=True)
             for i, r in enumerate(results):
-                stem = Path(r.path).stem if r.path not in ("array", "pil") else f"im{i}"
+                if r.path in ("array", "pil"):
+                    stem = f"im{i}"
+                elif "#frame" in r.path:  # video source: one file per frame
+                    v, fi = r.path.rsplit("#frame", 1)
+                    stem = f"{Path(v).stem}_frame{fi}"
+                else:
+                    stem = Path(r.path).stem
                 if cfg.save:
                     r.save(str(out_dir / f"{stem}.jpg"))
                 if cfg.save_txt:
