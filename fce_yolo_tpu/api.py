@@ -219,6 +219,15 @@ class YOLO:
     def __call__(self, source, **kw):
         return self.predict(source, **kw)
 
+    # ---------------------------------------------------------------- export
+    def export(self, format: str = "tflite", imgsz: int = 640, **kw) -> str:
+        """Export to a deployable artifact; returns its path (reference
+        Model.export, engine/model.py:684). Formats:
+        stablehlo | saved_model | tflite (+int8=True) | native (.fyir)."""
+        from fce_yolo_tpu.engine.exporter import export_model
+
+        return export_model(self, fmt=format, imgsz=imgsz, **kw)
+
     # ----------------------------------------------------------------- track
     def track(self, source, tracker: str = "bytetrack.yaml", stream: bool = False, **predict_kw):
         """Detection + multi-object tracking over a (video) source.

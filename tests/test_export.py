@@ -51,3 +51,15 @@ def test_export_tflite_runs(small_model, tmp_path):
     )
     assert tfl_preds.shape == ours.shape
     np.testing.assert_allclose(tfl_preds, ours, rtol=1e-2, atol=1e-3)
+
+
+def test_facade_export_method(tmp_path):
+    """model.export(...) facade delegates to export_model (reference
+    Model.export)."""
+    from fce_yolo_tpu.api import YOLO
+
+    y = YOLO("yolo11n.yaml", nc=3)
+    path = y.export(format="stablehlo", imgsz=64, out_dir=str(tmp_path))
+    assert path.endswith(".stablehlo")
+    m = YOLO(path)
+    assert m.backend is not None
