@@ -228,6 +228,24 @@ class YOLO:
 
         return export_model(self, fmt=format, imgsz=imgsz, **kw)
 
+    def benchmark(self, data: str | None = None, imgsz: int = 640, **kw) -> list[dict]:
+        """Export every format, then time + val each (reference
+        Model.benchmark -> utils/benchmarks.py:54). Returns one row dict per
+        format."""
+        from fce_yolo_tpu.utils.benchmarks import benchmark as _benchmark
+
+        return _benchmark(self, data=data, imgsz=imgsz, **kw)
+
+    def tune(self, data: str, space: dict | None = None, iterations: int = 10,
+             **train_kw) -> dict:
+        """Evolutionary hyperparameter search over short trainings
+        (reference Model.tune -> engine/tuner.py)."""
+        from fce_yolo_tpu.engine.tuner import DEFAULT_SPACE, Tuner
+
+        base = {"model": self.cfg_yaml, "data": data, **train_kw}
+        t = Tuner(space=space or DEFAULT_SPACE, base_args=base)
+        return t(iterations=iterations)
+
     # ----------------------------------------------------------------- track
     def track(self, source, tracker: str = "bytetrack.yaml", stream: bool = False, **predict_kw):
         """Detection + multi-object tracking over a (video) source.

@@ -38,3 +38,23 @@ def test_tuner_failed_run_scores_zero(tmp_path):
     t = Tuner(space={"lr0": (1e-5, 1e-1)}, tune_dir=str(tmp_path), train_fn=boom)
     out = t(iterations=2, verbose=False)
     assert out["best_fitness"] == 0.0
+
+
+def test_facade_tune(tmp_path, monkeypatch):
+    """model.tune(...) wires the Tuner with the model/data as base args."""
+    import fce_yolo_tpu.engine.tuner as T
+    from fce_yolo_tpu.api import YOLO
+
+    monkeypatch.chdir(tmp_path)  # tuner writes runs/tune under cwd
+    y = YOLO("yolo11n.yaml", nc=3)
+    # stub the expensive training with a deterministic fitness
+    captured = {}
+
+    def fake_train_once(self, hyp, it, cleanup):
+        captured.update(self.base_args)
+        return 1.0 - abs(hyp["lr0"] - 0.01)
+
+    monkeypatch.setattr(T.Tuner, "_train_once", fake_train_once)
+    out = y.tune(data="fake.yaml", space={"lr0": (1e-4, 1e-1)}, iterations=3)
+    assert out["best_fitness"] > 0 and captured["data"] == "fake.yaml"
+    assert (tmp_path / "runs" / "tune" / "tune_results.csv").exists()
