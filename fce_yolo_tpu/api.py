@@ -134,6 +134,41 @@ class YOLO:
         self._rng = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------- helpers
+    def load(self, weights: str) -> "YOLO":
+        """Load weights from a checkpoint dir or a torch .pt into THIS
+        architecture (reference Model.load, engine/model.py:356)."""
+        if is_checkpoint(weights):
+            tree, meta = load_checkpoint(weights)
+            self.variables = {"params": tree["params"],
+                              "batch_stats": tree.get("batch_stats", {})}
+            if meta.get("names"):
+                self.names = {int(k): v for k, v in meta["names"].items()}
+        elif weights.endswith(".pt"):
+            from fce_yolo_tpu.nn.import_torch import (
+                import_torch_checkpoint,
+                load_pt_state_dict,
+            )
+
+            self.variables = import_torch_checkpoint(
+                load_pt_state_dict(weights), self.model
+            )
+        else:
+            raise ValueError(f"cannot load weights from {weights!r}")
+        return self
+
+    def fuse(self) -> "YOLO":
+        """No-op for API parity (reference Model.fuse folds Conv+BN for
+        speed; here XLA folds inference BatchNorm into the convolution
+        epilogue at compile time — see nn/modules.py ConvBNAct)."""
+        return self
+
+    @property
+    def device(self) -> str:
+        """Platform of the first jax device (reference Model.device)."""
+        import jax
+
+        return jax.devices()[0].platform
+
     @property
     def nc(self) -> int:
         return self.spec.nc

@@ -161,3 +161,25 @@ def test_gate_bounds():
     y = np.asarray(m.apply(v, x))
     ratio = np.abs(y) / (np.abs(np.asarray(x)) + 1e-9)
     assert (ratio <= 1.0 + 1e-5).all()  # sigmoid gate never amplifies
+
+
+def test_facade_load_fuse_device(tmp_path):
+    """Model.load / .fuse / .device API parity (reference engine/model.py)."""
+    import jax
+
+    from fce_yolo_tpu.api import YOLO
+
+    y = YOLO("yolo11n.yaml", nc=3)
+    y._ensure_variables(64)
+    p = y.save(str(tmp_path / "w"))
+    y2 = YOLO("yolo11n.yaml", nc=3)
+    y2.load(str(tmp_path / "w"))
+    a = jax.tree_util.tree_leaves(y.variables["params"])[0]
+    b = jax.tree_util.tree_leaves(y2.variables["params"])[0]
+    assert (np.asarray(a) == np.asarray(b)).all()
+    assert y2.fuse() is y2
+    assert y2.device in ("cpu", "tpu", "axon")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        y2.load("weights.xyz")
