@@ -231,18 +231,44 @@ class Results:
             for c, n in sorted(counts.items())
         )
 
-    def summary(self) -> list[dict]:
+    def summary(self, normalize: bool = False, decimals: int = 5) -> list[dict]:
+        """Per-detection dicts incl. segments/keypoints when present
+        (reference Results.summary, engine/results.py:749)."""
+        h, w = (self.orig_shape if normalize else (1, 1))
+        seg_xy = None
+        if self.masks is not None and self.masks.data is not None:
+            from fce_yolo_tpu.ops.geometry import masks2segments
+
+            seg_xy = masks2segments(np.asarray(self.masks.data, np.uint8))
         out = []
-        for row in self.boxes.data:
+        for i, row in enumerate(self.boxes.data):
             c = int(row[5])
-            out.append(
-                {
-                    "name": self.names.get(c, str(c)),
-                    "class": c,
-                    "confidence": round(float(row[4]), 5),
-                    "box": {k: round(float(v), 2) for k, v in zip(("x1", "y1", "x2", "y2"), row[:4])},
+            item = {
+                "name": self.names.get(c, str(c)),
+                "class": c,
+                "confidence": round(float(row[4]), decimals),
+                "box": {
+                    k: round(float(v) / (w if k in ("x1", "x2") else h), decimals)
+                    for k, v in zip(("x1", "y1", "x2", "y2"), row[:4])
+                },
+            }
+            if seg_xy is not None and i < len(seg_xy) and len(seg_xy[i]):
+                # segment coords are in the mask plane; normalize by it
+                mh, mw = np.asarray(self.masks.data).shape[1:3]
+                sx, sy = ((mw, mh) if normalize else (1, 1))
+                item["segments"] = {
+                    "x": [round(float(v) / sx, decimals) for v in seg_xy[i][:, 0]],
+                    "y": [round(float(v) / sy, decimals) for v in seg_xy[i][:, 1]],
                 }
-            )
+            if self.keypoints is not None and i < len(self.keypoints.data):
+                kp = np.asarray(self.keypoints.data[i])
+                item["keypoints"] = {
+                    "x": [round(float(v) / w, decimals) for v in kp[:, 0]],
+                    "y": [round(float(v) / h, decimals) for v in kp[:, 1]],
+                    "visible": [round(float(v), decimals) for v in
+                                (kp[:, 2] if kp.shape[1] > 2 else np.ones(len(kp)))],
+                }
+            out.append(item)
         return out
 
     def to_json(self) -> str:

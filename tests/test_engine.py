@@ -131,3 +131,23 @@ def test_results_save_crop_and_getitem(tmp_path):
     assert len(r0) == 1 and int(r0.boxes.cls[0]) == 0
     r_rev = r[::-1]
     assert [int(c) for c in r_rev.boxes.cls] == [1, 0]
+
+
+def test_results_summary_segments_keypoints():
+    from fce_yolo_tpu.engine.results import Results
+
+    img = np.zeros((100, 200, 3), np.uint8)
+    boxes = np.array([[20, 10, 60, 50, 0.9, 0]], np.float32)
+    masks = np.zeros((1, 50, 100), np.float32)
+    masks[0, 5:25, 10:30] = 1
+    kpts = np.zeros((1, 3, 3), np.float32)
+    kpts[0] = [[30, 20, 1], [40, 30, 1], [50, 40, 0]]
+    r = Results(img, "x.jpg", {0: "a"}, boxes=boxes, masks=masks, keypoints=kpts)
+    s = r.summary()
+    assert s[0]["segments"]["x"] and s[0]["keypoints"]["visible"] == [1, 1, 0]
+    sn = r.summary(normalize=True)
+    assert sn[0]["box"]["x2"] == 60 / 200 and max(sn[0]["segments"]["x"]) <= 1.0
+    assert sn[0]["keypoints"]["x"][0] == 30 / 200
+    import json
+
+    json.loads(r.to_json())  # serializable
