@@ -281,6 +281,28 @@ class YOLO:
         t = Tuner(space=space or DEFAULT_SPACE, base_args=base)
         return t(iterations=iterations)
 
+    def embed(self, source, imgsz: int = 640) -> list[np.ndarray]:
+        """One pooled deep-feature vector per image (reference Model.embed,
+        engine/model.py:475: embeddings from the last model layer). Here the
+        deepest detect-head input feature map is global-average-pooled."""
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from fce_yolo_tpu.data.augment import letterbox
+        from fce_yolo_tpu.engine.predictor import load_source
+
+        v = self._ensure_variables(imgsz)
+        fwd = jax.jit(
+            lambda var, x: self.model.apply(var, x, train=False)["feats"][-1].mean((1, 2))
+        )
+        out = []
+        for img, _ in load_source(source):
+            lb, _, _ = letterbox(img, imgsz)
+            x = jnp.asarray(lb[..., ::-1].copy(), jnp.float32)[None] / 255.0
+            out.append(np.asarray(fwd(v, x))[0])
+        return out
+
     # ----------------------------------------------------------------- track
     def track(self, source, tracker: str = "bytetrack.yaml", stream: bool = False, **predict_kw):
         """Detection + multi-object tracking over a (video) source.

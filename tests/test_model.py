@@ -183,3 +183,16 @@ def test_facade_load_fuse_device(tmp_path):
 
     with _pytest.raises(ValueError):
         y2.load("weights.xyz")
+
+
+def test_facade_embed():
+    """Model.embed returns one pooled feature vector per image."""
+    from fce_yolo_tpu.api import YOLO
+
+    rng = np.random.RandomState(0)
+    y = YOLO("yolo11n.yaml", nc=3)
+    a = rng.randint(0, 255, (80, 96, 3), np.uint8)
+    b = rng.randint(0, 255, (80, 96, 3), np.uint8)
+    vecs = y.embed([a, b], imgsz=64)
+    assert len(vecs) == 2 and vecs[0].ndim == 1 and len(vecs[0]) >= 64
+    assert (vecs[0] != vecs[1]).any()  # different images -> different vecs
