@@ -162,6 +162,16 @@ class YOLO:
         epilogue at compile time — see nn/modules.py ConvBNAct)."""
         return self
 
+    def reset_weights(self, seed: int = 0) -> "YOLO":
+        """Re-initialize all parameters (reference Model.reset_weights)."""
+        import jax
+
+        from fce_yolo_tpu.nn.model import init_variables
+
+        self._rng = jax.random.PRNGKey(seed)
+        self.variables = init_variables(self.model, self._rng)
+        return self
+
     @property
     def device(self) -> str:
         """Platform of the first jax device (reference Model.device)."""

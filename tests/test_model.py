@@ -179,6 +179,17 @@ def test_facade_load_fuse_device(tmp_path):
     assert (np.asarray(a) == np.asarray(b)).all()
     assert y2.fuse() is y2
     assert y2.device in ("cpu", "tpu", "axon")
+    flat_before = {"/".join(k.key for k in p): np.asarray(v).copy()
+                   for p, v in jax.tree_util.tree_flatten_with_path(
+                       y2.variables["params"])[0]}
+    y2.reset_weights(seed=7)
+    flat_after = {"/".join(k.key for k in p): np.asarray(v)
+                  for p, v in jax.tree_util.tree_flatten_with_path(
+                      y2.variables["params"])[0]}
+    assert set(flat_before) == set(flat_after)  # same parameter tree
+    some_kernel = next(k for k in flat_before if k.endswith("kernel"))
+    assert flat_before[some_kernel].shape == flat_after[some_kernel].shape
+    assert (flat_before[some_kernel] != flat_after[some_kernel]).any()
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
