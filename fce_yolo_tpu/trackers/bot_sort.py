@@ -62,10 +62,41 @@ class GMC:
 
 
 class BOTSORT(BYTETracker):
-    def __init__(self, args: TrackerArgs | None = None, frame_rate: int = 30):
+    def __init__(self, args: TrackerArgs | None = None, frame_rate: int = 30,
+                 encoder=None):
         args = args or TrackerArgs(tracker_type="botsort")
         super().__init__(args, frame_rate)
         self.gmc = GMC(method=args.gmc_method)
+        # ReID appearance encoder: callable (img, (N,4) xyxy) -> (N, D)
+        # features. The reference's "auto" mode wraps the detector itself
+        # (bot_sort.py:189); track_stream builds the analog from YOLO.embed.
+        self.encoder = encoder if args.with_reid else None
+
+    def init_track(self, boxes, scores, classes, idxs, img=None):
+        tracks = super().init_track(boxes, scores, classes, idxs, img)
+        if self.encoder is not None and img is not None and len(tracks):
+            feats = self.encoder(img, np.asarray(boxes, float).reshape(-1, 4))
+            for t, f in zip(tracks, feats):
+                t.update_features(f)
+        return tracks
+
+    def get_dists(self, tracks, detections) -> np.ndarray:
+        """IoU (score-fused) distance, fused with appearance when ReID is on
+        (reference BOTSORT.get_dists, bot_sort.py:205): embedding distance is
+        gated by spatial proximity and the appearance threshold, then the
+        elementwise min of the two costs drives the assignment."""
+        from fce_yolo_tpu.trackers.matching import embedding_distance, fuse_score, iou_distance
+
+        dists = iou_distance(tracks, detections)
+        dists_mask = dists > (1 - self.args.proximity_thresh)
+        if self.args.fuse_score:
+            dists = fuse_score(dists, detections)
+        if self.encoder is not None:
+            emb = embedding_distance(tracks, detections) / 2.0
+            emb[emb > (1 - self.args.appearance_thresh)] = 1.0
+            emb[dists_mask] = 1.0
+            dists = np.minimum(dists, emb)
+        return dists
 
     @staticmethod
     def gmc_apply(tracks: list[STrack], warp: np.ndarray):

@@ -46,7 +46,8 @@ class STrack:
     _count = 0
     shared_kalman = KalmanFilterXYAH()
 
-    def __init__(self, xyxy: np.ndarray, score: float, cls: int, det_idx: int = -1):
+    def __init__(self, xyxy: np.ndarray, score: float, cls: int, det_idx: int = -1,
+                 feat: np.ndarray | None = None):
         self._init_xyah = self.xyxy_to_xyah(np.asarray(xyxy, float))
         self.mean: np.ndarray | None = None
         self.covariance: np.ndarray | None = None
@@ -60,6 +61,22 @@ class STrack:
         self.frame_id = 0
         self.start_frame = 0
         self.tracklet_len = 0
+        # ReID appearance state (reference BOTrack: curr/smooth feat, EMA 0.9)
+        self.curr_feat: np.ndarray | None = None
+        self.smooth_feat: np.ndarray | None = None
+        if feat is not None:
+            self.update_features(feat)
+
+    def update_features(self, feat: np.ndarray, alpha: float = 0.9):
+        """L2-normalize + exponential moving average (reference
+        BOTrack.update_features, bot_sort.py:66)."""
+        feat = np.asarray(feat, np.float32)
+        feat = feat / max(float(np.linalg.norm(feat)), 1e-12)
+        self.curr_feat = feat
+        self.smooth_feat = (
+            feat if self.smooth_feat is None else alpha * self.smooth_feat + (1 - alpha) * feat
+        )
+        self.smooth_feat /= max(float(np.linalg.norm(self.smooth_feat)), 1e-12)
 
     # --- geometry ---
     @staticmethod
@@ -101,6 +118,8 @@ class STrack:
         self.mean, self.covariance = self.kalman_filter.update(
             self.mean, self.covariance, new_track._init_xyah
         )
+        if new_track.curr_feat is not None:
+            self.update_features(new_track.curr_feat)
         self.tracklet_len = 0
         self.state = TrackState.Tracked
         self.is_activated = True
@@ -117,6 +136,8 @@ class STrack:
         self.mean, self.covariance = self.kalman_filter.update(
             self.mean, self.covariance, new_track._init_xyah
         )
+        if new_track.curr_feat is not None:
+            self.update_features(new_track.curr_feat)
         self.state = TrackState.Tracked
         self.is_activated = True
         self.score = new_track.score

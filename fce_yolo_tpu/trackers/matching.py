@@ -51,3 +51,22 @@ def linear_assignment(cost_matrix: np.ndarray, thresh: float) -> tuple[np.ndarra
     unmatched_a = np.setdiff1d(np.arange(cost_matrix.shape[0]), matches[:, 0])
     unmatched_b = np.setdiff1d(np.arange(cost_matrix.shape[1]), matches[:, 1])
     return matches, unmatched_a, unmatched_b
+
+
+def embedding_distance(tracks: list, detections: list) -> np.ndarray:
+    """Cosine distance between track smooth features and detection features
+    (reference trackers/utils/matching.py embedding_distance). Pairs missing
+    a feature get the max distance 1."""
+    m = np.ones((len(tracks), len(detections)), np.float32)
+    if not len(tracks) or not len(detections):
+        return m
+    for i, t in enumerate(tracks):
+        tf = getattr(t, "smooth_feat", None)
+        if tf is None:
+            continue
+        for j, d in enumerate(detections):
+            df = getattr(d, "curr_feat", None)
+            if df is None:
+                continue
+            m[i, j] = max(0.0, 1.0 - float(np.dot(tf, df)))
+    return m
