@@ -4,8 +4,9 @@ Rebuild of trackers/bot_sort.py:147 + trackers/utils/gmc.py:339. GMC uses
 sparse optical flow (goodFeaturesToTrack + pyramidal LK) to estimate a
 partial-affine warp between consecutive frames and applies it to the KF
 state of every track before association, which stabilizes tracking under
-camera motion. ReID embedding hooks are present but default-off
-(with_reid=False, matching the reference default).
+camera motion. ReID: detection-crop appearance features (from the
+detector itself via YOLO.embed — the reference's with_reid model="auto"
+mode) fuse into the association cost when with_reid is set.
 """
 
 from __future__ import annotations
