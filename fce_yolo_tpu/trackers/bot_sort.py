@@ -107,7 +107,6 @@ class BOTSORT(BYTETracker):
             return
         R = warp[:2, :2]
         t = warp[:2, 2]
-        R8 = np.kron(np.eye(4), R)[: 8, : 8]  # block-diagonal on (pos, vel) pairs
         # state is (cx, cy, a, h, vx, vy, va, vh): rotate (cx,cy) and (vx,vy)
         for tr in tracks:
             m = tr.mean.copy()
