@@ -6,13 +6,14 @@ import LOGGER, SETTINGS` surface; heavier submodules import lazily.
 
 from typing import Any
 
-__all__ = ["LOGGER", "SETTINGS", "Profile", "colors"]
+__all__ = ["LOGGER", "SETTINGS", "Profile", "colors", "colorstr"]
 
 _LAZY = {
     "LOGGER": ("fce_yolo_tpu.utils.logger", "LOGGER"),
     "Profile": ("fce_yolo_tpu.utils.logger", "Profile"),
     "SETTINGS": ("fce_yolo_tpu.utils.settings", "SETTINGS"),
     "colors": ("fce_yolo_tpu.utils.annotator", "colors"),
+    "colorstr": ("fce_yolo_tpu.utils.logger", "colorstr"),
 }
 
 
