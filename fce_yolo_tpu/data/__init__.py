@@ -14,11 +14,14 @@ from fce_yolo_tpu.data.dataset import (
     polygons2masks,
     polygons2masks_overlap,
 )
+from fce_yolo_tpu.data.instance import Bboxes, Instances
 from fce_yolo_tpu.data.loader import DataLoader, build_dataloader
 
 __all__ = [
     "AugmentCfg",
+    "Bboxes",
     "DataLoader",
+    "Instances",
     "YOLODataset",
     "build_dataloader",
     "check_det_dataset",

@@ -117,13 +117,22 @@ def segments2boxes(segments: list[np.ndarray]) -> np.ndarray:
 
 def resample_segments(segments: list[np.ndarray], n: int = 1000) -> list[np.ndarray]:
     """Up/down-sample each closed polygon to exactly n points by linear
-    interpolation along the closed outline (ops.py:422)."""
+    interpolation along the closed outline (ops.py:422). Upsampling keeps
+    every original vertex and inserts the extra points between them;
+    downsampling samples the outline uniformly."""
     out = []
     for s in segments:
         s = np.asarray(s, np.float32)
+        if len(s) == n:
+            out.append(s)
+            continue
         closed = np.concatenate([s, s[:1]], 0)
-        t = np.linspace(0, len(closed) - 1, n)
         xp = np.arange(len(closed))
+        if len(closed) < n:
+            t = np.linspace(0, len(closed) - 1, n - len(closed))
+            t = np.insert(t, np.searchsorted(t, xp), xp)
+        else:
+            t = np.linspace(0, len(closed) - 1, n)
         out.append(np.stack([np.interp(t, xp, closed[:, 0]),
                              np.interp(t, xp, closed[:, 1])], -1).astype(np.float32))
     return out
