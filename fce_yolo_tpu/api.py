@@ -83,6 +83,21 @@ class YOLO:
         self.ckpt_meta: dict[str, Any] = {}
         self.names: dict[int, str] = names or {}
         self.backend = None  # AutoBackend when constructed from an export
+        self.remote = None  # RemoteModel when constructed from a tcp:// URL
+        if isinstance(model, str) and model.startswith("tcp://"):
+            # remote serving endpoint (reference TritonRemoteModel routing,
+            # utils/triton.py:11 / nn/autobackend.py triton branch): the
+            # server owns the whole pipeline, predict just ships frames
+            from fce_yolo_tpu.utils.remote import RemoteModel
+
+            self.remote = RemoteModel(model)
+            self.model, self.spec, self.strides = None, None, (8, 16, 32)
+            self.variables = {}
+            self.cfg_yaml, self.scale = model, None
+            if not self.names:
+                self.names = {i: f"class_{i}" for i in range(80)}
+            self._rng = jax.random.PRNGKey(0)
+            return
         from fce_yolo_tpu.nn.autobackend import is_exported_artifact
 
         if isinstance(model, str) and is_exported_artifact(model):
@@ -223,12 +238,17 @@ class YOLO:
     # ------------------------------------------------------------- predict
     @property
     def task(self) -> str:
+        if self.remote is not None:  # the serving endpoint is detect-only
+            return "detect"
         if self.spec is None:  # exported artifact: detect-graph exports only
             return self.backend.meta.get("task", "detect")
         return self.spec.task
 
     def predict(self, source, conf: float = 0.25, iou: float = 0.7, imgsz: int = 640,
                 max_det: int = 300, batch: int = 1, stream: bool = False):
+        if self.remote is not None:
+            gen = self._predict_remote(source)
+            return gen if stream else list(gen)
         if self.task == "classify":
             gen = self._predict_classify(source, imgsz=imgsz if imgsz != 640 else 224)
             return gen if stream else list(gen)
@@ -243,6 +263,19 @@ class YOLO:
         v = self._ensure_variables(imgsz) if self.backend is None else {}
         gen = predictor.stream(v, source)
         return gen if stream else list(gen)
+
+    def _predict_remote(self, source):
+        """Remote predict: ship each frame to the serving endpoint, wrap the
+        returned rows (already in frame coordinates) as Results."""
+        from fce_yolo_tpu.engine.predictor import load_source
+        from fce_yolo_tpu.engine.results import Results
+
+        for img, path in load_source(source):
+            t0 = time.perf_counter()
+            rows = self.remote(img)
+            dt = (time.perf_counter() - t0) * 1000.0
+            yield Results(orig_img=img, path=path, names=self.names, boxes=rows,
+                          speed={"preprocess": 0.0, "inference": dt, "postprocess": 0.0})
 
     def _predict_classify(self, source, imgsz: int = 224):
         """Classification predict: val-transform -> softmax -> Results.probs

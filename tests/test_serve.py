@@ -42,6 +42,43 @@ def test_python_client_roundtrip(server):
     np.testing.assert_allclose(rows, rows2, atol=1e-4)
 
 
+def test_remote_model_client(server):
+    """RemoteModel (reference TritonRemoteModel analog) over a live server."""
+    from fce_yolo_tpu.utils.remote import RemoteModel
+
+    img = np.random.randint(0, 255, (96, 128, 3), np.uint8)
+    with RemoteModel(f"tcp://127.0.0.1:{server.port}") as rm:
+        rows = rm(img)
+        assert rows.shape[1] == 6 and rows.dtype == np.float32
+        np.testing.assert_allclose(rows, _request(server.port, img), atol=1e-4)
+        rows.fill(0)  # rows must be writable (detached from the recv buffer)
+        # reconnect path: drop the socket behind the client's back
+        rm._sock.close()
+        np.testing.assert_allclose(rm(img), _request(server.port, img), atol=1e-4)
+
+
+def test_remote_model_bad_url():
+    from fce_yolo_tpu.utils.remote import RemoteModel
+
+    with pytest.raises(ValueError, match="tcp://host:port"):
+        RemoteModel("tcp://no-port")
+
+
+def test_facade_remote_predict(server):
+    """YOLO('tcp://...') routes predict through the serving endpoint."""
+    from fce_yolo_tpu.api import YOLO
+
+    m = YOLO(f"tcp://127.0.0.1:{server.port}", names={0: "a", 1: "b", 2: "c"})
+    assert m.task == "detect"
+    img = np.random.randint(0, 255, (96, 128, 3), np.uint8)
+    results = m.predict([img, img])
+    assert len(results) == 2
+    ref = _request(server.port, img)
+    np.testing.assert_allclose(results[0].boxes.data, ref, atol=1e-4)
+    assert results[0].orig_shape == (96, 128)
+    m.remote.close()
+
+
 @pytest.mark.skipif(not CLIENT.exists(), reason="C++ client not built")
 def test_cpp_client(server, tmp_path):
     import cv2
