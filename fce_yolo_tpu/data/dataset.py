@@ -225,7 +225,9 @@ class YOLODataset:
                 self.cache = None
                 return
             self._npy_files = []
-            for f in self.im_files:
+            from fce_yolo_tpu.utils.tqdm import TQDM
+
+            for f in TQDM(self.im_files, desc="Caching images (disk)", unit="img"):
                 npy = Path(f).with_suffix(".npy")
                 if not npy.exists():
                     img = imread(f)
@@ -236,7 +238,9 @@ class YOLODataset:
             if required > self._mem_available():
                 self.cache = None
                 return
-            self._ims = [imread(f) for f in self.im_files]
+            from fce_yolo_tpu.utils.tqdm import TQDM
+
+            self._ims = [imread(f) for f in TQDM(self.im_files, desc="Caching images (ram)", unit="img")]
 
     def _load_labels(self, use_cache: bool) -> list[dict]:
         # cache key covers paths + label mtimes/sizes + task, so edited label

@@ -145,8 +145,13 @@ class DetectionValidator:
         t_infer = t_post = 0.0
         n_images = 0
 
+        from fce_yolo_tpu.utils.tqdm import TQDM
+
         first_batch = True
+        bar = TQDM(desc="val", unit="batch",
+                   total=len(loader) if hasattr(loader, "__len__") else None)
         for batch in loader:
+            bar.update(1)
             t0 = time.perf_counter()
             out = self._predict(variables, batch["img"])
             out = jax.device_get(out)
@@ -165,6 +170,7 @@ class DetectionValidator:
             t_post += time.perf_counter() - t0
             n_images += batch["n_valid"]
 
+        bar.close()
         metrics.process(nc=self.nc)
         ms = 1000.0 / max(n_images, 1)
         metrics.speed = {"preprocess": 0.0, "inference": t_infer * ms, "loss": 0.0, "postprocess": t_post * ms}

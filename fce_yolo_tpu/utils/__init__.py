@@ -6,10 +6,11 @@ import LOGGER, SETTINGS` surface; heavier submodules import lazily.
 
 from typing import Any
 
-__all__ = ["LOGGER", "SETTINGS", "Profile", "colors", "colorstr"]
+__all__ = ["LOGGER", "SETTINGS", "Profile", "TQDM", "colors", "colorstr"]
 
 _LAZY = {
     "LOGGER": ("fce_yolo_tpu.utils.logger", "LOGGER"),
+    "TQDM": ("fce_yolo_tpu.utils.tqdm", "TQDM"),
     "Profile": ("fce_yolo_tpu.utils.logger", "Profile"),
     "SETTINGS": ("fce_yolo_tpu.utils.settings", "SETTINGS"),
     "colors": ("fce_yolo_tpu.utils.annotator", "colors"),
