@@ -483,6 +483,8 @@ class YOLO:
         callbacks=None,
         tensorboard: bool = False,
         bf16: bool | None = None,
+        dataset_cls=None,
+        dataset_kw: dict | None = None,
         **hyp_overrides,
     ) -> dict:
         """Full training run: per-epoch val on EMA weights, results.csv,
@@ -527,11 +529,22 @@ class YOLO:
         aug_kw = {k: v for k, v in hyp_overrides.items() if k in AugmentCfg.__dataclass_fields__}
         hyp = AugmentCfg(**aug_kw)
         kpt_shape = tuple(self.spec.yaml_dict.get("kpt_shape", (17, 3)))
-        train_ds = YOLODataset(
-            d["train"], imgsz=imgsz, mode="train", hyp=hyp, nc=d["nc"], seed=seed,
-            task=self.task, kpt_shape=kpt_shape, flip_idx=d.get("flip_idx"),
-        )
+        if dataset_cls is not None:
+            # custom dataset (e.g. YOLOMultiModalDataset/GroundingDataset):
+            # the Python loader path; extra batch keys (txt_feats) flow
+            # through collate into the train step
+            train_ds = dataset_cls(
+                d["train"], imgsz=imgsz, mode="train", hyp=hyp, seed=seed,
+                **(dataset_kw or {}),
+            )
+        else:
+            train_ds = YOLODataset(
+                d["train"], imgsz=imgsz, mode="train", hyp=hyp, nc=d["nc"], seed=seed,
+                task=self.task, kpt_shape=kpt_shape, flip_idx=d.get("flip_idx"),
+            )
         use_native = hyp_overrides.get("native_loader")
+        if dataset_cls is not None:
+            use_native = False
         if use_native is None:  # prefer the C++ engine when built (detect-only path)
             from fce_yolo_tpu.data import native_loader as _nl
 
@@ -580,7 +593,10 @@ class YOLO:
         )
         if lr0 is not None and optimizer == "auto":
             optim_cfg = optim_cfg._replace(optimizer="AdamW" if epochs * steps_per_epoch <= 10000 else "SGD")
-        loss_cfg = DetectionLossCfg(nc=d["nc"], strides=tuple(self.strides), iou_type=iou_type)
+        # multimodal datasets score against their sampled text list, so the
+        # class-logit count is the static text slot count, not the data nc
+        loss_nc = getattr(train_ds, "max_samples", None) or d["nc"]
+        loss_cfg = DetectionLossCfg(nc=loss_nc, strides=tuple(self.strides), iou_type=iou_type)
         tx = build_optimizer(optim_cfg, v["params"], freeze=freeze)
         # true gradient accumulation to the nominal batch (reference
         # trainer.py:342-344: accumulate = round(nbs / batch))

@@ -16,12 +16,22 @@ from fce_yolo_tpu.data.dataset import (
 )
 from fce_yolo_tpu.data.instance import Bboxes, Instances
 from fce_yolo_tpu.data.loader import DataLoader, build_dataloader
+from fce_yolo_tpu.data.multimodal import (
+    GroundingDataset,
+    YOLOConcatDataset,
+    YOLOMultiModalDataset,
+    random_load_text,
+)
 
 __all__ = [
     "AugmentCfg",
     "Bboxes",
     "DataLoader",
+    "GroundingDataset",
     "Instances",
+    "YOLOConcatDataset",
+    "YOLOMultiModalDataset",
+    "random_load_text",
     "YOLODataset",
     "build_dataloader",
     "check_det_dataset",

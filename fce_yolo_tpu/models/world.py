@@ -69,10 +69,14 @@ class _TextBoundModel:
     def __getattr__(self, k):
         return getattr(self._model, k)
 
-    def apply(self, variables, x, train=False, **kw):
+    def apply(self, variables, x, train=False, txt_feats=None, **kw):
         import jax.numpy as jnp
 
-        t = jnp.broadcast_to(self._txt, (x.shape[0],) + self._txt.shape[1:])
+        # explicit per-batch texts (multimodal train step) override the bound
+        # class embeddings; engine code that passes none gets the binding
+        t = txt_feats if txt_feats is not None else jnp.broadcast_to(
+            self._txt, (x.shape[0],) + self._txt.shape[1:]
+        )
         return self._model.apply(variables, x, train=train, txt_feats=t, **kw)
 
 
@@ -107,3 +111,34 @@ class YOLOWorldTrainable(YOLOWorld):
     @_bind_text
     def val(self, *a, **kw):
         return YOLO.val(self, *a, **kw)
+
+    def train_multimodal(self, data, max_samples: int | None = None, **kw):
+        """Open-vocabulary training with per-batch sampled texts (reference
+        WorldTrainerFromScratch over YOLOMultiModalDataset,
+        models/yolo/world/train_world.py): every batch carries its own
+        positive+negative text embeddings as one static (B, M, D) tensor;
+        class logits score against those M slots. Per-epoch val uses the
+        bound full class list via the text shim."""
+        from fce_yolo_tpu.data.dataset import check_det_dataset
+
+        d = check_det_dataset(data)
+        names = d.get("names") or {i: f"class_{i}" for i in range(d["nc"])}
+        names = {int(k): str(v) for k, v in (
+            names.items() if isinstance(names, dict) else enumerate(names)
+        )}
+        # bind the full class list (first synonym each) for init + val —
+        # must happen BEFORE _bind_text captures self.txt_feats
+        self.set_classes([v.split("/")[0] for _, v in sorted(names.items())])
+        m = min(len(names), 80) if max_samples is None else max_samples
+        return self._train_multimodal_bound(data, names, m, **kw)
+
+    @_bind_text
+    def _train_multimodal_bound(self, data, names, m, **kw):
+        from fce_yolo_tpu.data.multimodal import YOLOMultiModalDataset
+
+        return YOLO.train(
+            self, data=data,
+            dataset_cls=YOLOMultiModalDataset,
+            dataset_kw={"names": names, "max_samples": m},
+            **kw,
+        )

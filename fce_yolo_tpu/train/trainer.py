@@ -104,6 +104,8 @@ def make_train_step(
         mkw = {}
         if "dn_cls" in batch:  # RT-DETR contrastive-denoising queries
             mkw["dn"] = {k: batch[k] for k in ("dn_cls", "dn_bbox", "dn_attn_mask")}
+        if "txt_feats" in batch:  # multimodal: per-batch sampled text embeddings
+            mkw["txt_feats"] = batch["txt_feats"]
         out, updates = model.apply(
             {"params": apply_params, "batch_stats": batch_stats},
             img,
