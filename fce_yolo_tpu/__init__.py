@@ -13,7 +13,7 @@ Public API mirrors the reference's `from ultralytics import YOLO` facade
 __version__ = "0.1.0"
 
 __all__ = ["YOLO", "RTDETR", "SAM", "SAM2", "SAM3", "FastSAM", "NAS",
-           "YOLOWorld", "SETTINGS", "__version__"]
+           "YOLOE", "YOLOWorld", "SETTINGS", "__version__"]
 
 # the reference's `from ultralytics import YOLO, RTDETR, SAM, FastSAM, NAS,
 # YOLOWorld, settings` surface (ultralytics/__init__.py)
@@ -25,6 +25,7 @@ _LAZY = {
     "SAM3": ("fce_yolo_tpu.models.sam3", "SAM3"),
     "FastSAM": ("fce_yolo_tpu.models.fastsam", "FastSAM"),
     "NAS": ("fce_yolo_tpu.models.nas", "NAS"),
+    "YOLOE": ("fce_yolo_tpu.models.yoloe", "YOLOE"),
     "YOLOWorld": ("fce_yolo_tpu.models.world", "YOLOWorld"),
     "SETTINGS": ("fce_yolo_tpu.utils.settings", "SETTINGS"),
 }

@@ -7,6 +7,7 @@ from fce_yolo_tpu.models.sam import SAM
 from fce_yolo_tpu.models.sam2 import SAM2, SAM2VideoPredictor
 from fce_yolo_tpu.models.sam3 import SAM3
 from fce_yolo_tpu.models.world import YOLOWorld, YOLOWorldTrainable
+from fce_yolo_tpu.models.yoloe import YOLOE
 
 __all__ = ["FastSAM", "NAS", "RTDETR", "SAM", "SAM2", "SAM2VideoPredictor",
-           "SAM3", "YOLOWorld", "YOLOWorldTrainable"]
+           "SAM3", "YOLOE", "YOLOWorld", "YOLOWorldTrainable"]

@@ -256,7 +256,8 @@ class DetectionModel(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  txt_feats: jnp.ndarray | None = None,
-                 dn: dict[str, jnp.ndarray] | None = None):
+                 dn: dict[str, jnp.ndarray] | None = None,
+                 visual_prompts: jnp.ndarray | None = None):
         saved: dict[int, jnp.ndarray] = {}
         out: Any = x
         # open-vocab threading (reference WorldModel.predict, tasks.py:896-940):
@@ -283,8 +284,12 @@ class DetectionModel(nn.Module):
                 # stays the previous layer's value (reference WorldModel
                 # forward leaves x unchanged, tasks.py:893-899)
                 txt = layer(inp, txt, train=train)
-            elif ls.name in ("WorldDetect", "YOLOEDetect", "YOLOESegment"):
+            elif ls.name == "WorldDetect":
                 out = layer(inp, txt0, train=train)
+            elif ls.name in ("YOLOEDetect", "YOLOESegment"):
+                # visual prompts (B, Q, H3, W3) switch scoring to SAVPE
+                # embeddings (reference YOLOEModel get_visual_pe, tasks.py)
+                out = layer(inp, txt0, train=train, visual_prompts=visual_prompts)
             elif ls.name == "RTDETRDecoder" and dn is not None:
                 # contrastive-denoising queries (train only; reference
                 # RTDETRDetectionModel.loss builds them via get_cdn_group)
