@@ -482,6 +482,8 @@ def collate(samples: list[dict], max_labels: int = 128, mask_ratio: int = 4, obb
         out["bboxes"] = rboxes  # (B, M, 5) xywhr replaces the axis-aligned boxes
     if "txt_feats" in samples[0]:  # multimodal: per-sample text embeddings
         out["txt_feats"] = np.stack([x["txt_feats"] for x in samples], 0).astype(np.float32)
+    if "visual_prompts" in samples[0]:  # yoloe vp-train: per-class P3 masks
+        out["visual_prompts"] = np.stack([x["visual_prompts"] for x in samples], 0)
     if "ratio" in samples[0]:  # val extras for box scale-back (host-side)
         out["ratio"] = np.array([x["ratio"] for x in samples], np.float32)
         out["pad"] = np.array([x["pad"] for x in samples], np.float32)

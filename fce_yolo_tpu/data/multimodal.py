@@ -27,7 +27,8 @@ import numpy as np
 
 from fce_yolo_tpu.data.dataset import YOLODataset
 
-__all__ = ["random_load_text", "YOLOMultiModalDataset", "GroundingDataset", "YOLOConcatDataset"]
+__all__ = ["random_load_text", "YOLOMultiModalDataset", "GroundingDataset",
+           "YOLOConcatDataset", "YOLOVisualPromptDataset"]
 
 
 def random_load_text(
@@ -271,6 +272,26 @@ def texts_flat(per_image_texts: list[list[list[str]]]) -> list[list[str]]:
                 seen.add(key)
                 out.append(t)
     return out or [[""]]
+
+
+class YOLOVisualPromptDataset(YOLODataset):
+    """GT boxes as visual prompts (reference LoadVisualPrompt, augment.py:2156
+    + YOLOEVPTrainer): every sample carries a static (nc, H/8, W/8) mask
+    stack — channel c is the union of class c's boxes on the P3 grid; absent
+    classes stay zero (SAVPE degrades those slots to global pooling)."""
+
+    def __getitem__(self, i: int) -> dict:
+        s = super().__getitem__(i)
+        h, w = s["img"].shape[:2]
+        gh, gw = h // 8, w // 8
+        masks = np.zeros((self.nc, gh, gw), np.float32)
+        for b, c in zip(np.asarray(s["bboxes"], np.float32),
+                        np.asarray(s["cls"]).astype(int)):
+            y1, y2 = int(b[1] // 8), int(np.ceil(b[3] / 8))
+            x1, x2 = int(b[0] // 8), int(np.ceil(b[2] / 8))
+            masks[c, max(y1, 0):min(y2, gh), max(x1, 0):min(x2, gw)] = 1.0
+        s["visual_prompts"] = masks
+        return s
 
 
 class YOLOConcatDataset:

@@ -128,3 +128,28 @@ class YOLOE(YOLO):
     @_bind_text
     def val(self, *a, **kw):
         return YOLO.val(self, *a, **kw)
+
+    def train_visual_prompt(self, data, **kw):
+        """Visual-prompt training (reference YOLOEVPTrainer + TVPDetectLoss,
+        models/yolo/yoloe/train.py / utils/loss.py:869): every batch carries
+        GT-derived per-class P3 prompt masks, the head scores against SAVPE
+        embeddings, and ONLY the SAVPE branch updates — backbone, box
+        branches, and the text path are frozen. Per-epoch val runs through
+        the text binding (set_classes first, or class_<i> names are used)."""
+        from fce_yolo_tpu.data.dataset import check_det_dataset
+
+        d = check_det_dataset(data)
+        names = d.get("names") or {i: f"class_{i}" for i in range(d["nc"])}
+        names = {int(k): str(v) for k, v in (
+            names.items() if isinstance(names, dict) else enumerate(names)
+        )}
+        self.set_classes([v for _, v in sorted(names.items())])
+        return self._train_vp_bound(data, ["except:savpe"], **kw)
+
+    @_bind_text
+    def _train_vp_bound(self, data, freeze, **kw):
+        from fce_yolo_tpu.data.multimodal import YOLOVisualPromptDataset
+
+        kw.setdefault("freeze", freeze)
+        return YOLO.train(self, data=data, dataset_cls=YOLOVisualPromptDataset,
+                          dataset_kw={"nc": len(self.names)}, **kw)

@@ -115,21 +115,32 @@ def _param_group_masks(params) -> tuple[Any, Any, Any]:
     return mk("decay"), mk("norm"), mk("bias")
 
 
-def freeze_mask(params, freeze: int | list[int] | None) -> Any:
+def freeze_mask(params, freeze: int | list | None) -> Any:
     """True for parameters that must NOT update (reference trainer.py:275-295:
-    freeze = first-N layer indices or an explicit index list; the reference's
-    always-frozen `.dfl` has no parameters here)."""
+    freeze = first-N layer indices or an explicit list; the reference's
+    always-frozen `.dfl` has no parameters here). List entries may mix layer
+    indices with strings: a path substring freezes matching params, and an
+    ``"except:<substring>"`` entry freezes EVERYTHING whose path does not
+    match (reference YOLOEVPTrainer: freeze all, unfreeze `.savpe`)."""
     if freeze is None:
         idxs: set[int] = set()
+        subs: list[str] = []
     elif isinstance(freeze, int):
         idxs = set(range(freeze))
+        subs = []
     else:
-        idxs = {int(i) for i in freeze}
+        idxs = {int(i) for i in freeze if not isinstance(i, str)}
+        subs = [s for s in freeze if isinstance(s, str)]
+    excepts = [s[len("except:"):] for s in subs if s.startswith("except:")]
+    subs = [s for s in subs if not s.startswith("except:")]
     names = {f"layers_{i}" for i in idxs}
 
     def tag(path, leaf):
+        full = "/".join(str(getattr(p, "key", p)) for p in path)
+        if excepts and not any(e in full for e in excepts):
+            return True
         top = str(getattr(path[0], "key", path[0]))
-        return top in names
+        return top in names or any(s in full for s in subs)
 
     return jax.tree_util.tree_map_with_path(tag, params)
 

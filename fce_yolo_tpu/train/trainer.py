@@ -106,6 +106,8 @@ def make_train_step(
             mkw["dn"] = {k: batch[k] for k in ("dn_cls", "dn_bbox", "dn_attn_mask")}
         if "txt_feats" in batch:  # multimodal: per-batch sampled text embeddings
             mkw["txt_feats"] = batch["txt_feats"]
+        if "visual_prompts" in batch:  # yoloe: GT-driven SAVPE prompt masks
+            mkw["visual_prompts"] = batch["visual_prompts"]
         out, updates = model.apply(
             {"params": apply_params, "batch_stats": batch_stats},
             img,

@@ -54,6 +54,53 @@ def test_seg_variant_builds():
     assert m.spec.needs_text
 
 
+def test_visual_prompt_dataset_masks(tiny_dataset):
+    import yaml
+
+    from fce_yolo_tpu.data.multimodal import YOLOVisualPromptDataset
+
+    d = yaml.safe_load(open(tiny_dataset))
+    ds = YOLOVisualPromptDataset(f"{d['path']}/{d['train']}", imgsz=64,
+                                 mode="train", nc=3, seed=0)
+    s = ds[0]
+    assert s["visual_prompts"].shape == (3, 8, 8)
+    # every GT box is covered by its class's mask channel
+    for b, c in zip(s["bboxes"], s["cls"].astype(int)):
+        cy, cx = int((b[1] + b[3]) / 2 // 8), int((b[0] + b[2]) / 2 // 8)
+        assert s["visual_prompts"][c, min(cy, 7), min(cx, 7)] == 1.0
+
+    from fce_yolo_tpu.data.dataset import collate
+
+    batch = collate([ds[0], ds[1]], max_labels=16)
+    assert batch["visual_prompts"].shape == (2, 3, 8, 8)
+
+
+@pytest.mark.slow
+def test_yoloe_visual_prompt_train_freezes_all_but_savpe(tiny_dataset):
+    """VP training (YOLOEVPTrainer analog): loss runs over SAVPE-scored
+    logits and ONLY savpe params update."""
+    import jax
+
+    m = YOLOE("yoloe-11.yaml", nc=3)
+    v0 = jax.tree_util.tree_map(np.array, m._ensure_variables(64)["params"])
+    # nbs=4 -> accumulate 1; warmup off + fixed lr0 so 2 steps move params
+    # visibly (the reference's 100-iter warmup clamp makes tiny runs ~1e-8)
+    res = m.train_visual_prompt(data=tiny_dataset, epochs=1, batch=4, nbs=4,
+                                imgsz=64, workers=1, val=False,
+                                optimizer="SGD", lr0=0.01, warmup_epochs=0)
+    assert res is not None
+    v1 = m.variables["params"]
+    moved, held = [], []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(v0):
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        node = v1  # walk to the corresponding trained leaf
+        for p in path:
+            node = node[getattr(p, "key", p)]
+        (moved if not np.allclose(leaf, np.asarray(node), atol=1e-7) else held).append(key)
+    assert moved and all("savpe" in k for k in moved), moved[:5]
+    assert any("savpe" not in k for k in held)
+
+
 @pytest.mark.slow
 def test_yoloe_text_train_e2e(tiny_dataset):
     m = YOLOE("yoloe-11.yaml", nc=3)
