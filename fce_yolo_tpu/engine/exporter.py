@@ -78,10 +78,13 @@ def export_model(
     stem = Path(yolo.cfg_yaml).stem + (f"{yolo.scale}" if yolo.scale else "")
     out = Path(out_dir or ".") / f"{stem}_{imgsz}"
 
+    from fce_yolo_tpu.nn.model import param_count
+
     meta = {
         "model": stem, "imgsz": imgsz, "batch": batch, "nc": yolo.nc,
         "names": yolo.names, "strides": list(yolo.strides), "nms": nms,
         "layout": "NHWC", "input": "uint8-or-float [0,255]/[0,1]",
+        "params": param_count(variables),
     }
     if fmt == "stablehlo":
         return _export_stablehlo(fn, shape, out, meta)

@@ -12,7 +12,7 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["benchmark", "profile_inference"]
+__all__ = ["benchmark", "profile_inference", "ProfileModels"]
 
 
 def profile_inference(
@@ -144,3 +144,159 @@ def benchmark(
         for r in rows:
             print(" | ".join(f"{str(v):>12}" for v in r.values()))
     return rows
+
+
+class ProfileModels:
+    """Profile a set of models for speed, parameters and FLOPs (reference
+    ``ProfileModels``, utils/benchmarks.py:370).
+
+    The reference times each model through ONNX-Runtime and TensorRT engines;
+    those runtimes don't exist here, so the TPU-native re-scope times each
+    spec through its natural runtime instead: .yaml configs and checkpoint
+    dirs through the jitted JAX forward (bf16 when ``half``), exported
+    artifacts (.tflite / SavedModel / .stablehlo / .fyir) through AutoBackend.
+    Per-run wall times are outlier-cleaned with the reference's iterative
+    sigma clipping before the mean±std row is printed.
+
+    Examples:
+        >>> ProfileModels(["yolo11n.yaml"], imgsz=640).run()
+    """
+
+    def __init__(
+        self,
+        paths: list[str],
+        num_timed_runs: int = 100,
+        num_warmup_runs: int = 10,
+        min_time: float = 10.0,
+        imgsz: int = 640,
+        half: bool = True,
+        verbose: bool = True,
+    ):
+        self.paths = list(paths)
+        self.num_timed_runs = num_timed_runs
+        self.num_warmup_runs = num_warmup_runs
+        self.min_time = min_time
+        self.imgsz = imgsz
+        self.half = half
+        self.verbose = verbose
+
+    def get_files(self) -> list:
+        """Expand the given paths: directories yield their contained model
+        specs (.yaml / exported artifacts), files pass through sorted
+        (reference get_files)."""
+        from pathlib import Path
+
+        files: list[Path] = []
+        for p in self.paths:
+            p = Path(p)
+            if p.is_dir() and not (p / "saved_model.pb").exists() and not (p / "metadata.json").exists():
+                for ext in ("*.yaml", "*.yml", "*.tflite", "*.stablehlo", "*.fyir"):
+                    files += sorted(p.glob(ext))
+            else:
+                files.append(p)
+        return files
+
+    @staticmethod
+    def iterative_sigma_clipping(data: np.ndarray, sigma: float = 2.0, max_iters: int = 3) -> np.ndarray:
+        """Drop samples beyond ``sigma`` standard deviations of the mean,
+        repeated up to ``max_iters`` times or until stable (reference
+        iterative_sigma_clipping)."""
+        data = np.asarray(data, np.float64)
+        for _ in range(max_iters):
+            mean, std = data.mean(), data.std()
+            clipped = data[(data > mean - sigma * std) & (data < mean + sigma * std)]
+            if len(clipped) == len(data) or len(clipped) == 0:
+                break
+            data = clipped
+        return data
+
+    def _sample_times(self, call) -> np.ndarray:
+        """Per-call seconds: warmup, then run until both num_timed_runs and
+        min_time are satisfied (reference's min_time extension rule)."""
+        for _ in range(self.num_warmup_runs):
+            call()
+        times: list[float] = []
+        total = 0.0
+        while len(times) < self.num_timed_runs or total < self.min_time:
+            t0 = time.perf_counter()
+            call()
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            total += dt
+            if len(times) >= 10 * self.num_timed_runs:  # hard cap
+                break
+        return np.asarray(times)
+
+    def _profile_one(self, path) -> dict[str, Any]:
+        import jax
+        import jax.numpy as jnp
+
+        from fce_yolo_tpu.api import YOLO
+
+        m = YOLO(str(path))
+        rng = np.random.RandomState(0)
+        if m.backend is not None:
+            imgsz = m.backend.imgsz or self.imgsz
+            x = rng.randint(0, 255, (m.backend.batch, imgsz, imgsz, 3)).astype(np.float32)
+            call = lambda: m.backend(x)  # noqa: E731
+            batch, runtime = m.backend.batch, m.backend.fmt
+            params = int(m.backend.meta.get("params", 0))
+            gflops = float(m.backend.meta.get("gflops", 0.0))
+        else:
+            imgsz, batch, runtime = self.imgsz, 1, "jax (native)"
+            variables = m._ensure_variables(imgsz)
+            dtype = jnp.bfloat16 if self.half else jnp.float32
+            if self.half:
+                variables = {
+                    "params": jax.tree_util.tree_map(lambda a: a.astype(dtype), variables["params"]),
+                    "batch_stats": variables.get("batch_stats", {}),
+                }
+            model = m.model
+
+            @jax.jit
+            def fwd(v, img_u8):
+                x = img_u8.astype(dtype) / 255.0
+                out = model.apply(v, x, train=False)["preds"]
+                return sum(jnp.sum(o) for o in jax.tree_util.tree_leaves(out))
+
+            img = jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+            call = lambda: float(fwd(variables, img))  # noqa: E731
+            info = m.info(flops=True, imgsz=imgsz)
+            params, gflops = info["params"], info.get("gflops", 0.0)
+
+        ms = self.iterative_sigma_clipping(self._sample_times(call) * 1000.0 / batch)
+        return {
+            "name": getattr(path, "stem", str(path)),
+            "runtime": runtime,
+            "imgsz": imgsz,
+            "ms/img": round(float(ms.mean()), 2),
+            "ms_std": round(float(ms.std()), 2),
+            "params(M)": round(params / 1e6, 2),
+            "FLOPs(B)": round(gflops, 2),
+        }
+
+    def run(self) -> list[dict[str, Any]]:
+        """Profile every resolved file; print the reference-style markdown
+        table; return the result rows."""
+        files = self.get_files()
+        if not files:
+            print("No matching model files found to profile.")
+            return []
+        rows = []
+        for f in files:
+            try:
+                rows.append(self._profile_one(f))
+            except Exception as e:  # keep the table going, like try_export
+                rows.append({"name": getattr(f, "stem", str(f)), "runtime": "FAILED",
+                             "imgsz": self.imgsz, "ms/img": None, "ms_std": None,
+                             "params(M)": None, "FLOPs(B)": None,
+                             "error": f"{type(e).__name__}: {e}"[:80]})
+        if self.verbose:
+            print(f"| {'Model':<24} | {'runtime':<12} | {'imgsz':>5} | "
+                  f"{'Speed (ms/im)':>16} | {'params (M)':>10} | {'FLOPs (B)':>9} |")
+            print("|" + "-" * 26 + "|" + "-" * 14 + "|" + "-" * 7 + "|" + "-" * 18 + "|" + "-" * 12 + "|" + "-" * 11 + "|")
+            for r in rows:
+                spd = f"{r['ms/img']} ± {r['ms_std']}" if r["ms/img"] is not None else "FAILED"
+                print(f"| {r['name']:<24} | {r['runtime']:<12} | {r['imgsz']:>5} | "
+                      f"{spd:>16} | {str(r['params(M)']):>10} | {str(r['FLOPs(B)']):>9} |")
+        return rows

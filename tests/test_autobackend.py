@@ -124,3 +124,40 @@ class TestAutoBackend:
         assert corr > 0.95, f"int8 preds decorrelated from fp32 (r={corr:.3f})"
         out = m.predict(img, conf=0.25)
         assert len(out) == 1 and out[0].boxes is not None
+
+
+class TestProfileModels:
+    """ProfileModels analog (reference utils/benchmarks.py:370)."""
+
+    def test_sigma_clipping_removes_outliers(self):
+        from fce_yolo_tpu.utils.benchmarks import ProfileModels
+
+        data = np.array([10.0, 10.1, 9.9, 10.05, 9.95, 100.0])
+        out = ProfileModels.iterative_sigma_clipping(data, sigma=2.0, max_iters=3)
+        assert 100.0 not in out and len(out) == 5
+
+    def test_profile_native_yaml(self, capsys):
+        from fce_yolo_tpu.utils.benchmarks import ProfileModels
+
+        rows = ProfileModels(
+            ["yolo11n.yaml"], num_timed_runs=2, num_warmup_runs=1, min_time=0.0,
+            imgsz=64, half=False,
+        ).run()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["runtime"] == "jax (native)" and r["ms/img"] > 0
+        assert r["params(M)"] > 1.0 and r["FLOPs(B)"] > 0
+        assert "Speed (ms/im)" in capsys.readouterr().out
+
+    @pytest.mark.slow
+    def test_profile_exported_artifact(self, trained_tiny, tmp_path):
+        from fce_yolo_tpu.engine.exporter import export_model
+        from fce_yolo_tpu.utils.benchmarks import ProfileModels
+
+        y, _ = trained_tiny
+        path = export_model(y, fmt="stablehlo", imgsz=64, out_dir=str(tmp_path))
+        rows = ProfileModels(
+            [path], num_timed_runs=2, num_warmup_runs=1, min_time=0.0, imgsz=64,
+        ).run()
+        assert rows[0]["runtime"] == "stablehlo" and rows[0]["ms/img"] > 0
+        assert rows[0]["params(M)"] > 1.0  # params recovered from export metadata
