@@ -103,6 +103,8 @@ def benchmark(
 
     from fce_yolo_tpu.api import YOLO
 
+    if isinstance(yolo, str):  # accept a spec path like the reference benchmark(model=...)
+        yolo = YOLO(yolo)
     rows = []
     prof = profile_inference(yolo, imgsz=imgsz, batch=batch)
     row = {
