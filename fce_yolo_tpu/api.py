@@ -483,6 +483,7 @@ class YOLO:
         callbacks=None,
         tensorboard: bool = False,
         bf16: bool | None = None,
+        remat: bool | str = False,
         dataset_cls=None,
         dataset_kw: dict | None = None,
         **hyp_overrides,
@@ -651,7 +652,8 @@ class YOLO:
         if bf16 is None:  # AMP analog: on for TPU by default (reference amp: True)
             bf16 = jax.default_backend() == "tpu"
         step_fn = make_train_step(
-            self.model, tx, loss_cfg, task_loss=task_loss, bf16=bf16, accumulate=accumulate
+            self.model, tx, loss_cfg, task_loss=task_loss, bf16=bf16,
+            accumulate=accumulate, remat=remat,
         )
 
         start_epoch = 0

@@ -75,6 +75,7 @@ def make_train_step(
     task_loss: Callable | None = None,
     bf16: bool = False,
     accumulate: int = 1,
+    remat: bool | str = False,
 ) -> Callable:
     """Build the jittable train step: forward -> loss -> grad -> update ->
     EMA, with NaN-rollback (reference _handle_nan_recovery analog).
@@ -91,7 +92,28 @@ def make_train_step(
     ``accumulate`` micro-batches — the loss is already batch-sum scaled —
     and the optimizer + EMA step fires only on accumulation boundaries).
     The state must be created with the same ``accumulate``.
+
+    ``remat`` trades recompute for HBM on the backward pass via
+    ``jax.checkpoint`` around the network forward — the lever for scaling
+    batch size past the activation-memory knee (the reference has no analog;
+    torch calls this activation checkpointing). ``True`` rematerializes
+    everything (~1.3x forward compute, minimal activation residency); a
+    string names a ``jax.checkpoint_policies`` entry (e.g.
+    ``"dots_saveable"`` keeps matmul outputs resident).
     """
+
+    def _apply(apply_params, batch_stats, img, mkw):
+        return model.apply(
+            {"params": apply_params, "batch_stats": batch_stats},
+            img,
+            train=True,
+            mutable=["batch_stats"],
+            **mkw,
+        )
+
+    if remat:
+        policy = getattr(jax.checkpoint_policies, remat) if isinstance(remat, str) else None
+        _apply = jax.checkpoint(_apply, policy=policy)
 
     def loss_fn(params, batch_stats, batch, loss_state):
         img = batch["img"]
@@ -108,13 +130,7 @@ def make_train_step(
             mkw["txt_feats"] = batch["txt_feats"]
         if "visual_prompts" in batch:  # yoloe: GT-driven SAVPE prompt masks
             mkw["visual_prompts"] = batch["visual_prompts"]
-        out, updates = model.apply(
-            {"params": apply_params, "batch_stats": batch_stats},
-            img,
-            train=True,
-            mutable=["batch_stats"],
-            **mkw,
-        )
+        out, updates = _apply(apply_params, batch_stats, img, mkw)
         if bf16:  # loss math in f32 for stable reductions; BN stats stay f32
             out = jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), out)
             updates = {"batch_stats": jax.tree_util.tree_map(

@@ -109,3 +109,42 @@ def test_gradient_accumulation_semantics(tiny_dataset):
     assert bool(jnp.any(p0 != leaf(state)))  # boundary: optimizer fired
     # EMA updated exactly once (on the boundary)
     assert int(state.ema.updates) == 1
+
+
+def test_remat_step_matches_plain():
+    """remat=True (jax.checkpoint around the forward) must not change the
+    training math: loss and updated params match the plain step."""
+    import jax
+    import jax.numpy as jnp
+
+    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.train.loss import DetectionLossCfg
+    from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
+    from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale="n", nc=3)
+    v = init_variables(model, jax.random.PRNGKey(0), imgsz=64)
+    cfg = OptimCfg(optimizer="SGD", warmup_epochs=0, batch_size=2, nbs=2)
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "img": jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3), np.uint8)),
+        "cls": jnp.asarray(rng.randint(0, 3, (2, 4)).astype(np.float32)),
+        "bboxes": jnp.asarray(
+            np.concatenate([rng.uniform(0.4, 0.6, (2, 4, 2)), rng.uniform(0.1, 0.2, (2, 4, 2))], -1).astype(np.float32)
+        ),
+        "mask": jnp.ones((2, 4), bool),
+    }
+
+    outs = {}
+    for remat in (False, True):
+        tx = build_optimizer(cfg, v["params"])
+        state = create_train_state(model, v, tx)
+        step = jax.jit(make_train_step(model, tx, DetectionLossCfg(nc=3), remat=remat))
+        state, mtr = step(state, batch)
+        outs[remat] = (float(mtr["loss"]), jax.tree_util.tree_leaves(state.params))
+
+    assert np.isfinite(outs[False][0])
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
+    for a, b in zip(outs[False][1], outs[True][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
