@@ -119,6 +119,7 @@ HELP_MSG = """FCE-YOLO-TPU CLI — usage:  yolo-tpu TASK MODE [k=v ...]
   MODE: train | val | predict | track | export | benchmark
   or:   yolo-tpu solutions [count|heatmap|speed|queue|workout|crop|blur|
         isegment|visioneye|analytics|trackzone|inference] source=... [k=v ...]
+  or:   yolo-tpu version | checks | settings [reset] [k=v ...] | cfg | copy-cfg
 
 examples:
   yolo-tpu detect train data=coco_custom.yaml model=yolo11n-fce.yaml epochs=100 iou_type=WIoU
@@ -193,24 +194,85 @@ def handle_solutions(args: list[str]) -> list:
     return results
 
 
+def handle_settings(args: list[str]) -> dict:
+    """`yolo-tpu settings [reset] [k=v ...]` (reference handle_yolo_settings:
+    cfg/__init__.py:555) — print, reset, or update the persistent settings."""
+    from fce_yolo_tpu.utils.settings import SETTINGS
+
+    if args and args[0] == "reset":
+        SETTINGS.reset()
+        print("settings reset to defaults")
+    elif args:
+        SETTINGS.update({k: _coerce(k, v) for k, v in
+                         (a.split("=", 1) for a in args if "=" in a)})
+    print(f"settings file: {SETTINGS.path}")
+    for k, v in SETTINGS.items():
+        print(f"  {k}={v}")
+    return dict(SETTINGS)
+
+
+def copy_default_cfg() -> Path:
+    """Copy default.yaml next to cwd for editing (reference copy_default_cfg,
+    cfg/__init__.py:805) and print the follow-up usage hint."""
+    import shutil
+
+    dst = Path.cwd() / DEFAULT_CFG_PATH.name.replace(".yaml", "_copy.yaml")
+    shutil.copy2(DEFAULT_CFG_PATH, dst)
+    print(f"{DEFAULT_CFG_PATH} copied to {dst}\n"
+          f"usage example: yolo-tpu cfg={dst.name} detect train data=coco8.yaml")
+    return dst
+
+
 def entrypoint(argv: list[str] | None = None) -> Any:
     """CLI: `yolo-tpu [task] [mode] k=v ...` (reference entrypoint:824-995)."""
     args = list(argv if argv is not None else sys.argv[1:])
-    if not args or args[0] in ("help", "-h", "--help"):
+    if not args:
         print(HELP_MSG)
         return None
-    if args[0] == "solutions":
-        return handle_solutions(args[1:])
+
+    # special no-mode commands (reference entrypoint:853-870), accepted with
+    # the same spelling forgiveness: singular forms and -/-- prefixes
+    def _version():
+        import fce_yolo_tpu
+
+        print(fce_yolo_tpu.__version__)
+        return fce_yolo_tpu.__version__
+
+    def _checks():
+        from fce_yolo_tpu.utils.checks import collect_system_info
+
+        return collect_system_info()
+
+    special = {
+        "help": lambda rest: print(HELP_MSG),
+        "version": lambda rest: _version(),
+        "checks": lambda rest: _checks(),
+        "settings": handle_settings,
+        "cfg": lambda rest: print(DEFAULT_CFG_PATH.read_text()),
+        "copy-cfg": lambda rest: copy_default_cfg(),
+        "solutions": handle_solutions,
+    }
+    aliases = dict(special)
+    for k in list(special):
+        if len(k) > 1 and k.endswith("s"):
+            aliases[k[:-1]] = special[k]  # singular: "setting", "check"
+    for k in list(aliases):
+        aliases[f"-{k}"] = aliases[f"--{k}"] = aliases[k]
+    aliases["-h"] = aliases["help"]
 
     task, mode, kv = "detect", None, {}
-    for a in args:
-        if "=" in a:
+    for i, a in enumerate(args):
+        if "=" in a and not a.startswith("-"):
             k, v = a.split("=", 1)
             kv[k] = v
         elif a in TASKS:
             task = a
         elif a in MODES:
             mode = a
+        elif a.lower() in aliases:
+            return aliases[a.lower()](args[i + 1:])
+        elif a in CFG_BOOL_KEYS:
+            kv[a] = "true"  # bare bool flag, e.g. `yolo-tpu predict ... save`
         else:
             raise SyntaxError(f"unrecognized argument {a!r}\n{HELP_MSG}")
     if mode is None:
@@ -221,7 +283,11 @@ def entrypoint(argv: list[str] | None = None) -> Any:
     model_src = kv.pop("model", None) or TASK2MODEL[task]
     source = kv.pop("source", None)
     data = kv.pop("data", None)
-    cfg = get_cfg(overrides={**kv, "task": task, "mode": mode, "model": model_src})
+    cfg_file = kv.pop("cfg", None)  # cfg=custom.yaml full-config override
+    if cfg_file:
+        print(f"Overriding {DEFAULT_CFG_PATH} with {cfg_file}")
+    cfg = get_cfg(cfg=cfg_file,
+                  overrides={**kv, "task": task, "mode": mode, "model": model_src})
 
     if cfg.device:  # NOTE: the JAX_PLATFORMS env var is ignored under the
         import jax  # axon TPU plugin; only the config API selects platforms

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["check_imgsz", "check_version", "check_numeric_stability", "cuda_is_available"]
+__all__ = ["check_imgsz", "check_version", "check_numeric_stability", "cuda_is_available",
+           "collect_system_info"]
 
 
 def check_imgsz(imgsz, stride: int = 32, min_dim: int = 1, floor: int = 0):
@@ -69,3 +70,51 @@ def check_numeric_stability(model=None, variables=None, imgsz: int = 64, atol: f
 def cuda_is_available() -> bool:
     """Always False here — the accelerator is a TPU (API-parity shim)."""
     return False
+
+
+def collect_system_info(device_timeout: float = 10.0) -> dict:
+    """Print + return environment/system info (reference
+    checks.py collect_system_info, backing the `yolo checks` CLI command).
+
+    Accelerator discovery runs in a daemon thread with a timeout: under the
+    TPU tunnel, jax.devices() can hang indefinitely when the tunnel is down,
+    and a diagnostics command must never hang.
+    """
+    import platform
+    import sys
+    import threading
+
+    import fce_yolo_tpu
+
+    info: dict = {
+        "version": fce_yolo_tpu.__version__,
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+        "executable": sys.executable,
+    }
+    for pkg in ("jax", "jaxlib", "flax", "optax", "orbax.checkpoint", "numpy"):
+        try:
+            mod = __import__(pkg)
+            # "orbax.checkpoint" imports as the top-level "orbax" namespace
+            for sub in pkg.split(".")[1:]:
+                mod = getattr(mod, sub)
+            info[pkg] = getattr(mod, "__version__", "installed")
+        except ImportError:
+            info[pkg] = "not installed"
+
+    devices: list[str] = []
+
+    def probe():
+        import jax
+
+        devices.extend(str(d) for d in jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(device_timeout)
+    info["devices"] = devices if devices else f"unavailable (no response in {device_timeout:.0f}s)"
+
+    width = max(len(k) for k in info)
+    for k, v in info.items():
+        print(f"{k:<{width}}  {v}")
+    return info

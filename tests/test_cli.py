@@ -131,3 +131,59 @@ def test_cli_track_save(tiny_dataset, tmp_path):
     assert len(out) == 4
     frames = list((Path(f"{tmp_path}/runs") / "track").glob("*.jpg"))
     assert len(frames) == 4
+
+
+def test_cli_special_commands(tmp_path, monkeypatch, capsys):
+    """Special no-mode commands (reference entrypoint:853-870): version,
+    checks, settings (print/update/reset), cfg, copy-cfg, plus the
+    singular/dash spelling forgiveness."""
+    import fce_yolo_tpu
+    import fce_yolo_tpu.utils.settings as settings_mod
+
+    # version (and dash alias)
+    assert entrypoint(["version"]) == fce_yolo_tpu.__version__
+    assert entrypoint(["--version"]) == fce_yolo_tpu.__version__
+
+    # cfg prints the default yaml
+    entrypoint(["cfg"])
+    assert "iou_type" in capsys.readouterr().out
+
+    # copy-cfg writes default_copy.yaml into cwd
+    monkeypatch.chdir(tmp_path)
+    entrypoint(["copy-cfg"])
+    assert (tmp_path / "default_copy.yaml").exists()
+
+    # settings: print, update, singular alias, reset — on an isolated file
+    monkeypatch.setattr(settings_mod, "SETTINGS",
+                        settings_mod.SettingsManager(tmp_path / "settings.json"))
+    out = entrypoint(["settings", "runs_dir=elsewhere"])
+    assert out["runs_dir"] == "elsewhere"
+    assert entrypoint(["setting"])["runs_dir"] == "elsewhere"  # persisted
+    assert entrypoint(["settings", "reset"])["runs_dir"] == "runs"
+
+    # checks: never hangs, reports versions
+    info = entrypoint(["checks"])
+    assert info["jax"] not in (None, "not installed")
+
+    # help via -h
+    entrypoint(["-h"])
+    assert "yolo-tpu TASK MODE" in capsys.readouterr().out
+
+
+def test_cli_bare_bool_and_cfg_file(tiny_dataset, tmp_path):
+    """Bare bool args auto-set True (`yolo predict ... save`) and
+    cfg=custom.yaml overrides the defaults (reference entrypoint:873-900)."""
+    import yaml
+
+    d = yaml.safe_load(open(tiny_dataset))
+    img = next((Path(d["path"]) / d["val"]).glob("*.jpg"))
+
+    custom = tmp_path / "custom.yaml"
+    custom.write_text("imgsz: 64\nconf: 0.9\n")
+    results = entrypoint([
+        "detect", "predict", "model=yolo11n.yaml", f"source={img}",
+        f"cfg={custom}", "verbose", f"project={tmp_path}/runs", "save",
+    ])
+    assert len(results) == 1
+    # save=True came from the bare flag; imgsz came from the cfg file
+    assert list((Path(f"{tmp_path}/runs") / "predict").glob("*.jpg"))
