@@ -86,12 +86,18 @@ def collect_system_info(device_timeout: float = 10.0) -> dict:
 
     import fce_yolo_tpu
 
+    from fce_yolo_tpu.utils.sysinfo import CPUInfo, GitRepo
+
     info: dict = {
         "version": fce_yolo_tpu.__version__,
         "python": platform.python_version(),
         "platform": platform.platform(),
+        "cpu": CPUInfo.name(),
         "executable": sys.executable,
     }
+    repo = GitRepo()
+    if repo.is_repo:
+        info["git"] = f"{repo.branch or 'detached'} @ {(repo.commit or '?')[:12]}"
     for pkg in ("jax", "jaxlib", "flax", "optax", "orbax.checkpoint", "numpy"):
         try:
             mod = __import__(pkg)

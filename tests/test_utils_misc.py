@@ -184,3 +184,38 @@ def test_unicode_safe_image_io(tmp_path):
     assert imread(tmp_path / "missing.png") is None
     # dataset pipeline reads through the same wrapper
     from fce_yolo_tpu.data.dataset import YOLODataset  # noqa: F401  (import check)
+
+
+class TestSysinfo:
+    """GitRepo/CPUInfo (reference utils/git.py, utils/cpu.py analogs)."""
+
+    def test_gitrepo_reads_this_repo(self):
+        from fce_yolo_tpu.utils.sysinfo import GitRepo
+
+        repo = GitRepo("/root/repo/fce_yolo_tpu")
+        assert repo.is_repo
+        assert repo.branch == "main"
+        assert repo.commit and len(repo.commit) == 40
+
+    def test_gitrepo_synthetic(self, tmp_path):
+        from fce_yolo_tpu.utils.sysinfo import GitRepo
+
+        g = tmp_path / "proj" / ".git"
+        (g / "refs" / "heads").mkdir(parents=True)
+        (g / "HEAD").write_text("ref: refs/heads/dev\n")
+        # packed ref resolution path (no loose file)
+        (g / "packed-refs").write_text(
+            "# pack-refs with: peeled\nabc123 refs/heads/dev\n")
+        (g / "config").write_text(
+            '[remote "origin"]\n\turl = https://example.com/x.git\n')
+        repo = GitRepo(tmp_path / "proj" / "src")
+        assert repo.branch == "dev"
+        assert repo.commit == "abc123"
+        assert repo.origin == "https://example.com/x.git"
+        assert not GitRepo(tmp_path).is_repo or (tmp_path / ".git").exists()
+
+    def test_cpuinfo_clean(self):
+        from fce_yolo_tpu.utils.sysinfo import CPUInfo
+
+        assert CPUInfo._clean("Intel(R) Xeon(R) CPU @ 2.20GHz") == "Intel Xeon 2.20GHz"
+        assert CPUInfo.name()  # non-empty on this box
