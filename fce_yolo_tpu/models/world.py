@@ -104,8 +104,25 @@ class YOLOWorldTrainable(YOLOWorld):
     (reference WorldTrainer: standard v8 detection loss over text-scored
     logits, models/yolo/world/train.py)."""
 
-    @_bind_text
     def train(self, *a, **kw):
+        # follow the dataset class names like the reference WorldTrainer —
+        # a stale set_classes binding with a different nc would shift the
+        # head's class-slot slicing (see YOLOE.train)
+        data = kw.get("data") or (a[0] if a else None)
+        if data is not None:
+            from fce_yolo_tpu.data.dataset import check_det_dataset
+
+            d = check_det_dataset(data)
+            names = d.get("names") or {i: f"class_{i}" for i in range(d["nc"])}
+            names = {int(k): str(v) for k, v in (
+                names.items() if isinstance(names, dict) else enumerate(names)
+            )}
+            if len(names) != len(getattr(self, "names", None) or {}):
+                self.set_classes([v for _, v in sorted(names.items())])
+        return self._train_text_bound(*a, **kw)
+
+    @_bind_text
+    def _train_text_bound(self, *a, **kw):
         return YOLO.train(self, *a, **kw)
 
     @_bind_text

@@ -118,11 +118,32 @@ class YOLOE(YOLO):
         return Results(orig_img=img, path=path, names=names, boxes=rows)
 
     # --------------------------------------------------------------- train
-    @_bind_text
     def train(self, *a, **kw):
         """Text-prompt training with the bound class embeddings (reference
         YOLOEPETrainer semantics: standard detection loss over contrastive
-        logits, models/yolo/yoloe/train.py)."""
+        logits, models/yolo/yoloe/train.py). Like the reference trainer, the
+        text embeddings follow the DATASET class names — a stale
+        ``set_classes`` binding with a different class count is re-bound
+        here (the head scores nc slots; a mismatched txt tensor would shift
+        the box/cls/coef slicing downstream)."""
+        self._rebind_to_dataset(kw.get("data") or (a[0] if a else None))
+        return self._train_text_bound(*a, **kw)
+
+    def _rebind_to_dataset(self, data) -> None:
+        if data is None:
+            return
+        from fce_yolo_tpu.data.dataset import check_det_dataset
+
+        d = check_det_dataset(data)
+        names = d.get("names") or {i: f"class_{i}" for i in range(d["nc"])}
+        names = {int(k): str(v) for k, v in (
+            names.items() if isinstance(names, dict) else enumerate(names)
+        )}
+        if len(names) != len(getattr(self, "names", None) or {}):
+            self.set_classes([v for _, v in sorted(names.items())])
+
+    @_bind_text
+    def _train_text_bound(self, *a, **kw):
         return YOLO.train(self, *a, **kw)
 
     @_bind_text

@@ -102,6 +102,24 @@ def test_yoloe_visual_prompt_train_freezes_all_but_savpe(tiny_dataset):
 
 
 @pytest.mark.slow
+def test_yoloe_seg_text_train_e2e(tiny_seg_dataset):
+    """YOLOESegTrainer analog (reference models/yolo/yoloe/train_seg.py:13):
+    the seg variant trains through the same text binding, with the segment
+    loss (box+seg+cls+dfl) over contrastive logits. Also exercises the
+    dataset-name re-bind: 3 classes are set here but the dataset has 2 —
+    train must follow the dataset names like the reference YOLOEPETrainer
+    (a stale 3-slot txt binding would shift the mask-coef slicing)."""
+    m = YOLOE("yoloe-11-seg.yaml", nc=3)
+    assert m.task == "segment"
+    m.set_classes(["circle", "square", "tri"])
+    res = m.train(data=tiny_seg_dataset, epochs=1, batch=4, imgsz=64,
+                  workers=1, val=False)
+    assert res is not None
+    out = m.predict(np.zeros((64, 64, 3), np.uint8), imgsz=64)
+    assert len(out) == 1 and out[0].masks is not None
+
+
+@pytest.mark.slow
 def test_yoloe_text_train_e2e(tiny_dataset):
     m = YOLOE("yoloe-11.yaml", nc=3)
     m.set_classes(["circle", "square", "tri"])
