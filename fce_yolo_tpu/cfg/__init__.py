@@ -295,7 +295,9 @@ def entrypoint(argv: list[str] | None = None) -> Any:
         jax.config.update("jax_platforms", str(cfg.device))
 
     from fce_yolo_tpu.api import YOLO
+    from fce_yolo_tpu.utils.events import EVENTS
 
+    EVENTS(cfg)  # local JSONL spool; only when SETTINGS["sync"] opts in
     model = YOLO(model_src)
     if mode == "train":
         assert data, "train requires data=<dataset.yaml>"

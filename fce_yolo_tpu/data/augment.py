@@ -494,6 +494,56 @@ def mosaic9(samples: list[dict], imgsz: int, rng: np.random.Generator) -> dict:
     return out
 
 
+class Albumentations:
+    """Optional pixel-level augmentation bridge (reference data/augment.py:1775).
+
+    When the `albumentations` package is installed, applies the reference's
+    pixel transform set (Blur / MedianBlur / ToGray / CLAHE at small probs)
+    to the image only — box-safe by construction. When absent (the normal
+    case in this environment) it is a logged no-op; the pipeline is
+    unchanged. Randomness is seeded from the dataset's explicit RNG so runs
+    stay reproducible.
+    """
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as A
+
+            self.transform = A.Compose([
+                A.Blur(p=0.01),
+                A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01),
+                A.CLAHE(p=0.01),
+            ])
+        except ImportError:
+            pass
+        except Exception as e:  # pragma: no cover - version drift
+            from fce_yolo_tpu.utils.logger import LOGGER
+
+            LOGGER.warning(f"Albumentations bridge disabled: {e}")
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if self.transform is None or rng.random() >= self.p:
+            return sample
+        import random as _random
+
+        _random.seed(int(rng.integers(0, 2**31)))
+        sample["img"] = self.transform(image=sample["img"])["image"]
+        return sample
+
+
+_ALBUMENTATIONS: Albumentations | None = None
+
+
+def _albumentations() -> Albumentations:
+    global _ALBUMENTATIONS
+    if _ALBUMENTATIONS is None:
+        _ALBUMENTATIONS = Albumentations()
+    return _ALBUMENTATIONS
+
+
 def train_augment(
     get_sample,
     index: int,
@@ -533,6 +583,7 @@ def train_augment(
             get_sample, int(rng.integers(0, n_total)), n_total, imgsz, _no_mix(cfg), rng, mosaic_enabled
         )
         sample = cutmix(sample, other, rng)
+    sample = _albumentations()(sample, rng)
     sample["img"] = random_hsv(sample["img"], rng, cfg)
     sample = random_flip(sample, rng, cfg)
     return sample

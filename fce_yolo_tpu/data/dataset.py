@@ -35,13 +35,40 @@ __all__ = ["check_det_dataset", "YOLODataset", "collate",
            "polygon2mask", "polygons2masks", "polygons2masks_overlap"]
 
 
+def _resolve_dataset_yaml(dataset: str | Path) -> Path:
+    """Resolve a dataset spec to a YAML file path.
+
+    Mirrors the reference's name lookup (data/utils.py check_det_dataset +
+    checks.check_file): an existing path wins; otherwise a bare name like
+    ``coco8.yaml`` / ``coco8`` resolves against the packaged registry
+    (``fce_yolo_tpu/cfg/datasets/``), so reference-style ``data=coco8.yaml``
+    CLI calls work unchanged.
+    """
+    p = Path(dataset)
+    if p.exists():
+        return p
+    registry = Path(__file__).resolve().parent.parent / "cfg" / "datasets"
+    name = p.name if p.suffix in (".yaml", ".yml") else p.name + ".yaml"
+    for cand in (registry / name, registry / name.replace(".yml", ".yaml")):
+        if cand.exists():
+            return cand
+    hits = sorted(registry.glob("*.yaml"))
+    known = ", ".join(h.stem for h in hits)
+    raise FileNotFoundError(
+        f"dataset '{dataset}' not found as a file and not in the packaged "
+        f"registry ({known})")
+
+
 def check_det_dataset(dataset: str | dict) -> dict:
     """Load + normalize a dataset YAML (reference data/utils.py check_det_dataset).
 
     Returns {"path", "train", "val", "names", "nc"} with absolute paths.
-    No auto-download (zero-egress environment) — missing paths raise.
+    Bare names resolve against the packaged cfg/datasets registry. No
+    auto-download (zero-egress environment) — missing paths raise with the
+    dataset's original download URL in the message when known.
     """
     if isinstance(dataset, (str, Path)):
+        dataset = _resolve_dataset_yaml(dataset)
         with open(dataset) as f:
             d = yaml.safe_load(f)
         yaml_dir = Path(dataset).resolve().parent
@@ -58,7 +85,16 @@ def check_det_dataset(dataset: str | dict) -> dict:
 
     root = Path(d.get("path", ".")).expanduser()
     if not root.is_absolute():
-        root = (yaml_dir / root).resolve()
+        # Data next to the YAML wins (local fixtures); otherwise resolve
+        # against the datasets dir (FY_DATASETS_DIR env > SETTINGS), the
+        # reference's DATASETS_DIR semantics (data/utils.py).
+        local = (yaml_dir / root).resolve()
+        if local.exists():
+            root = local
+        else:
+            from fce_yolo_tpu.utils.settings import SETTINGS
+            base = Path(os.environ.get("FY_DATASETS_DIR", SETTINGS["datasets_dir"])).expanduser()
+            root = (base if base.is_absolute() else Path.cwd() / base) / root
     d["path"] = str(root)
     for split in ("train", "val", "test"):
         if d.get(split):
@@ -68,7 +104,8 @@ def check_det_dataset(dataset: str | dict) -> dict:
             d[split] = resolved[0] if isinstance(v, str) else resolved
             for p in resolved:
                 if not os.path.exists(p):
-                    raise FileNotFoundError(f"dataset {split} path not found: {p}")
+                    hint = f" (no auto-download here; original source: {d['download']})" if d.get("download") else ""
+                    raise FileNotFoundError(f"dataset {split} path not found: {p}{hint}")
     return d
 
 

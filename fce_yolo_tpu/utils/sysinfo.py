@@ -12,7 +12,7 @@ import platform
 import re
 from pathlib import Path
 
-__all__ = ["GitRepo", "CPUInfo"]
+__all__ = ["GitRepo", "CPUInfo", "TPUInfo"]
 
 
 class GitRepo:
@@ -112,3 +112,70 @@ class CPUInfo:
 
     def __str__(self) -> str:
         return self.name()
+
+
+class TPUInfo:
+    """Accelerator inventory + idle-device selection (reference
+    utils/autodevice.py GPUInfo, TPU-native).
+
+    The reference queries NVML for per-GPU utilization/memory and picks the
+    most idle cards. The JAX analog reads ``device.memory_stats()`` (HBM
+    bytes_in_use / bytes_limit) for every local accelerator and ranks by
+    free HBM — the metric that actually gates placement on TPUs.
+    """
+
+    def __init__(self) -> None:
+        self.device_stats: list[dict] = []
+        self.refresh_stats()
+
+    def refresh_stats(self) -> None:
+        """Re-query every local non-CPU JAX device; never raises."""
+        self.device_stats = []
+        try:
+            import jax
+
+            for d in jax.local_devices():
+                if d.platform == "cpu":
+                    continue
+                stats = {}
+                try:
+                    stats = d.memory_stats() or {}
+                except Exception:
+                    pass
+                limit = int(stats.get("bytes_limit", 0))
+                used = int(stats.get("bytes_in_use", 0))
+                self.device_stats.append({
+                    "index": d.id,
+                    "name": getattr(d, "device_kind", d.platform),
+                    "platform": d.platform,
+                    "memory_total": limit,
+                    "memory_used": used,
+                    "memory_free": max(limit - used, 0),
+                })
+        except Exception:
+            pass
+
+    def print_status(self) -> None:
+        """Compact per-device table like the reference's print_status."""
+        from fce_yolo_tpu.utils.logger import LOGGER
+
+        if not self.device_stats:
+            LOGGER.info("TPUInfo: no accelerator devices visible")
+            return
+        for s in self.device_stats:
+            gib = 1 << 30
+            LOGGER.info(
+                f"  device {s['index']}: {s['name']} "
+                f"({s['memory_used'] / gib:.2f}/{s['memory_total'] / gib:.2f} GiB HBM used)")
+
+    def select_idle_device(self, count: int = 1, min_memory_fraction: float = 0.0) -> list[int]:
+        """Indices of the `count` devices with the most free HBM.
+
+        Devices whose free fraction is below ``min_memory_fraction`` are
+        excluded (reference select_idle_gpu semantics).
+        """
+        self.refresh_stats()
+        ok = [s for s in self.device_stats
+              if not s["memory_total"] or s["memory_free"] >= min_memory_fraction * s["memory_total"]]
+        ok.sort(key=lambda s: s["memory_free"], reverse=True)
+        return [s["index"] for s in ok[:count]]

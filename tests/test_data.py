@@ -82,6 +82,38 @@ def test_check_det_dataset(tiny_dataset):
     assert d["train"].endswith("images/train")
 
 
+def test_dataset_registry_resolution(tmp_path, monkeypatch):
+    """Bare names resolve against the packaged cfg/datasets registry.
+
+    Reference users write data=coco8.yaml with no path (data/utils.py
+    check_det_dataset); the packaged registry makes that work here, with a
+    no-download error that carries the original source URL.
+    """
+    import pytest
+
+    from fce_yolo_tpu.data.dataset import _resolve_dataset_yaml
+
+    # bare name, with and without suffix
+    p = _resolve_dataset_yaml("coco8.yaml")
+    assert p.exists() and p.parent.name == "datasets"
+    assert _resolve_dataset_yaml("coco8") == p
+    # pose metadata carried through
+    import yaml as _yaml
+    pose = _yaml.safe_load(_resolve_dataset_yaml("coco8-pose.yaml").read_text())
+    assert pose["kpt_shape"] == [17, 3] and len(pose["flip_idx"]) == 17
+    # unknown name lists the registry
+    with pytest.raises(FileNotFoundError, match="packaged registry"):
+        _resolve_dataset_yaml("definitely-not-a-dataset.yaml")
+    # data absent locally -> FileNotFoundError citing the download URL
+    monkeypatch.setenv("FY_DATASETS_DIR", str(tmp_path / "nowhere"))
+    with pytest.raises(FileNotFoundError, match="original source"):
+        check_det_dataset("coco8.yaml")
+    # names table intact for the fork's 80-class COCO family
+    import fce_yolo_tpu.data.dataset as dsmod
+    d = _yaml.safe_load(_resolve_dataset_yaml("coco128.yaml").read_text())
+    assert len(d["names"]) == 80 and d["names"][79] == "toothbrush"
+
+
 def test_dataset_val_mode(tiny_dataset):
     d = check_det_dataset(tiny_dataset)
     ds = YOLODataset(d["val"], imgsz=128, mode="val")
@@ -620,3 +652,20 @@ def test_polygon_mask_helpers():
     assert list(order) == [1, 0]
     assert overlap[20, 20] == 2  # small instance rank 2 wins the overlap
     assert overlap[50, 50] == 1  # big-only region keeps rank 1
+
+
+def test_albumentations_bridge_graceful():
+    """Reference data/augment.py:1775 bridge: package absent -> exact no-op."""
+    import numpy as np
+
+    from fce_yolo_tpu.data.augment import Albumentations
+
+    a = Albumentations()
+    s = {"img": np.random.default_rng(0).integers(0, 255, (32, 32, 3)).astype(np.uint8),
+         "cls": np.zeros((0,)), "bboxes": np.zeros((0, 4))}
+    before = s["img"].copy()
+    out = a(s, np.random.default_rng(1))
+    if a.transform is None:  # this environment: albumentations not installed
+        np.testing.assert_array_equal(out["img"], before)
+    else:  # with the package: image may change, geometry never does
+        assert out["img"].shape == before.shape

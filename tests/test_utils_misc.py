@@ -219,3 +219,59 @@ class TestSysinfo:
 
         assert CPUInfo._clean("Intel(R) Xeon(R) CPU @ 2.20GHz") == "Intel Xeon 2.20GHz"
         assert CPUInfo.name()  # non-empty on this box
+
+
+class TestEventsAndTPUInfo:
+    """Events local-spool analog (reference utils/events.py) + TPUInfo
+    (reference utils/autodevice.py GPUInfo)."""
+
+    def test_events_disabled_by_default(self, tmp_path):
+        from fce_yolo_tpu.utils.events import Events
+
+        ev = Events(path=tmp_path / "events.jsonl")
+        assert not ev.enabled  # sync=False default AND under pytest
+        ev({"task": "detect", "mode": "train", "model": "yolo11n"})
+        assert not (tmp_path / "events.jsonl").exists()
+
+    def test_events_spool_and_rate_limit(self, tmp_path):
+        import json
+
+        from fce_yolo_tpu.utils.events import Events
+
+        ev = Events(path=tmp_path / "events.jsonl")
+        ev.enabled = True  # opt-in
+        ev.rate_limit = 0.0
+        ev({"task": "segment", "mode": "val", "model": "yolo11n-seg"})
+        lines = (tmp_path / "events.jsonl").read_text().splitlines()
+        assert len(lines) == 1
+        e = json.loads(lines[0])
+        assert e["name"] == "val" and e["params"]["task"] == "segment"
+        assert "version" in e["params"] and "cpu" in e["params"]
+        # non-standard task/mode fall back to "other" like the reference
+        ev({"task": "alchemy", "mode": "transmute"})
+        e2 = json.loads((tmp_path / "events.jsonl").read_text().splitlines()[-1])
+        assert e2["name"] == "other" and e2["params"]["task"] == "other"
+        # rate limit: queue but don't write
+        ev.rate_limit = 3600.0
+        ev({"task": "detect", "mode": "train"})
+        assert len((tmp_path / "events.jsonl").read_text().splitlines()) == 2
+        assert len(ev.events) == 1
+
+    def test_tpuinfo_inventory_and_selection(self):
+        from fce_yolo_tpu.utils.sysinfo import TPUInfo
+
+        info = TPUInfo()  # CPU-only test env: empty inventory, no crash
+        info.print_status()
+        assert isinstance(info.device_stats, list)
+        sel = info.select_idle_device(count=2)
+        assert isinstance(sel, list) and len(sel) <= 2
+        # ranking logic on synthetic stats
+        info.refresh_stats = lambda: None
+        info.device_stats = [
+            {"index": 0, "name": "tpu", "platform": "tpu",
+             "memory_total": 100, "memory_used": 90, "memory_free": 10},
+            {"index": 1, "name": "tpu", "platform": "tpu",
+             "memory_total": 100, "memory_used": 10, "memory_free": 90},
+        ]
+        assert info.select_idle_device(count=1) == [1]
+        assert info.select_idle_device(count=2, min_memory_fraction=0.5) == [1]
