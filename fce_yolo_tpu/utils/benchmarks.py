@@ -8,11 +8,12 @@ the reference-style table and returns rows as dicts.
 from __future__ import annotations
 
 import time
+from pathlib import Path
 from typing import Any
 
 import numpy as np
 
-__all__ = ["benchmark", "profile_inference", "ProfileModels"]
+__all__ = ["benchmark", "profile_inference", "ProfileModels", "RF100Benchmark"]
 
 
 def profile_inference(
@@ -302,3 +303,78 @@ class ProfileModels:
                 print(f"| {r['name']:<24} | {r['runtime']:<12} | {r['imgsz']:>5} | "
                       f"{spd:>16} | {str(r['params(M)']):>10} | {str(r['FLOPs(B)']):>9} |")
         return rows
+
+
+class RF100Benchmark:
+    """Multi-dataset val benchmark (reference utils/benchmarks.py:228).
+
+    The reference drives the Roboflow-100 collection: download each dataset
+    via the Roboflow SDK, val the model per dataset, scrape the console log
+    for per-class mAP and append it to an eval log. This environment has no
+    egress, so the TPU-native analog keeps the reference's workflow shape —
+    ``parse_dataset`` -> per-dataset ``evaluate`` -> eval-log summary — over
+    *local* dataset checkouts: any directory containing ``<ds>/data.yaml``
+    laid out the Roboflow way (train/images, valid/images). Metrics come
+    straight from the validator's dict instead of log scraping.
+    """
+
+    def __init__(self):
+        self.ds_names: list[str] = []
+        self.ds_cfg_list: list = []
+        self.val_metrics = ["class", "images", "targets", "precision", "recall", "map50", "map95"]
+
+    def set_key(self, api_key: str):
+        """The reference wires the Roboflow SDK here; impossible offline."""
+        raise RuntimeError(
+            "RF100Benchmark.set_key: no network egress in this environment - "
+            "place dataset checkouts locally and call parse_dataset(root_dir)")
+
+    def parse_dataset(self, root_dir: str = "rf-100"):
+        """Collect every `<dataset>/data.yaml` under root_dir (local analog
+        of the reference's download loop)."""
+        root = Path(root_dir)
+        if not root.is_dir():
+            raise FileNotFoundError(f"RF100Benchmark: {root} is not a directory")
+        self.ds_names, self.ds_cfg_list = [], []
+        for cfg in sorted(root.glob("*/data.yaml")):
+            self.fix_yaml(cfg)
+            self.ds_names.append(cfg.parent.name)
+            self.ds_cfg_list.append(cfg)
+        return self.ds_names, self.ds_cfg_list
+
+    @staticmethod
+    def fix_yaml(path):
+        """Normalize Roboflow split paths (reference fix_yaml)."""
+        import yaml as _yaml
+
+        d = _yaml.safe_load(path.read_text())
+        changed = d.get("train") != "train/images" or d.get("val") != "valid/images"
+        if (path.parent / "train" / "images").exists():
+            d["train"] = "train/images"
+        if (path.parent / "valid" / "images").exists():
+            d["val"] = "valid/images"
+        if changed:
+            path.write_text(_yaml.safe_dump(d, sort_keys=False))
+
+    def evaluate(self, yaml_path, eval_log_file, model, list_ind: int = 0, **val_kw) -> float:
+        """Val `model` on one dataset; append `name: mAP50` to the eval log.
+
+        `model` is a YOLO facade (or anything with .val(data=...) returning a
+        metrics dict) — the validator's numbers are used directly where the
+        reference scrapes its console log.
+        """
+        res = model.val(data=str(yaml_path), verbose=False, **val_kw)
+        map50 = float(res.get("metrics/mAP50(B)", res.get("map50", 0.0)))
+        name = self.ds_names[list_ind] if list_ind < len(self.ds_names) else Path(str(yaml_path)).parent.name
+        with open(eval_log_file, "a", encoding="utf-8") as f:
+            f.write(f"{name}: {map50}\n")
+        return map50
+
+    def run(self, model, root_dir: str = "rf-100", eval_log_file: str = "rf100_eval.txt", **val_kw):
+        """Convenience loop: parse + evaluate every local dataset; returns
+        {name: mAP50}."""
+        self.parse_dataset(root_dir)
+        out = {}
+        for i, cfg in enumerate(self.ds_cfg_list):
+            out[self.ds_names[i]] = self.evaluate(cfg, eval_log_file, model, i, **val_kw)
+        return out

@@ -275,3 +275,51 @@ class TestEventsAndTPUInfo:
         ]
         assert info.select_idle_device(count=1) == [1]
         assert info.select_idle_device(count=2, min_memory_fraction=0.5) == [1]
+
+
+class TestRF100Benchmark:
+    """Local-checkout analog of reference RF100Benchmark (benchmarks.py:228)."""
+
+    def _make_checkout(self, tmp_path, tiny_dataset):
+        """Lay a Roboflow-style `<ds>/data.yaml` checkout over the tiny set."""
+        import shutil
+
+        import yaml as _yaml
+
+        src = _yaml.safe_load(open(tiny_dataset))
+        for name in ("ds-alpha", "ds-beta"):
+            d = tmp_path / "rf-100" / name
+            (d / "train").mkdir(parents=True)
+            (d / "valid").mkdir(parents=True)
+            root = Path(src["path"])
+            shutil.copytree(root / "images" / "train", d / "train" / "images")
+            shutil.copytree(root / "labels" / "train", d / "train" / "labels")
+            shutil.copytree(root / "images" / "val", d / "valid" / "images")
+            shutil.copytree(root / "labels" / "val", d / "valid" / "labels")
+            (d / "data.yaml").write_text(
+                "train: wrong/images\nval: also/wrong\n"
+                "names:\n  0: circle\n  1: square\n  2: tri\n")
+        return tmp_path / "rf-100"
+
+    def test_parse_fix_and_evaluate(self, tmp_path, tiny_dataset):
+        from fce_yolo_tpu.utils.benchmarks import RF100Benchmark
+
+        bench = RF100Benchmark()
+        with pytest.raises(RuntimeError, match="egress"):
+            bench.set_key("k")
+        root = self._make_checkout(tmp_path, tiny_dataset)
+        names, cfgs = bench.parse_dataset(str(root))
+        assert names == ["ds-alpha", "ds-beta"] and len(cfgs) == 2
+        import yaml as _yaml
+        fixed = _yaml.safe_load(cfgs[0].read_text())
+        assert fixed["train"] == "train/images" and fixed["val"] == "valid/images"
+
+        class FakeModel:  # validator contract only; e2e val is covered elsewhere
+            def val(self, data, **kw):
+                assert Path(data).exists()
+                return {"metrics/mAP50(B)": 0.5, "metrics/mAP50-95(B)": 0.3}
+
+        log = tmp_path / "eval.txt"
+        out = bench.run(FakeModel(), str(root), str(log))
+        assert out == {"ds-alpha": 0.5, "ds-beta": 0.5}
+        assert log.read_text() == "ds-alpha: 0.5\nds-beta: 0.5\n"
