@@ -159,3 +159,41 @@ class Tuner:
         if cleanup:
             shutil.rmtree(run_dir, ignore_errors=True)
         return max(out.get("best_fitness", 0.0), 0.0)
+
+
+def run_ray_tune(model, space: dict | None = None, grace_period: int = 10,
+                 gpu_per_trial: int | None = None, max_samples: int = 10,
+                 **train_args):
+    """Ray Tune bridge (reference utils/tuner.py:9 run_ray_tune).
+
+    When the `ray` package is installed, runs an ASHA-scheduled search over
+    `space` by calling `model.train(**hyp, **train_args)` per trial. Without
+    ray (the normal case in this environment) it raises ModuleNotFoundError
+    pointing at the built-in genetic `Tuner` — the same contract the
+    reference has when `check_requirements("ray[tune]")` cannot install.
+    """
+    try:
+        from ray import tune
+        from ray.air import RunConfig
+        from ray.tune.schedulers import ASHAScheduler
+    except ImportError as e:
+        raise ModuleNotFoundError(
+            "run_ray_tune needs the `ray[tune]` package, which is not "
+            "available in this environment. Use the built-in evolutionary "
+            "tuner instead: YOLO(...).tune(data=..., iterations=N)") from e
+
+    space = space or {k: tune.uniform(t[0], t[1]) for k, t in DEFAULT_SPACE.items()}
+
+    def trainable(hyp):
+        res = model.train(**{**train_args, **hyp})
+        tune.report({"fitness": float(res.get("fitness", 0.0))})
+
+    scheduler = ASHAScheduler(metric="fitness", mode="max",
+                              grace_period=grace_period)
+    tuner = tune.Tuner(
+        trainable,
+        param_space=space,
+        tune_config=tune.TuneConfig(scheduler=scheduler, num_samples=max_samples),
+        run_config=RunConfig(name="tune"),
+    )
+    return tuner.fit()

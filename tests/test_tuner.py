@@ -58,3 +58,19 @@ def test_facade_tune(tmp_path, monkeypatch):
     out = y.tune(data="fake.yaml", space={"lr0": (1e-4, 1e-1)}, iterations=3)
     assert out["best_fitness"] > 0 and captured["data"] == "fake.yaml"
     assert (tmp_path / "runs" / "tune" / "tune_results.csv").exists()
+
+
+def test_run_ray_tune_gated():
+    """Reference utils/tuner.py bridge: without ray, a clear redirect to the
+    built-in Tuner (never a silent pass)."""
+    import pytest
+
+    from fce_yolo_tpu.engine.tuner import run_ray_tune
+
+    try:
+        import ray  # noqa: F401
+        pytest.skip("ray unexpectedly installed")
+    except ImportError:
+        pass
+    with pytest.raises(ModuleNotFoundError, match="built-in"):
+        run_ray_tune(model=None)
