@@ -315,11 +315,17 @@ class YOLO:
         return _benchmark(self, data=data, imgsz=imgsz, **kw)
 
     def tune(self, data: str, space: dict | None = None, iterations: int = 10,
-             **train_kw) -> dict:
+             use_ray: bool = False, **train_kw) -> dict:
         """Evolutionary hyperparameter search over short trainings
-        (reference Model.tune -> engine/tuner.py)."""
+        (reference Model.tune -> engine/tuner.py; use_ray=True routes to the
+        Ray Tune bridge exactly like engine/model.py:662)."""
         from fce_yolo_tpu.engine.tuner import DEFAULT_SPACE, Tuner
 
+        if use_ray:
+            from fce_yolo_tpu.engine.tuner import run_ray_tune
+
+            return run_ray_tune(self, space=space, max_samples=iterations,
+                                data=data, **train_kw)
         base = {"model": self.cfg_yaml, "data": data, **train_kw}
         t = Tuner(space=space or DEFAULT_SPACE, base_args=base)
         return t(iterations=iterations)
