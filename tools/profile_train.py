@@ -62,6 +62,94 @@ def timeit(fn, args, iters=10, rt=0.0):
     return best * 1e3
 
 
+def trace_and_report(trace_dir, top, run4):
+    """Capture a device trace of run4() (which must run 4 iterations and
+    sync) and print the top TPU kernels by total duration."""
+    import jax
+
+    os.makedirs(trace_dir, exist_ok=True)
+    jax.profiler.start_trace(trace_dir, create_perfetto_trace=True)
+    run4()
+    jax.profiler.stop_trace()
+
+    traces = sorted(glob.glob(os.path.join(trace_dir, "**", "*.json.gz"),
+                              recursive=True), key=os.path.getmtime)
+    if not traces:
+        print("NO perfetto trace produced; files:",
+              glob.glob(os.path.join(trace_dir, "**", "*"), recursive=True))
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"] if isinstance(trace, dict) else trace
+    # aggregate complete events by name on TPU device tracks
+    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dur_by_name = defaultdict(float)
+    cnt_by_name = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "tpu" not in pname.lower():
+            continue
+        if e["name"].startswith("jit_"):
+            continue  # module-level span; would double-count its kernels
+        d = e.get("dur", 0) / 1e3  # us -> ms
+        dur_by_name[e["name"]] += d
+        cnt_by_name[e["name"]] += 1
+        total += d
+    print(f"\n# top {top} TPU kernels over 4 steps (total {total:.1f} ms):")
+    for name, d in sorted(dur_by_name.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{d/4:9.3f} ms/step  x{cnt_by_name[name]//4:<4d} {name[:110]}")
+
+
+def profile_infer(args):
+    """Kernel profile of the e2e inference pipeline (bench.py's predict:
+    normalize + forward + DFL decode + NMS in one jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.ops.nms import batched_nms
+
+    model, spec, strides = build_model(args.cfg, scale=args.scale)
+    variables = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
+    bf16 = jnp.bfloat16
+    variables = {"params": jax.tree_util.tree_map(lambda x: x.astype(bf16), variables["params"]),
+                 "batch_stats": variables["batch_stats"]}
+
+    def predict(variables, images_u8):
+        x = images_u8.astype(bf16) / 255.0
+        preds = model.apply(variables, x, train=False)["preds"]
+        out = batched_nms(preds, conf_thres=0.25, iou_thres=0.45,
+                          max_det=300, multi_label=False)
+        return out["boxes"].sum() + out["scores"].sum() + out["valid"].sum()
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 255, (args.batch, args.imgsz, args.imgsz, 3), np.uint8))
+    compiled = jax.jit(predict).lower(variables, img).compile()
+    rt = _roundtrip()
+    print(f"# roundtrip {rt*1e3:.1f} ms  devices={jax.devices()}")
+    _ = float(compiled(variables, img))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [compiled(variables, img) for _ in range(16)]
+        _ = float(sum(outs))
+        best = min(best, max(time.perf_counter() - t0 - rt, 1e-9) / 16)
+    print(f"e2e infer       : {best*1e3:7.2f} ms  ({args.batch/best:7.0f} img/s)")
+
+    if args.no_trace:
+        return
+
+    def run4():
+        outs = [compiled(variables, img) for _ in range(4)]
+        _ = float(sum(outs))
+
+    trace_and_report(args.trace_dir, args.top, run4)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="n")
@@ -71,7 +159,13 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/fy_trace")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--no-trace", action="store_true")
+    ap.add_argument("--infer", action="store_true",
+                    help="profile the e2e inference pipeline instead of the train step")
     args = ap.parse_args()
+
+    if args.infer:
+        profile_infer(args)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -155,41 +249,15 @@ def main():
         return
 
     # ---- kernel trace ----
-    os.makedirs(args.trace_dir, exist_ok=True)
-    jax.profiler.start_trace(args.trace_dir, create_perfetto_trace=True)
-    for _ in range(4):
-        s, m = step(s, batch)
-    _ = float(m["loss"])
-    jax.profiler.stop_trace()
+    state_box = [s]
 
-    traces = sorted(glob.glob(os.path.join(args.trace_dir, "**", "*.json.gz"),
-                              recursive=True), key=os.path.getmtime)
-    if not traces:
-        print("NO perfetto trace produced; files:",
-              glob.glob(os.path.join(args.trace_dir, "**", "*"), recursive=True))
-        return
-    with gzip.open(traces[-1], "rt") as f:
-        trace = json.load(f)
-    events = trace["traceEvents"] if isinstance(trace, dict) else trace
-    # aggregate complete events by name on TPU device tracks
-    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
-                 if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dur_by_name = defaultdict(float)
-    cnt_by_name = defaultdict(int)
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        pname = pid_names.get(e.get("pid"), "")
-        if "TPU" not in pname and "tpu" not in pname.lower():
-            continue
-        d = e.get("dur", 0) / 1e3  # us -> ms
-        dur_by_name[e["name"]] += d
-        cnt_by_name[e["name"]] += 1
-        total += d
-    print(f"\n# top {args.top} TPU kernels over 4 steps (total {total:.1f} ms):")
-    for name, d in sorted(dur_by_name.items(), key=lambda kv: -kv[1])[: args.top]:
-        print(f"{d/4:9.3f} ms/step  x{cnt_by_name[name]//4:<4d} {name[:110]}")
+    def run4():
+        for _ in range(4):
+            s2, m = step(state_box[0], batch)
+            state_box[0] = s2
+        _ = float(m["loss"])
+
+    trace_and_report(args.trace_dir, args.top, run4)
 
 
 if __name__ == "__main__":
