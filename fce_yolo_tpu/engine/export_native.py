@@ -191,19 +191,43 @@ def _emit_eqn(w: _Writer, eqn, env: dict) -> None:
     )
 
 
-def export_native(model, variables: dict, path: str | Path, imgsz: int = 640) -> Path:
-    """Trace ``model.apply(variables, x, train=False)["preds"]`` at
-    (1, imgsz, imgsz, 3) and write ``<path>.fyir`` + ``<path>.fybin``.
+def export_native(model, variables: dict, path: str | Path, imgsz: int = 640,
+                  task: str | None = None) -> Path:
+    """Trace the eval forward at (1, imgsz, imgsz, 3) and write
+    ``<path>.fyir`` + ``<path>.fybin``.
 
-    Returns the .fyir path. Weights are baked as constants — the artifact is
-    a frozen deployment snapshot, like an exported .onnx.
+    Per task (auto-detected from the model spec, like the reference's
+    task-aware Exporter, engine/exporter.py:208) the artifact carries:
+
+    - detect/obb: preds (1, A, 4+nc[+1])
+    - segment:    preds (1, A, 4+nc+nm) AND proto (1, Hp, Wp, nm)
+    - pose:       preds (1, A, 4+nc+nk*nd) with decoded keypoints appended
+    - classify:   probs (1, nc)
+
+    plus a ``meta`` line (task, nc, kpt shape) so the C++ runtime
+    (native/infer/fy_infer.cpp) can postprocess without guessing — the
+    analog of the reference's sidecar metadata recovery
+    (nn/autobackend.py:71). Returns the .fyir path. Weights are baked as
+    constants — the artifact is a frozen deployment snapshot, like an
+    exported .onnx.
     """
     import jax
     import jax.numpy as jnp
 
-    def f(x):
-        out = model.apply(variables, x, train=False)
-        return out["preds"]
+    spec = getattr(model, "spec", None)
+    if task is None:
+        task = spec.task if spec is not None else "detect"
+
+    if task == "classify":
+        def f(x):
+            return (model.apply(variables, x, train=False)["probs"],)
+    elif task == "segment":
+        def f(x):
+            out = model.apply(variables, x, train=False)
+            return (out["preds"], out["proto"])
+    else:  # detect / pose / obb — single preds tensor
+        def f(x):
+            return (model.apply(variables, x, train=False)["preds"],)
 
     closed = jax.make_jaxpr(f)(jnp.zeros((1, imgsz, imgsz, 3), jnp.float32))
     jaxpr = closed.jaxpr
@@ -215,13 +239,20 @@ def export_native(model, variables: dict, path: str | Path, imgsz: int = 640) ->
     assert len(jaxpr.invars) == 1
     in_id = w.fresh()
     env[jaxpr.invars[0]] = in_id
+    meta = f"meta task={task}"
+    if spec is not None:
+        meta += f" nc={spec.nc}"
+        if task == "pose":
+            kpt = spec.yaml_dict.get("kpt_shape", [17, 3])
+            meta += f" kpt={int(kpt[0])},{int(kpt[1])}"
+    w.lines.append(meta)
     w.lines.append(f"input {in_id} 4 1,{imgsz},{imgsz},3")
 
     for eqn in jaxpr.eqns:
         _emit_eqn(w, eqn, env)
 
-    out_var = jaxpr.outvars[0]
-    w.lines.append(f"output {env[out_var]}")
+    for out_var in jaxpr.outvars:
+        w.lines.append(f"output {env[out_var]}")
 
     path = Path(path)
     ir = path.with_suffix(".fyir")

@@ -60,7 +60,9 @@ struct Graph {
   std::map<int, Tensor> consts;
   std::map<int, vector<int64_t>> shapes;  // declared output shapes per tensor id
   vector<Eqn> eqns;
-  int input_id = -1, output_id = -1;
+  int input_id = -1;
+  vector<int> output_ids;                // 1+ graph outputs, trace order
+  std::map<string, string> meta;         // task=..., nc=..., kpt=... sidecar
   vector<int64_t> input_shape;
 };
 
@@ -139,7 +141,15 @@ static Graph load_graph(const string& ir_path, const string& bin_path) {
       }
       g.eqns.push_back(std::move(e));
     } else if (kind == "output") {
-      ss >> g.output_id;
+      int id;
+      ss >> id;
+      g.output_ids.push_back(id);
+    } else if (kind == "meta") {
+      string kv;
+      while (ss >> kv) {
+        auto eq = kv.find('=');
+        if (eq != string::npos) g.meta[kv.substr(0, eq)] = kv.substr(eq + 1);
+      }
     }
   }
   return g;
@@ -227,7 +237,9 @@ static void conv_op(const Eqn& e, const Tensor& lhs, const Tensor& rhs, Tensor& 
   auto lstr = strides_of(lhs.shape), rstr = strides_of(rhs.shape), ostr = strides_of(out.shape);
   out.data.assign(out.size(), 0.f);
   int64_t cin_g = Cin / groups, cout_g = Cout / groups;
-  assert(lhs_dil[0] == 1 && lhs_dil[1] == 1);
+  // lhs_dilation > 1 = transposed conv (Proto upsample): the input grid is
+  // logically zero-interleaved; only taps landing on real elements contribute
+  int64_t ldh = lhs_dil[0], ldw = lhs_dil[1];
   for (int64_t n = 0; n < N; ++n)
     for (int64_t g = 0; g < groups; ++g)
       for (int64_t co = g * cout_g; co < (g + 1) * cout_g; ++co)
@@ -236,9 +248,13 @@ static void conv_op(const Eqn& e, const Tensor& lhs, const Tensor& rhs, Tensor& 
             float acc = 0.f;
             for (int64_t kh = 0; kh < KH; ++kh) {
               int64_t iy = y * strides[0] + kh * rhs_dil[0] - pad[0].first;
+              if (iy % ldh != 0) continue;
+              iy /= ldh;
               if (iy < 0 || iy >= H) continue;
               for (int64_t kw = 0; kw < KW; ++kw) {
                 int64_t ix = x * strides[1] + kw * rhs_dil[1] - pad[1].first;
+                if (ix % ldw != 0) continue;
+                ix /= ldw;
                 if (ix < 0 || ix >= W) continue;
                 for (int64_t ci = 0; ci < cin_g; ++ci) {
                   float lv = lhs.data[n * lstr[lb] + (g * cin_g + ci) * lstr[lf] +
@@ -465,7 +481,7 @@ static void pad_op(const Eqn& e, const Tensor& a, const Tensor& val, Tensor& o) 
   }
 }
 
-static void run_graph(Graph& g, const Tensor& input, Tensor& output) {
+static void run_graph(Graph& g, const Tensor& input, vector<Tensor>& outputs) {
   std::map<int, Tensor> env;
   env[g.input_id] = input;
   auto get = [&](int id) -> const Tensor& {
@@ -561,7 +577,33 @@ static void run_graph(Graph& g, const Tensor& input, Tensor& output) {
       unary_op(p, e, get(e.ins[0]), env[e.outs[0]]);
     }
   }
-  output = env.at(g.output_id);
+  outputs.clear();
+  for (int id : g.output_ids) outputs.push_back(env.at(id));
+}
+
+// half-pixel-center bilinear resample of one (sh, sw) float plane into
+// (dh, dw) — the same sampling rule as cv2 INTER_LINEAR and
+// jax.image.resize(method="bilinear"), matching both halves of the Python
+// mask pipeline (ops/masks.py process_mask + scale_masks_np).
+static void bilinear_plane(const float* src, int sh, int sw, float* dst,
+                           int dh, int dw) {
+  for (int y = 0; y < dh; ++y) {
+    float sy = (y + 0.5f) * sh / dh - 0.5f;
+    int y0 = (int)std::floor(sy);
+    float fy = sy - y0;
+    int y0c = std::clamp(y0, 0, sh - 1), y1c = std::clamp(y0 + 1, 0, sh - 1);
+    for (int x = 0; x < dw; ++x) {
+      float sx = (x + 0.5f) * sw / dw - 0.5f;
+      int x0 = (int)std::floor(sx);
+      float fx = sx - x0;
+      int x0c = std::clamp(x0, 0, sw - 1), x1c = std::clamp(x0 + 1, 0, sw - 1);
+      dst[(size_t)y * dw + x] =
+          src[(size_t)y0c * sw + x0c] * (1 - fy) * (1 - fx) +
+          src[(size_t)y0c * sw + x1c] * (1 - fy) * fx +
+          src[(size_t)y1c * sw + x0c] * fy * (1 - fx) +
+          src[(size_t)y1c * sw + x1c] * fy * fx;
+    }
+  }
 }
 
 // ---- image pipeline ------------------------------------------------------
@@ -599,7 +641,9 @@ static Tensor letterbox(const Image& im, int size, float& ratio, float& padw, fl
   int nw = (int)std::lround(im.w * r), nh = (int)std::lround(im.h * r);
   float dw = (size - nw) / 2.0f, dh = (size - nh) / 2.0f;
   int left = (int)std::lround(dw - 0.1), top = (int)std::lround(dh - 0.1);
-  ratio = r; padw = (float)left; padh = (float)top;
+  // return the float half-pads like the Python letterbox (data/augment.py:86)
+  // — box/kpt/mask scale-back uses these, not the rounded pixel offsets
+  ratio = r; padw = dw; padh = dh;
 
   Tensor t;
   t.shape = {1, size, size, 3};
@@ -632,21 +676,24 @@ static Tensor letterbox(const Image& im, int size, float& ratio, float& padw, fl
 struct Det {
   float x1, y1, x2, y2, score;
   int cls;
+  int64_t anchor;  // source row — indexes mask coefs / keypoint tails
 };
 
-// single-label greedy NMS (predict config, reference nms.py:13-166)
+// single-label greedy NMS (predict config, reference nms.py:13-166).
+// `row_len` is the full per-anchor row (4 + nc + task extras); extras are
+// ignored for scoring but reachable later through Det::anchor.
 static vector<Det> nms(const vector<float>& preds, int64_t n_anchors, int nc,
-                       float conf, float iou_thr, int max_det) {
+                       int row_len, float conf, float iou_thr, int max_det) {
   vector<Det> cand;
   for (int64_t i = 0; i < n_anchors; ++i) {
-    const float* row = &preds[i * (4 + nc)];
+    const float* row = &preds[i * row_len];
     int best = 0;
     for (int c = 1; c < nc; ++c)
       if (row[4 + c] > row[4 + best]) best = c;
     float s = row[4 + best];
     if (s <= conf) continue;
     float cx = row[0], cy = row[1], w = row[2], h = row[3];
-    cand.push_back({cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2, s, best});
+    cand.push_back({cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2, s, best, i});
   }
   std::stable_sort(cand.begin(), cand.end(),
                    [](const Det& a, const Det& b) { return a.score > b.score; });
@@ -669,13 +716,71 @@ static vector<Det> nms(const vector<float>& preds, int64_t n_anchors, int nc,
   return keep;
 }
 
+// segment: per-detection binary mask at original resolution, mirroring the
+// Python pipeline exactly (ops/masks.py process_mask upsample=True ->
+// scale_masks_np): sigmoid(coefs . protos) -> crop at proto res -> bilinear
+// to net input -> >0.5 -> strip letterbox pad -> bilinear to original -> >0.
+static vector<uint8_t> detection_mask(const Det& d, const Tensor& preds,
+                                      const Tensor& proto, int nc, int size,
+                                      const Image& im, float padw, float padh) {
+  int hp = (int)proto.shape[1], wp = (int)proto.shape[2], nm = (int)proto.shape[3];
+  int row_len = (int)preds.shape[2];
+  const float* coef = &preds.data[d.anchor * row_len + 4 + nc];
+  vector<float> lo((size_t)hp * wp);
+  float sx = (float)wp / size, sy = (float)hp / size;
+  float bx1 = d.x1 * sx, bx2 = d.x2 * sx, by1 = d.y1 * sy, by2 = d.y2 * sy;
+  for (int y = 0; y < hp; ++y)
+    for (int x = 0; x < wp; ++x) {
+      bool inside = x >= bx1 && x < bx2 && y >= by1 && y < by2;
+      if (!inside) { lo[(size_t)y * wp + x] = 0.f; continue; }
+      const float* p = &proto.data[((size_t)y * wp + x) * nm];
+      float s = 0.f;
+      for (int k = 0; k < nm; ++k) s += coef[k] * p[k];
+      lo[(size_t)y * wp + x] = 1.f / (1.f + std::exp(-s));
+    }
+  vector<float> hi((size_t)size * size);
+  bilinear_plane(lo.data(), hp, wp, hi.data(), size, size);
+  // binarize at net-input resolution, then strip the letterbox pad.
+  // Python's scale_masks_np uses round-half-even (int(round(ph)))
+  auto pyround = [](float v) {
+    float fl = std::floor(v);
+    float fr = v - fl;
+    if (fr > 0.5f) return (int)fl + 1;
+    if (fr < 0.5f) return (int)fl;
+    return (int)fl % 2 == 0 ? (int)fl : (int)fl + 1;
+  };
+  int top = pyround(padh), left = pyround(padw);
+  int ch = size - 2 * top, cw = size - 2 * left;
+  vector<float> crop((size_t)std::max(ch, 0) * std::max(cw, 0));
+  for (int y = 0; y < ch; ++y)
+    for (int x = 0; x < cw; ++x)
+      crop[(size_t)y * cw + x] = hi[(size_t)(y + top) * size + (x + left)] > 0.5f;
+  vector<float> full((size_t)im.h * im.w);
+  if (!crop.empty()) bilinear_plane(crop.data(), ch, cw, full.data(), im.h, im.w);
+  vector<uint8_t> out((size_t)im.h * im.w);
+  for (size_t i = 0; i < out.size(); ++i) out[i] = full[i] > 0.f ? 255 : 0;
+  return out;
+}
+
+static void write_pgm(const string& path, const vector<uint8_t>& px, int w, int h) {
+  std::ofstream f(path, std::ios::binary);
+  f << "P5\n" << w << " " << h << "\n255\n";
+  f.write(reinterpret_cast<const char*>(px.data()), px.size());
+}
+
 int main(int argc, char** argv) {
   if (argc < 4) {
-    fprintf(stderr, "usage: %s model.fyir model.fybin (image.ppm [conf iou max_det] | --raw in.f32 out.f32)\n",
+    fprintf(stderr,
+            "usage: %s model.fyir model.fybin (image.ppm [conf iou max_det [mask_prefix]] | --raw in.f32 out.f32)\n"
+            "  detect:   x1 y1 x2 y2 score cls            (original pixel coords)\n"
+            "  segment:  ... area_px  [+ mask_prefix_%%03d.pgm per detection]\n"
+            "  pose:     ... kx ky [kv] per keypoint      (original pixel coords)\n"
+            "  classify: cls prob                         (top-5)\n",
             argv[0]);
     return 2;
   }
   Graph g = load_graph(argv[1], argv[2]);
+  string task = g.meta.count("task") ? g.meta.at("task") : "detect";
 
   if (string(argv[3]) == "--raw") {
     Tensor in;
@@ -683,12 +788,18 @@ int main(int argc, char** argv) {
     in.data.resize(in.size());
     std::ifstream f(argv[4], std::ios::binary);
     f.read(reinterpret_cast<char*>(in.data.data()), in.data.size() * 4);
-    Tensor out;
-    run_graph(g, in, out);
-    std::ofstream of(argv[5], std::ios::binary);
-    of.write(reinterpret_cast<const char*>(out.data.data()), out.data.size() * 4);
+    vector<Tensor> outs;
+    run_graph(g, in, outs);
+    // output 0 goes to out.f32 (original contract); extras to out.f32.1, ...
+    for (size_t k = 0; k < outs.size(); ++k) {
+      string path = argv[5];
+      if (k) path += "." + std::to_string(k);
+      std::ofstream of(path, std::ios::binary);
+      of.write(reinterpret_cast<const char*>(outs[k].data.data()),
+               outs[k].data.size() * 4);
+    }
     fprintf(stderr, "raw out shape:");
-    for (auto d : out.shape) fprintf(stderr, " %lld", (long long)d);
+    for (auto d : outs[0].shape) fprintf(stderr, " %lld", (long long)d);
     fprintf(stderr, "\n");
     return 0;
   }
@@ -696,22 +807,86 @@ int main(int argc, char** argv) {
   float conf = argc > 4 ? std::stof(argv[4]) : 0.25f;
   float iou = argc > 5 ? std::stof(argv[5]) : 0.7f;
   int max_det = argc > 6 ? std::stoi(argv[6]) : 300;
+  string mask_prefix = argc > 7 ? argv[7] : "";
   int size = (int)g.input_shape[1];
-
   Image im = load_ppm(argv[3]);
+
+  if (task == "classify") {
+    // framework classify convention (engine/predictor.py _predict_classify +
+    // data/classify.py val_transform): shorter side -> size, center crop,
+    // color order as-loaded by cv2 (BGR) — so swap the PPM's RGB
+    float r = (float)size / std::min(im.h, im.w);
+    int rw = std::max(size, (int)std::lround(im.w * r));
+    int rh = std::max(size, (int)std::lround(im.h * r));
+    vector<float> plane((size_t)rh * rw), src((size_t)im.h * im.w);
+    Tensor in;
+    in.shape = {1, size, size, 3};
+    in.data.resize((size_t)size * size * 3);
+    int y0 = (rh - size) / 2, x0 = (rw - size) / 2;
+    for (int c = 0; c < 3; ++c) {
+      for (int i = 0; i < im.h * im.w; ++i) src[i] = im.rgb[(size_t)i * 3 + c];
+      bilinear_plane(src.data(), im.h, im.w, plane.data(), rh, rw);
+      for (int y = 0; y < size; ++y)
+        for (int x = 0; x < size; ++x)
+          in.data[((size_t)y * size + x) * 3 + (2 - c)] =  // RGB -> BGR
+              plane[(size_t)(y + y0) * rw + (x + x0)] / 255.f;
+    }
+    vector<Tensor> outs;
+    run_graph(g, in, outs);
+    const Tensor& probs = outs[0];
+    int nc = (int)probs.shape.back();
+    vector<int> order(nc);
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+      return probs.data[a] > probs.data[b];
+    });
+    for (int k = 0; k < std::min(5, nc); ++k)
+      printf("%d %.5f\n", order[k], probs.data[order[k]]);
+    return 0;
+  }
+
   float ratio, padw, padh;
   Tensor in = letterbox(im, size, ratio, padw, padh);
-  Tensor out;
-  run_graph(g, in, out);
-  int64_t n_anchors = out.shape[1];
-  int nc = (int)out.shape[2] - 4;
-  auto dets = nms(out.data, n_anchors, nc, conf, iou, max_det);
+  vector<Tensor> outs;
+  run_graph(g, in, outs);
+  const Tensor& preds = outs[0];
+  int64_t n_anchors = preds.shape[1];
+  int row_len = (int)preds.shape[2];
+  int nc = g.meta.count("nc") ? std::stoi(g.meta.at("nc")) : row_len - 4;
+  auto dets = nms(preds.data, n_anchors, nc, row_len, conf, iou, max_det);
+  int kdim = 0;
+  if (task == "pose") {
+    int extra = row_len - 4 - nc;
+    kdim = extra % 3 == 0 ? 3 : 2;  // (x, y[, visibility]) per keypoint
+  }
+  int mask_idx = 0;
   for (auto& d : dets) {
     float x1 = std::clamp((d.x1 - padw) / ratio, 0.f, (float)im.w);
     float y1 = std::clamp((d.y1 - padh) / ratio, 0.f, (float)im.h);
     float x2 = std::clamp((d.x2 - padw) / ratio, 0.f, (float)im.w);
     float y2 = std::clamp((d.y2 - padh) / ratio, 0.f, (float)im.h);
-    printf("%.3f %.3f %.3f %.3f %.5f %d\n", x1, y1, x2, y2, d.score, d.cls);
+    // score at 7 decimals: near-tied anchors stay distinguishable downstream
+    printf("%.3f %.3f %.3f %.3f %.7f %d", x1, y1, x2, y2, d.score, d.cls);
+    if (task == "pose") {
+      const float* row = &preds.data[d.anchor * row_len + 4 + nc];
+      int nk = (row_len - 4 - nc) / kdim;
+      for (int k = 0; k < nk; ++k) {
+        printf(" %.3f %.3f", (row[k * kdim] - padw) / ratio,
+               (row[k * kdim + 1] - padh) / ratio);
+        if (kdim == 3) printf(" %.5f", row[k * kdim + 2]);
+      }
+    } else if (task == "segment" && outs.size() > 1) {
+      auto mask = detection_mask(d, preds, outs[1], nc, size, im, padw, padh);
+      int64_t area = 0;
+      for (auto v : mask) area += v ? 1 : 0;
+      printf(" %lld", (long long)area);
+      if (!mask_prefix.empty()) {
+        char buf[16];
+        snprintf(buf, sizeof buf, "_%03d.pgm", mask_idx++);
+        write_pgm(mask_prefix + buf, mask, im.w, im.h);
+      }
+    }
+    printf("\n");
   }
   return 0;
 }
