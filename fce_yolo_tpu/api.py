@@ -245,12 +245,18 @@ class YOLO:
         return self.spec.task
 
     def predict(self, source, conf: float = 0.25, iou: float = 0.7, imgsz: int = 640,
-                max_det: int = 300, batch: int = 1, stream: bool = False):
+                max_det: int = 300, batch: int = 1, stream: bool = False,
+                classes: list[int] | None = None, verbose: bool = False):
+        """``classes`` keeps only those class ids (reference predictor arg;
+        NMS here is class-offset so a post-filter selects the same surviving
+        boxes); ``verbose`` logs the reference's per-image summary line."""
         if self.remote is not None:
             gen = self._predict_remote(source)
+            gen = self._postfilter(gen, classes, verbose)
             return gen if stream else list(gen)
         if self.task == "classify":
             gen = self._predict_classify(source, imgsz=imgsz if imgsz != 640 else 224)
+            gen = self._postfilter(gen, None, verbose)
             return gen if stream else list(gen)
         from fce_yolo_tpu.engine.predictor import DetectionPredictor
 
@@ -261,8 +267,21 @@ class YOLO:
             batch_size=batch, task=self.task, infer_fn=self.backend,
         )
         v = self._ensure_variables(imgsz) if self.backend is None else {}
-        gen = predictor.stream(v, source)
+        gen = self._postfilter(predictor.stream(v, source), classes, verbose)
         return gen if stream else list(gen)
+
+    def _postfilter(self, gen, classes, verbose: bool):
+        """Apply the ``classes`` row filter and ``verbose`` per-image log line
+        (reference predictor verbose string, engine/predictor.py:333)."""
+        from fce_yolo_tpu.utils.logger import LOGGER
+
+        for i, r in enumerate(gen):
+            if classes is not None and r.boxes is not None:
+                r = r[np.isin(r.boxes.cls.astype(int), np.asarray(classes, int))]
+            if verbose:
+                LOGGER.info(f"image {i + 1} {r.path}: {r.verbose()}"
+                            f" {r.speed['inference']:.1f}ms")
+            yield r
 
     def _predict_remote(self, source):
         """Remote predict: ship each frame to the serving endpoint, wrap the

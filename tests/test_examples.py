@@ -107,3 +107,52 @@ def test_region_counter_cli_parse():
     assert name2 == "region" and len(pts2) == 3
     with pytest.raises(AssertionError):
         parse_region("name=x; 0,0 1,1")
+
+
+def test_action_crop_and_vote():
+    """crop_track margin expansion + FrameVoteActionClassifier majority vote
+    (examples/action_recognition.py, reference YOLOv8-Action-Recognition)."""
+    sys.path.insert(0, str(EX))
+    from action_recognition import FrameVoteActionClassifier, crop_track
+
+    frame = np.zeros((100, 200, 3), np.uint8)
+    crop = crop_track(frame, np.array([20.0, 30.0, 60.0, 70.0]), margin=0.25)
+    # 40px box +25% margin each side -> 60px span, clipped to the frame
+    assert crop.shape[:2] == (60, 60)
+    edge = crop_track(frame, np.array([0.0, 0.0, 40.0, 40.0]), margin=0.5)
+    assert edge.shape[:2] == (60, 60)  # clipped at the 0 edges
+
+    class _Probs:
+        def __init__(self, top1, conf):
+            self.top1, self.top1conf = top1, conf
+
+    class _R:
+        names = {0: "walk", 1: "run"}
+
+        def __init__(self, top1, conf):
+            self.probs = _Probs(top1, conf)
+
+    class _Stub:
+        seq = [_R(0, 0.9), _R(1, 0.6), _R(0, 0.7)]
+
+        def predict(self, crop, verbose=False):
+            return [self.seq.pop(0)]
+
+    clf = FrameVoteActionClassifier.__new__(FrameVoteActionClassifier)
+    clf.model = _Stub()
+    label, conf = clf(list(np.zeros((3, 8, 8, 3), np.uint8)))
+    assert label == "walk" and abs(conf - 0.8) < 1e-6
+
+
+def test_interactive_tracker_dashed_rect():
+    """dashed_rect draws on all four edges but leaves gaps
+    (examples/interactive_tracker.py, reference Interactive-Tracking-UI)."""
+    sys.path.insert(0, str(EX))
+    from interactive_tracker import dashed_rect
+
+    im = np.zeros((80, 80, 3), np.uint8)
+    dashed_rect(im, (10, 10), (70, 70), color=(255, 255, 255), thickness=1, dash=6)
+    top = im[10, 10:70, 0]
+    assert top.sum() > 0 and (top == 0).any()  # drawn, with gaps
+    left = im[10:70, 10, 0]
+    assert left.sum() > 0 and (left == 0).any()

@@ -79,3 +79,19 @@ def test_pose_predict_facade():
         assert r.keypoints.data.shape[1:] == (17, 3)
         # visibilities sigmoided
         assert (r.keypoints.conf >= 0).all() and (r.keypoints.conf <= 1).all()
+
+
+def test_predict_classes_filter_and_verbose(capfd):
+    """classes= keeps only the named ids and matches a manual post-filter
+    (reference predictor classes arg); verbose= emits the summary line."""
+    m = YOLO("yolo11n.yaml")
+    img = np.random.RandomState(3).randint(0, 255, (120, 160, 3), np.uint8)
+    r_all = m.predict(img, imgsz=96, conf=0.0001)[0]
+    capfd.readouterr()
+    r_f = m.predict(img, imgsz=96, conf=0.0001, classes=[0, 2], verbose=True)[0]
+    err = capfd.readouterr().err
+    got = r_f.boxes.cls.astype(int)
+    assert set(got.tolist()) <= {0, 2}
+    want = np.isin(r_all.boxes.cls.astype(int), [0, 2]).sum()
+    assert len(r_f) == want
+    assert "image 1" in err
