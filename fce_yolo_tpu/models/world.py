@@ -16,16 +16,19 @@ __all__ = ["YOLOWorld"]
 class YOLOWorld(YOLO):
     """Open-vocab detect facade over the WorldDetect graph."""
 
-    def __init__(self, model: str = "yolov8-world.yaml", **kw):
+    def __init__(self, model: str = "yolov8-world.yaml",
+                 text_model: str = "hash:512", **kw):
         super().__init__(model, **kw)
         assert self.spec.needs_text, f"not a world config: {model}"
+        # "clip:<local-ckpt>" switches to the real CLIP tower (text_model.py)
+        self.text_model = text_model
         # reference placeholder: random text features until set_classes
         self.txt_feats = np.random.RandomState(0).randn(1, self.spec.nc, 512).astype(np.float32)
 
     def get_text_pe(self, text: list[str]) -> np.ndarray:
         from fce_yolo_tpu.nn.text_model import build_text_model
 
-        enc = build_text_model("hash:512")
+        enc = build_text_model(self.text_model)
         return enc.encode_text(enc.tokenize(text))[None]
 
     def set_classes(self, text: list[str]) -> None:

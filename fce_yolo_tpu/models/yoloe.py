@@ -20,9 +20,12 @@ __all__ = ["YOLOE"]
 class YOLOE(YOLO):
     """Open-vocab prompt model over the YOLOEDetect/YOLOESegment graph."""
 
-    def __init__(self, model: str = "yoloe-11.yaml", **kw):
+    def __init__(self, model: str = "yoloe-11.yaml",
+                 text_model: str = "hash:512", **kw):
         super().__init__(model, **kw)
         assert self.spec.needs_text, f"not a YOLOE config: {model}"
+        # "clip:<local-ckpt>" switches to the real CLIP tower (text_model.py)
+        self.text_model = text_model
         # placeholder until set_classes (reference keeps a random buffer)
         self.txt_feats = np.random.RandomState(0).randn(1, self.spec.nc, 512).astype(np.float32)
 
@@ -32,7 +35,7 @@ class YOLOE(YOLO):
         norm run in-graph (reference YOLOEModel.get_text_pe, tasks.py)."""
         from fce_yolo_tpu.nn.text_model import build_text_model
 
-        enc = build_text_model("hash:512")
+        enc = build_text_model(self.text_model)
         return enc.encode_text(enc.tokenize(text))[None]
 
     def set_classes(self, names: list[str], embeddings: np.ndarray | None = None) -> None:
