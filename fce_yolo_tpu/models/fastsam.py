@@ -4,8 +4,12 @@ Behavioral parity target: reference models/fastsam/ (FastSAM model.py:14-69,
 FastSAMPredictor.prompt predict.py:75-147). FastSAM is a single-class
 YOLO-seg model segmenting *everything*, with prompts (boxes / points /
 labels) selecting masks AFTER inference — no promptable transformer needed.
-Text prompts require a CLIP text encoder and are rejected in this
-zero-egress build (reference _clip_inference, predict.py:148-166).
+Text prompts run the reference's `_clip_inference` selection
+(predict.py:148-166) over the in-repo CLIP pair (nn/text_model.py +
+nn/clip_vision.py): each detected region crop is embedded by the vision
+tower, the query by the text tower, and the max-similarity region is kept.
+Semantic quality needs a local CLIP checkpoint (`clip_weights=`); without
+one the towers are random init (architecture-parity-tested, not semantic).
 
 No pretrained FastSAM weights can be downloaded here; construction from a
 seg YAML (train-your-own) or any in-framework checkpoint works the same.
@@ -23,21 +27,49 @@ __all__ = ["FastSAM"]
 class FastSAM(YOLO):
     """Single-class segment-everything facade with prompt selection."""
 
-    def __init__(self, model: str = "yolov8-seg.yaml", **kw):
+    def __init__(self, model: str = "yolov8-seg.yaml",
+                 clip_weights: str | None = None, **kw):
         kw.setdefault("nc", 1)
         super().__init__(model, **kw)
         assert self.task == "segment", "FastSAM requires a segmentation model"
+        self.clip_weights = clip_weights
+        self._clip = None  # (text_encoder, image_encoder), built lazily
 
     def predict(self, source, bboxes=None, points=None, labels=None, texts=None,
                 conf: float = 0.4, iou: float = 0.9, **kw):
         """Segment everything, then keep the prompt-selected instances."""
-        if texts is not None:
-            raise NotImplementedError(
-                "text prompts need a CLIP text encoder, which has no offline "
-                "weights in this environment (reference predict.py:148)"
-            )
         results = super().predict(source, conf=conf, iou=iou, **kw)
-        return self.prompt(results, bboxes=bboxes, points=points, labels=labels)
+        results = self.prompt(results, bboxes=bboxes, points=points, labels=labels)
+        if texts is not None:
+            results = [self._text_prompt(r, texts) for r in results]
+        return results
+
+    def _text_prompt(self, r, texts):
+        """Reference `_clip_inference` (predict.py:148-166): crop each
+        detected region, embed crops + texts with CLIP, keep the
+        max-similarity region per text."""
+        n = len(r.boxes.cls) if r.boxes is not None else 0
+        if n == 0:
+            return r
+        if self._clip is None:
+            from fce_yolo_tpu.nn.clip_vision import CLIPImageEncoder
+            from fce_yolo_tpu.nn.text_model import CLIPTextEncoder
+
+            self._clip = (CLIPTextEncoder(weights=self.clip_weights),
+                          CLIPImageEncoder(weights=self.clip_weights))
+        tenc, venc = self._clip
+        texts = [texts] if isinstance(texts, str) else list(texts)
+        h, w = r.orig_shape
+        crops = []
+        for x1, y1, x2, y2 in np.asarray(r.boxes.xyxy):
+            x1, y1 = max(int(x1), 0), max(int(y1), 0)
+            x2 = min(max(int(x2), x1 + 2), w)
+            y2 = min(max(int(y2), y1 + 2), h)
+            crops.append(r.orig_img[y1:y2, x1:x2])
+        sim = venc.encode_image(crops) @ tenc.encode_text(texts).T  # (N, T)
+        idx = np.zeros(n, bool)
+        idx[np.argmax(sim, axis=0)] = True
+        return r[idx] if hasattr(r, "__getitem__") else _subset(r, idx)
 
     @staticmethod
     def prompt(results, bboxes=None, points=None, labels=None):
