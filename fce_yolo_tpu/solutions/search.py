@@ -2,10 +2,14 @@
 (reference solutions/{similarity_search,streamlit_inference}.py).
 
 The reference's VisualAISearch embeds images with CLIP and answers text
-queries; CLIP weights are unavailable offline, so this re-scope indexes
-images by an HSV color-signature embedding and answers IMAGE queries
-(query-by-example). The API shape (index directory -> search(query, k))
-matches the reference so a CLIP backend can drop in when weights exist.
+queries. Two backends live here:
+- default: an offline HSV color-signature embedding answering IMAGE queries
+  (query-by-example) — no weights needed;
+- ``clip_weights=`` (or ``backend="clip"``): the in-repo CLIP pair
+  (nn/clip_vision.py image tower + nn/text_model.py text tower) — the
+  reference's actual mechanism; TEXT queries work and are semantic when a
+  local CLIP checkpoint is supplied (random-init otherwise).
+The API shape (index directory -> search(query, k)) matches the reference.
 """
 
 from __future__ import annotations
@@ -24,18 +28,28 @@ class VisualAISearch:
     swapped for an offline HSV-histogram embedding (no egress for weights).
     """
 
-    def __init__(self, data: str = "images", k: int = 5):
+    def __init__(self, data: str = "images", k: int = 5,
+                 backend: str = "hsv", clip_weights: str | None = None,
+                 encoders: tuple | None = None):
         import cv2
 
         self.data = Path(data)
         self.k = k
+        self._clip = encoders  # (text_encoder, image_encoder) injection
+        if self._clip is None and (clip_weights or backend == "clip"):
+            from fce_yolo_tpu.nn.clip_vision import CLIPImageEncoder
+            from fce_yolo_tpu.nn.text_model import CLIPTextEncoder
+
+            self._clip = (CLIPTextEncoder(weights=clip_weights),
+                          CLIPImageEncoder(weights=clip_weights))
         self.paths: list[Path] = sorted(
             p for p in self.data.rglob("*") if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp")
         )
         feats = []
         for p in self.paths:
             img = cv2.imread(str(p))
-            feats.append(self._embed(img))
+            feats.append(self._embed(img) if self._clip is None
+                         else self._clip[1].encode_image([img])[0])
         self.feats = np.stack(feats, 0) if feats else np.zeros((0, 512), np.float32)
 
     @staticmethod
@@ -55,12 +69,21 @@ class VisualAISearch:
         return v / (np.linalg.norm(v) + 1e-9)
 
     def search(self, query: str | np.ndarray, k: int | None = None) -> list[tuple[str, float]]:
-        """Return the top-k (path, similarity) matches for a query image."""
+        """Top-k (path, similarity) matches. Query: an image (path/array),
+        or — with the clip backend — free text (reference text queries)."""
         import cv2
 
-        if isinstance(query, (str, Path)):
-            query = cv2.imread(str(query))
-        q = self._embed(np.asarray(query))
+        if isinstance(query, (str, Path)) and not Path(str(query)).exists():
+            assert self._clip is not None, \
+                "text queries need the clip backend (clip_weights=/backend='clip')"
+            q = self._clip[0].encode_text([str(query)])[0]
+        elif self._clip is not None:
+            img = cv2.imread(str(query)) if isinstance(query, (str, Path)) else np.asarray(query)
+            q = self._clip[1].encode_image([img])[0]
+        else:
+            if isinstance(query, (str, Path)):
+                query = cv2.imread(str(query))
+            q = self._embed(np.asarray(query))
         sims = self.feats @ q
         order = np.argsort(-sims)[: (k or self.k)]
         return [(str(self.paths[i]), float(sims[i])) for i in order]

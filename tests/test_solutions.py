@@ -240,6 +240,31 @@ def test_visual_search(tmp_path):
     assert hits[0][0].endswith("im0.png")
 
 
+def test_visual_search_clip_backend(tmp_path):
+    """CLIP-pair backend: image query ranks the identical image first; text
+    queries route through the text tower (reference similarity_search.py
+    mechanism; tiny random-init towers, so only mechanics are asserted)."""
+    import cv2
+
+    from fce_yolo_tpu.nn.clip_vision import CLIPImageEncoder, CLIPVisionCfg
+    from fce_yolo_tpu.nn.text_model import CLIPTextCfg, CLIPTextEncoder
+    from fce_yolo_tpu.solutions.search import VisualAISearch
+
+    rng = np.random.RandomState(1)
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"im{i}.png"),
+                    rng.randint(0, 255, (48, 64, 3), np.uint8))
+    enc = (CLIPTextEncoder(CLIPTextCfg(vocab=512, width=64, heads=4, layers=2,
+                                       ctx=16, proj=32, eos_id=511)),
+           CLIPImageEncoder(CLIPVisionCfg(image_size=32, patch=8, width=64,
+                                          heads=4, layers=2, proj=32)))
+    s = VisualAISearch(data=str(tmp_path), k=3, encoders=enc)
+    hits = s.search(str(tmp_path / "im1.png"))
+    assert hits[0][0].endswith("im1.png") and hits[0][1] > 0.999
+    t_hits = s.search("a blue square")  # text query: must not raise
+    assert len(t_hits) == 3
+
+
 def test_solution_config_rejects_unknown():
     import pytest
 
