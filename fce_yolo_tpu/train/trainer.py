@@ -76,6 +76,7 @@ def make_train_step(
     bf16: bool = False,
     accumulate: int = 1,
     remat: bool | str = False,
+    frozen_bn: bool = False,
 ) -> Callable:
     """Build the jittable train step: forward -> loss -> grad -> update ->
     EMA, with NaN-rollback (reference _handle_nan_recovery analog).
@@ -93,6 +94,13 @@ def make_train_step(
     and the optimizer + EMA step fires only on accumulation boundaries).
     The state must be created with the same ``accumulate``.
 
+    ``frozen_bn`` runs BatchNorm in eval mode inside the loss graph (running
+    stats, never updated). This is the deterministic train step: without the
+    training-BN backward's chaotic sensitivity to reduction order, sharded
+    and single-device multi-step trajectories match to float tolerance —
+    the well-posed strong form of the DDP loss-parity contract (reference
+    trainer.py:429-430). Used by dryrun_multichip / test_mesh_train.
+
     ``remat`` trades recompute for HBM on the backward pass via
     ``jax.checkpoint`` around the network forward — the lever for scaling
     batch size past the activation-memory knee (the reference has no analog;
@@ -103,6 +111,14 @@ def make_train_step(
     """
 
     def _apply(apply_params, batch_stats, img, mkw):
+        if frozen_bn:
+            out = model.apply(
+                {"params": apply_params, "batch_stats": batch_stats},
+                img,
+                train=False,
+                **mkw,
+            )
+            return out, {"batch_stats": batch_stats}
         return model.apply(
             {"params": apply_params, "batch_stats": batch_stats},
             img,

