@@ -27,7 +27,18 @@ def hash_tokenize(texts, context_length: int = 32, vocab_size: int = 49408
                   ) -> np.ndarray:
     """Deterministic word-level tokens (offline SimpleTokenizer stand-in):
     id = sha256(word) % (vocab - 3) + 3, with CLIP-style SOT=vocab-2 /
-    EOT=vocab-1 sentinels and 0 = pad."""
+    EOT=vocab-1 sentinels and 0 = pad. When a real BPE vocab is present
+    locally (``FY_CLIP_VOCAB``), the reference's byte-level BPE
+    (nn/bpe.py) is used instead — same algorithm SAM3's VE text encoder
+    tokenizes with (reference sam3 text path -> CLIP SimpleTokenizer)."""
+    from fce_yolo_tpu.nn.bpe import find_local_vocab
+
+    vocab_path = find_local_vocab()
+    if vocab_path:
+        from fce_yolo_tpu.nn.bpe import CLIPBPETokenizer
+
+        tk = CLIPBPETokenizer(vocab_path, context_length=context_length)
+        return tk.tokenize([str(t) for t in texts]).astype(np.int64)
     out = np.zeros((len(texts), context_length), np.int64)
     for i, t in enumerate(texts):
         ids = [vocab_size - 2]

@@ -197,7 +197,7 @@ class CLIPTextEncoder:
     structurally real, semantically meaningless, and said so."""
 
     def __init__(self, cfg: CLIPTextCfg | None = None, weights: str | None = None,
-                 seed: int = 0):
+                 seed: int = 0, vocab: str | None = None):
         import jax
 
         self.cfg = cfg or CLIPTextCfg()
@@ -209,12 +209,25 @@ class CLIPTextEncoder:
             dummy = np.zeros((1, self.cfg.ctx), np.int32)
             self.variables = self.model.init(jax.random.PRNGKey(seed), dummy)
         self._fwd = jax.jit(self.model.apply)
+        from fce_yolo_tpu.nn.bpe import find_local_vocab
+
+        self.vocab = vocab or find_local_vocab()
+        self._bpe = None
+        self._warned = False
 
     def tokenize(self, texts) -> np.ndarray:
-        """CLIP BPE when transformers has local tokenizer files; otherwise a
-        deterministic hash tokenization into the vocab (stable, non-semantic
-        — mirrors the HashTextEncoder contract)."""
+        """Real CLIP byte-level BPE when a vocab is available — an explicit
+        ``vocab=`` path / ``FY_CLIP_VOCAB`` env (nn/bpe.py, the reference's
+        ``clip.tokenize`` algorithm) or transformers' local tokenizer files.
+        Otherwise a deterministic hash tokenization into the vocab (stable,
+        non-semantic — mirrors the HashTextEncoder contract) with a warning."""
         texts = [str(t) for t in texts]
+        if self.vocab:
+            if self._bpe is None:
+                from fce_yolo_tpu.nn.bpe import CLIPBPETokenizer
+
+                self._bpe = CLIPBPETokenizer(self.vocab, context_length=self.cfg.ctx)
+            return self._bpe.tokenize(texts)
         try:
             from transformers import CLIPTokenizerFast
 
@@ -224,6 +237,15 @@ class CLIPTextEncoder:
                      truncation=True, return_tensors="np")
             return out["input_ids"].astype(np.int32)
         except Exception:
+            if not self._warned:
+                self._warned = True
+                from fce_yolo_tpu.utils import LOGGER
+
+                LOGGER.warning(
+                    "CLIPTextEncoder: no BPE vocab found (pass vocab= or set "
+                    "FY_CLIP_VOCAB to a local merges file) — falling back to "
+                    "the deterministic NON-SEMANTIC hash tokenizer"
+                )
             toks = np.zeros((len(texts), self.cfg.ctx), np.int32)
             for i, t in enumerate(texts):
                 words = t.lower().split() or [t]
@@ -250,19 +272,23 @@ def _load_any_state_dict(path: str) -> dict:
     return sd.get("state_dict", sd)
 
 
-def build_text_model(spec: str = "hash:512", device=None, weights: str | None = None):
+def build_text_model(spec: str = "hash:512", device=None, weights: str | None = None,
+                     vocab: str | None = None):
     """Reference build_text_model analog (nn/text_model.py:350).
 
     - ``hash:<dim>`` -> offline stub (default; no weights exist here);
     - ``clip`` / ``clip:<weights-path>`` -> the real tower, random init
-      unless a local openai/HF checkpoint path is given.
+      unless a local openai/HF checkpoint path is given. ``vocab=`` (or the
+      ``FY_CLIP_VOCAB`` env var) points at a local BPE merges file exactly
+      like the weights path — with both, text encoding is the reference's
+      ``clip.tokenize`` + CLIP tower end to end.
     """
     if spec.startswith("hash"):
         dim = int(spec.split(":")[1]) if ":" in spec else 512
         return HashTextEncoder(dim)
     if spec.startswith("clip") or spec.startswith("mobileclip"):
         w = weights or (spec.split(":", 1)[1] if ":" in spec else None)
-        return CLIPTextEncoder(weights=w or None)
+        return CLIPTextEncoder(weights=w or None, vocab=vocab)
     raise NotImplementedError(
         f"text model {spec!r}: use 'hash:<dim>', 'clip', or "
         "'clip:<local-checkpoint-path>'"
