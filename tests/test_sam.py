@@ -373,3 +373,129 @@ class TestSAMFacade:
         img = np.random.RandomState(2).randint(0, 255, (96, 96, 3), np.uint8)
         res = sam.predict(img, points=[[48, 48]], labels=[1])
         assert res.masks.shape[1:] == (96, 96)
+
+
+class TestAMGParity:
+    """Automatic-mask-generation crop pyramid (VERDICT r3 #3): our
+    generate() vs the reference Predictor.generate on shared random-init
+    weights at crop_n_layers in {0, 1}."""
+
+    @staticmethod
+    def _tv_nms(boxes, scores, iou_thres):
+        """Real torchvision.ops.nms semantics for the shimmed module."""
+        idx = torch.argsort(scores, descending=True)
+        keep = []
+        while idx.numel():
+            i = idx[0]
+            keep.append(int(i))
+            if idx.numel() == 1:
+                break
+            rest = idx[1:]
+            xx1 = torch.maximum(boxes[i, 0], boxes[rest, 0])
+            yy1 = torch.maximum(boxes[i, 1], boxes[rest, 1])
+            xx2 = torch.minimum(boxes[i, 2], boxes[rest, 2])
+            yy2 = torch.minimum(boxes[i, 3], boxes[rest, 3])
+            inter = (xx2 - xx1).clamp(0) * (yy2 - yy1).clamp(0)
+            a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            a_r = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
+            iou = inter / (a_i + a_r - inter).clamp(min=1e-9)
+            idx = rest[iou <= iou_thres]
+        return torch.tensor(keep, dtype=torch.long)
+
+    @pytest.fixture(scope="class")
+    def pair(self, ref_sam):
+        """Tiny shared-weight (reference Predictor, our SAM facade) pair."""
+        sys.path.insert(0, REF)
+        try:
+            from ultralytics.models.sam.build import _build_sam
+            from ultralytics.models.sam.predict import Predictor
+        finally:
+            sys.path.remove(REF)
+        sys.modules["torchvision"].ops.nms = self._tv_nms
+
+        t_sam = _build_sam(encoder_embed_dim=64, encoder_depth=2,
+                           encoder_num_heads=2, encoder_global_attn_indexes=[1])
+        t_sam = _seeded(t_sam.eval(), seed=3)
+        t_sam.set_imgsz((256, 256))
+
+        pred = Predictor(overrides=dict(imgsz=256, save=False, verbose=False))
+        pred.setup_model(model=t_sam, verbose=False)
+        pred.batch = (["img.jpg"], [np.zeros((256, 256, 3), np.uint8)])
+
+        from fce_yolo_tpu.models.sam import SAM
+
+        ours = SAM(variant="sam_b", img_size=256, _random_init=True,
+                   _cfg=dict(encoder_embed_dim=64, encoder_depth=2,
+                             encoder_num_heads=2,
+                             encoder_global_attn_indexes=(1,)))
+        from fce_yolo_tpu.nn.sam import sam_state_dict_to_variables
+
+        ours.variables = sam_state_dict_to_variables(t_sam.state_dict())
+        return pred, ours, t_sam
+
+    def test_crop_grid_helpers_match_reference(self, ref_sam):
+        sys.path.insert(0, REF)
+        try:
+            from ultralytics.models.sam import amg as ref_amg
+        finally:
+            sys.path.remove(REF)
+        from fce_yolo_tpu.models.sam import (build_all_layer_point_grids,
+                                             generate_crop_boxes)
+
+        for size, layers, ov in [((256, 256), 0, 512 / 1500),
+                                 ((256, 256), 2, 512 / 1500),
+                                 ((200, 310), 1, 0.25)]:
+            rb, rl = ref_amg.generate_crop_boxes(size, layers, ov)
+            ob, ol = generate_crop_boxes(size, layers, ov)
+            assert ob == [list(b) for b in rb] and ol == list(rl)
+        for n, layers, scale in [(32, 0, 1), (8, 2, 2)]:
+            rg = ref_amg.build_all_layer_point_grids(n, layers, scale)
+            og = build_all_layer_point_grids(n, layers, scale)
+            assert len(rg) == len(og)
+            for a, b in zip(rg, og):
+                np.testing.assert_allclose(a, b, atol=1e-7)
+
+    @pytest.mark.parametrize("crop_n_layers", [0, 1])
+    def test_generate_set_parity(self, pair, crop_n_layers):
+        pred, ours, t_sam = pair
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 255, (256, 256, 3)).astype(np.uint8)
+
+        # thresholds picked from the score distribution so the comparison
+        # is not knife-edged on float noise
+        ours.set_image(img)
+        probe = ours.generate(conf_thres=-1e9, stability_score_thresh=-1e9,
+                              points_stride=6, points_batch_size=16,
+                              crop_n_layers=0)
+        cut = float(np.median(probe.scores)) if len(probe.scores) else 0.0
+
+        kw = dict(crop_n_layers=crop_n_layers, points_stride=6,
+                  points_batch_size=16, conf_thres=cut,
+                  stability_score_thresh=0.5, stability_score_offset=0.5)
+
+        with torch.no_grad():
+            im = torch.from_numpy(img.transpose(2, 0, 1))[None].float()
+            im = (im - pred.mean) / pred.std
+            r_masks, r_scores, r_boxes = pred.generate(im, **kw)
+        r_masks = r_masks.numpy()
+        r_scores = r_scores.numpy()
+        r_boxes = r_boxes.numpy()
+
+        ours.set_image(img)
+        res = ours.generate(**kw)
+
+        assert len(res.model_masks) == len(r_masks), (
+            f"mask count {len(res.model_masks)} vs reference {len(r_masks)}"
+        )
+        # same candidate set: greedy best-IoU matching, every pair tight
+        used = set()
+        for i, m in enumerate(res.model_masks):
+            ious = [
+                (np.logical_and(m, rm).sum() / max(np.logical_or(m, rm).sum(), 1), j)
+                for j, rm in enumerate(r_masks) if j not in used
+            ]
+            iou, j = max(ious)
+            assert iou > 0.95, f"mask {i}: best IoU {iou:.3f}"
+            assert abs(res.scores[i] - r_scores[j]) < 5e-3
+            np.testing.assert_allclose(res.model_boxes[i], r_boxes[j], atol=2)
+            used.add(j)
