@@ -259,31 +259,150 @@ class SAM3VideoSemanticPredictor:
     (sam.py:553-599). Overlapping tracklets are resolved with the
     pixelwise non-overlap + shrinkage suppression (sam.py:1139-1160).
 
-    Behavioral analog of the reference association core
-    (score_threshold_detection / assoc_iou_thresh / new_det_thresh /
-    keep-alive in predict.py:2477-2530); the hotstart-delay, masklet
-    confirmation and multi-GPU sharding refinements are intentionally out
-    of scope (single-host streaming contract).
+    Mirrors the reference association core + refinements
+    (predict.py:2459-2560, _associate_det_trk, _process_hotstart,
+    update_masklet_confirmation_status):
+
+    - many-to-one association: every tracklet with IoU >= assoc thresh
+      matches a detection; a detection is NEW only if no tracklet matches
+      and its score clears ``new_det_thresh``;
+    - keep-alive: +1 on match (capped), -1 when unmatched or empty
+      (floored); a tracklet with unmatched history dies at keep-alive <= 0;
+    - **hotstart** (``hotstart_delay`` > 0): outputs of young masklets are
+      held back for ``hotstart_delay`` frames; within that window a masklet
+      is killed if unmatched on >= ``hotstart_unmatch_thresh`` frames or if
+      it co-matches the same detection as an earlier-born masklet on >=
+      ``hotstart_dup_thresh`` frames (duplicate suppression);
+    - **masklet confirmation** (``masklet_confirmation_enable``): masklets
+      start UNCONFIRMED and confirm after
+      ``masklet_confirmation_consecutive_det_thresh`` consecutive matched
+      frames; unconfirmed ids are reported in ``unconfirmed_obj_ids`` for
+      display suppression (reference out["unconfirmed_obj_ids"]).
+
+    The multi-GPU sharding refinement is N.A. here (single-host streaming
+    contract; multi-chip goes through jax.sharding meshes instead).
     """
+
+    UNCONFIRMED, CONFIRMED = 1, 2  # reference predict.py:2468-2469
 
     def __init__(self, semantic: "SAM3", tracker, max_objects: int = 8,
                  score_threshold_detection: float = 0.5,
-                 assoc_iou_thresh: float = 0.5, new_det_thresh: float = 0.5,
-                 max_trk_keep_alive: int = 30, min_trk_keep_alive: int = -4):
+                 assoc_iou_thresh: float = 0.5,
+                 trk_assoc_iou_thresh: float | None = None,
+                 new_det_thresh: float = 0.5,
+                 max_trk_keep_alive: int = 30, min_trk_keep_alive: int = -4,
+                 init_trk_keep_alive: int = 30,
+                 decrease_trk_keep_alive_for_empty_masklets: bool = True,
+                 hotstart_delay: int = 0, hotstart_unmatch_thresh: int = 3,
+                 hotstart_dup_thresh: int = 3,
+                 masklet_confirmation_enable: bool = False,
+                 masklet_confirmation_consecutive_det_thresh: int = 3):
         self.semantic = semantic
         self.tracker = tracker  # SAM2VideoPredictor-shaped (SAM3VideoPredictor)
         self.max_objects = max_objects
         self.score_threshold_detection = score_threshold_detection
         self.assoc_iou_thresh = assoc_iou_thresh
+        self.trk_assoc_iou_thresh = (assoc_iou_thresh if trk_assoc_iou_thresh
+                                     is None else trk_assoc_iou_thresh)
         self.new_det_thresh = new_det_thresh
         self.max_trk_keep_alive = max_trk_keep_alive
         self.min_trk_keep_alive = min_trk_keep_alive
+        self.init_trk_keep_alive = init_trk_keep_alive
+        self.decrease_empty = decrease_trk_keep_alive_for_empty_masklets
+        if hotstart_delay > 0:  # reference predict.py:2531-2533
+            assert hotstart_unmatch_thresh <= hotstart_delay
+            assert hotstart_dup_thresh <= hotstart_delay
+        self.hotstart_delay = hotstart_delay
+        self.hotstart_unmatch_thresh = hotstart_unmatch_thresh
+        self.hotstart_dup_thresh = hotstart_dup_thresh
+        self.masklet_confirmation_enable = masklet_confirmation_enable
+        self.masklet_confirmation_consecutive_det_thresh = (
+            masklet_confirmation_consecutive_det_thresh)
+        self._overlap_pairs: dict = {}  # (first_born_id, id) -> [frames]
 
     @staticmethod
     def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
         inter = np.logical_and(a, b).sum()
         union = np.logical_or(a, b).sum()
         return float(inter) / float(union) if union else 0.0
+
+    def _associate_and_prune(self, slots: list, det_masks, det_scores,
+                             t: int) -> tuple[list, list]:
+        """Per-frame bank bookkeeping given detections + propagated slot
+        masks. Pure host logic (no model calls) so the hotstart/confirmation
+        behavior is directly testable with scripted masks.
+
+        Mirrors reference _associate_det_trk + _process_hotstart +
+        update_masklet_confirmation_status. Returns (surviving slots,
+        per-detection is_new flags).
+        """
+        # many-to-one association: every tracklet above trk_assoc_iou_thresh
+        # is matched; a detection is new only if NO tracklet clears
+        # assoc_iou_thresh and its score clears new_det_thresh
+        nd = len(det_masks)
+        ious = np.zeros((nd, len(slots)), np.float32)
+        for di in range(nd):
+            for j, s in enumerate(slots):
+                ious[di, j] = self._mask_iou(det_masks[di], s["mask"])
+        trk_nonempty = np.array([s["mask"].any() for s in slots], bool)
+        trk_matched = ((ious >= self.trk_assoc_iou_thresh).any(axis=0)
+                       if nd else np.zeros(len(slots), bool))
+        is_new_det = [
+            float(det_scores[di]) >= self.new_det_thresh
+            and not (len(slots) and (ious[di] >= self.assoc_iou_thresh).any())
+            for di in range(nd)
+        ]
+        det_matches = [
+            [j for j in range(len(slots)) if ious[di, j] >= self.assoc_iou_thresh]
+            for di in range(nd)
+        ]
+
+        # keep-alive (reference _process_hotstart step 1): +1 on match
+        # capped at max; -1 when unmatched / empty, floored at min
+        for j, s in enumerate(slots):
+            if trk_matched[j]:
+                s["keep"] = min(self.max_trk_keep_alive, s["keep"] + 1)
+                s["consec"] += 1
+            elif trk_nonempty[j]:
+                s["keep"] = max(self.min_trk_keep_alive, s["keep"] - 1)
+                s["unmatched"].append(t)
+                s["consec"] = 0
+            else:
+                if self.decrease_empty:
+                    s["keep"] = max(self.min_trk_keep_alive, s["keep"] - 1)
+                s["consec"] = 0
+            if s["consec"] >= self.masklet_confirmation_consecutive_det_thresh:
+                s["status"] = self.CONFIRMED
+
+        # hotstart removals (reference _process_hotstart steps 2+3):
+        # young = first appeared within the last hotstart_delay frames
+        removed: set[int] = set()
+        hotstart_diff = t - self.hotstart_delay
+        for s in slots:
+            if s["unmatched"]:
+                if (len(s["unmatched"]) >= self.hotstart_unmatch_thresh
+                        and s["t0"] > hotstart_diff):
+                    removed.add(s["id"])
+                if s["keep"] <= 0:
+                    removed.add(s["id"])
+        # duplicate suppression: two masklets matched to one detection;
+        # the later-born one accumulates overlap frames
+        for di in range(nd):
+            js = det_matches[di]
+            if len(js) < 2:
+                continue
+            first = min(js, key=lambda j: (slots[j]["t0"], slots[j]["id"]))
+            for j in js:
+                if j == first:
+                    continue
+                key = (slots[first]["id"], slots[j]["id"])
+                self._overlap_pairs.setdefault(key, []).append(t)
+        for (_fid, oid), frames in self._overlap_pairs.items():
+            s = next((x for x in slots if x["id"] == oid), None)
+            if (s is not None and s["t0"] > hotstart_diff
+                    and len(frames) >= self.hotstart_dup_thresh):
+                removed.add(oid)
+        return [s for s in slots if s["id"] not in removed], is_new_det
 
     def track(self, frames, text: str, num_frames: int | None = None):
         """Yields per frame SimpleNamespace(obj_ids, masks (N, H, W) bool,
@@ -301,6 +420,7 @@ class SAM3VideoSemanticPredictor:
         cond_mask = tr._cond_from_mask()
         slots: list[dict] = []
         next_id = 0
+        self._overlap_pairs = {}  # (first_born_id, id) -> [overlap frames]
 
         for t, frame in enumerate(frames):
             h0, w0 = frame.shape[:2]
@@ -341,42 +461,17 @@ class SAM3VideoSemanticPredictor:
             det = self.semantic.predict(
                 frame, text=[text], conf=self.score_threshold_detection)
 
-            # 3) greedy det->track association by mask IoU (predict.py
-            # association core; assoc_iou_thresh)
-            order = np.argsort(-det.scores)
-            matched_slots: set[int] = set()
-            unmatched_dets: list[int] = []
-            for di in order:
-                best_j, best_iou = -1, 0.0
-                for j, s in enumerate(slots):
-                    if j in matched_slots:
-                        continue
-                    iou = self._mask_iou(det.masks[di], s["mask"])
-                    if iou > best_iou:
-                        best_j, best_iou = j, iou
-                if best_j >= 0 and best_iou >= self.assoc_iou_thresh:
-                    matched_slots.add(best_j)
-                else:
-                    unmatched_dets.append(di)
+            # 3) association + keep-alive + hotstart + confirmation
+            slots, is_new_det = self._associate_and_prune(
+                slots, det.masks, det.scores, t)
 
-            # keep-alive bookkeeping: matched -> refreshed; unmatched or
-            # empty-mask tracklets decay; dead below the floor
-            for j, s in enumerate(slots):
-                if j in matched_slots:
-                    s["keep"] = self.max_trk_keep_alive
-                elif not s["mask"].any() or s["obj_logit"] <= 0:
-                    s["keep"] -= 1
-                else:
-                    s["keep"] -= 1
-            slots = [s for s in slots if s["keep"] > self.min_trk_keep_alive]
-
-            # 4) confident unmatched detections seed new masklets via the
+            # 4) new confident detections seed masklets via the
             # mask-as-output conditioning path
-            for di in unmatched_dets:
+            for di, new in enumerate(is_new_det):
+                if not new:
+                    continue
                 if len(slots) >= self.max_objects:
                     break
-                if float(det.scores[di]) < self.new_det_thresh:
-                    continue
                 m = cv2.resize(det.masks[di].astype(np.float32), (S, S),
                                interpolation=cv2.INTER_LINEAR)
                 low, high, ptr, score, mem, _ = cond_mask(
@@ -386,15 +481,25 @@ class SAM3VideoSemanticPredictor:
                     id=next_id, t0=t,
                     cond_mem=np.asarray(mem).reshape(hw, -1),
                     cond_ptr=np.asarray(ptr)[0], recent=[],
-                    keep=self.max_trk_keep_alive,
+                    keep=self.init_trk_keep_alive, consec=1,
+                    status=self.UNCONFIRMED, unmatched=[],
                     obj_logit=float(np.asarray(score)[0, 0]),
                     mask=det.masks[di].astype(bool)))
                 next_id += 1
 
-            live = [s for s in slots if s["keep"] > 0]
+            # emit: alive, past the hotstart hold-back window (streaming
+            # analog of the reference's delayed-output buffer), and — when
+            # confirmation is on — confirmed; unconfirmed ids reported
+            live = [s for s in slots
+                    if s["keep"] > 0 and t - s["t0"] >= self.hotstart_delay]
+            emit = [s for s in live
+                    if not self.masklet_confirmation_enable
+                    or s["status"] == self.CONFIRMED]
             yield SimpleNamespace(
-                obj_ids=np.asarray([s["id"] for s in live], np.int64),
-                masks=(np.stack([s["mask"] for s in live])
-                       if live else np.zeros((0, h0, w0), bool)),
+                obj_ids=np.asarray([s["id"] for s in emit], np.int64),
+                masks=(np.stack([s["mask"] for s in emit])
+                       if emit else np.zeros((0, h0, w0), bool)),
                 scores=np.asarray([_sigmoid(np.float64(s["obj_logit"]))
-                                   for s in live], np.float32))
+                                   for s in emit], np.float32),
+                unconfirmed_obj_ids=[s["id"] for s in live
+                                     if s["status"] != self.CONFIRMED])
