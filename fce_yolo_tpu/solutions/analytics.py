@@ -15,50 +15,133 @@ __all__ = ["Analytics", "DistanceCalculation", "SecurityAlarm", "AIGym"]
 
 
 class Analytics(BaseSolution):
-    """Per-frame class-count analytics rendered as a line/bar/pie chart
-    (reference analytics.py: matplotlib figure streamed as frames)."""
+    """Streaming analytics charts (reference analytics.py:51-264), with the
+    reference's exact data semantics:
 
-    def __init__(self, analytics_type: str = "line", **kw):
+    - ``line``: ONE total-detections-per-frame series (total_counts, reset
+      after each plotted frame), sliding window of ``max_points`` (45);
+    - ``area``: one filled series per class; newly-appearing classes are
+      zero-padded to the shared x axis; the window drops one point per
+      overflow frame;
+    - ``bar``: current class-wise counts with a STABLE per-label color
+      mapping and count labels above the bars;
+    - ``pie``: current class-wise counts with a percentage legend;
+    - charts re-render only every ``update_every`` frames (default 30, the
+      reference's caching contract) — in between the cached image returns.
+    """
+
+    _COLORS = ["#DD00BA", "#042AFF", "#FF4447", "#7D24FF", "#BD00FF"]
+
+    def __init__(self, analytics_type: str = "line", update_every: int = 30,
+                 max_points: int = 45, figsize: tuple = (12.8, 7.2), **kw):
         super().__init__(**kw)
         assert analytics_type in ("line", "bar", "pie", "area")
         self.analytics_type = analytics_type
-        self.frames: list[int] = []
-        self.history: dict[str, list[int]] = defaultdict(list)
+        self.update_every = update_every
+        self.max_points = max_points
+        self.figsize = figsize
+        self.x_label = "Classes" if analytics_type in ("bar", "pie") else "Frame#"
+        self.y_label = "Total Counts"
+        self.total_counts = 0
+        self.frame_idx = 0
+        self.x_data = np.array([], float)
+        self.y_data = np.array([], float)  # line mode
+        self.y_data_dict: dict[str, np.ndarray] = {}  # area mode
+        self.color_mapping: dict[str, str] = {}  # bar mode
+        self.last_plot_im: np.ndarray | None = None
 
-    def process(self, result, tracks: np.ndarray) -> SolutionResults:
+    def process(self, result, tracks: np.ndarray, frame_number: int | None = None
+                ) -> SolutionResults:
+        t = self.frame_idx if frame_number is None else frame_number
+        self.frame_idx += 1
         counts: dict[str, int] = defaultdict(int)
         for row in tracks:
             counts[self.names.get(int(row[6]), str(int(row[6])))] += 1
-        self.frames.append(len(self.frames))
-        for name in set(self.history) | set(counts):
-            self.history[name].append(counts.get(name, 0))
-        return SolutionResults(plot_im=self._render(),
-                               classwise_count=dict(counts),
-                               total_tracks=len(tracks),
-                               frame=self.frames[-1])
 
-    def _render(self) -> np.ndarray:
+        update = t % self.update_every == 0 or self.last_plot_im is None
+        if self.analytics_type == "line":
+            self.total_counts += len(tracks)
+            if update:
+                self.x_data = np.append(self.x_data, float(t))
+                self.y_data = np.append(self.y_data, float(self.total_counts))
+                if len(self.x_data) > self.max_points:
+                    self.x_data = self.x_data[-self.max_points:]
+                    self.y_data = self.y_data[-self.max_points:]
+                self.last_plot_im = self._render(dict(counts))
+            self.total_counts = 0  # reference resets after each frame
+        else:
+            if update:
+                if self.analytics_type == "area":
+                    self.x_data = np.append(self.x_data, float(t))
+                    n = len(self.x_data)
+                    for k in counts:
+                        ys = self.y_data_dict.get(k, np.array([], float))
+                        ys = np.append(ys, float(counts[k]))
+                        self.y_data_dict[k] = np.pad(ys, (n - len(ys), 0))[-n:] \
+                            if len(ys) < n else ys
+                    for k in list(self.y_data_dict):
+                        if k not in counts:
+                            self.y_data_dict[k] = np.append(self.y_data_dict[k], 0.0)
+                    if n > self.max_points:
+                        self.x_data = self.x_data[1:]
+                        for k in self.y_data_dict:
+                            self.y_data_dict[k] = self.y_data_dict[k][1:]
+                self.last_plot_im = self._render(dict(counts))
+        return SolutionResults(plot_im=self.last_plot_im,
+                               classwise_count=dict(counts),
+                               total_tracks=len(tracks), frame=t)
+
+    def _render(self, counts: dict) -> np.ndarray:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+        from itertools import cycle
 
-        fig, ax = plt.subplots(figsize=(6.4, 4.8), dpi=100)
-        if self.analytics_type in ("line", "area"):
-            for name, ys in self.history.items():
-                xs = range(len(ys))
-                if self.analytics_type == "area":
-                    ax.fill_between(list(xs), ys, alpha=0.4, label=name)
-                else:
-                    ax.plot(list(xs), ys, label=name, marker="o", ms=2)
-            ax.set_xlabel("frame"); ax.set_ylabel("count"); ax.legend(fontsize=7)
-        elif self.analytics_type == "bar":
-            latest = {k: v[-1] for k, v in self.history.items()}
-            ax.bar(list(latest.keys()), list(latest.values()))
+        fig, ax = plt.subplots(figsize=self.figsize, dpi=100,
+                               facecolor="#F3F3F3")
+        ax.set_facecolor("#f0f0f0")
+        kind = self.analytics_type
+        if kind == "line":
+            ax.plot(self.x_data, self.y_data, color="#7b0068", marker="*",
+                    markersize=10, label="Counts")
+        elif kind == "area":
+            cyc = cycle(self._COLORS)
+            for k, ys in self.y_data_dict.items():
+                color = next(cyc)
+                ax.fill_between(self.x_data, ys, color=color, alpha=0.55)
+                ax.plot(self.x_data, ys, color=color, marker="o",
+                        label=f"{k} Data Points")
+        elif kind == "bar":
+            cyc = cycle(self._COLORS)
+            for k in counts:
+                self.color_mapping.setdefault(k, next(cyc))
+            bars = ax.bar(list(counts.keys()), list(counts.values()),
+                          color=[self.color_mapping[k] for k in counts])
+            for bar, c in zip(bars, counts.values()):
+                ax.text(bar.get_x() + bar.get_width() / 2, bar.get_height(),
+                        str(c), ha="center", va="bottom", color="#111E68")
+            for bar, k in zip(bars, counts):
+                bar.set_label(k)
         else:  # pie
-            latest = {k: v[-1] for k, v in self.history.items() if v[-1] > 0}
-            if latest:
-                ax.pie(list(latest.values()), labels=list(latest.keys()))
+            if counts:
+                total = sum(counts.values())
+                wedges, _ = ax.pie(list(counts.values()),
+                                   labels=list(counts.keys()), startangle=90)
+                ax.legend(wedges,
+                          [f"{k} ({v / total * 100:.1f}%)"
+                           for k, v in counts.items()],
+                          title="Classes", loc="center left",
+                          bbox_to_anchor=(1, 0, 0.5, 1))
+                fig.subplots_adjust(left=0.1, right=0.75)
+            ax.axis("equal")
+        if kind != "pie":
+            ax.grid(True, linestyle="--", linewidth=0.5, alpha=0.5)
+            ax.set_xlabel(self.x_label, color="#111E68")
+            ax.set_ylabel(self.y_label, color="#111E68")
+            if counts or kind == "line":
+                ax.legend(loc="upper left", fontsize=9)
+        ax.set_title("Analytics", color="#111E68")
         fig.canvas.draw()
         buf = np.asarray(fig.canvas.buffer_rgba())[..., :3][..., ::-1].copy()
         plt.close(fig)

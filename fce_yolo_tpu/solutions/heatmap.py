@@ -54,7 +54,14 @@ class Heatmap(ObjectCounter):
             res = super().process(result, tracks)
             img = res.plot_im
         else:
-            res = SolutionResults(total_tracks=len(tracks))
+            # reference returns the full counter field set even without a
+            # region (heatmap.py:120-125): zero in/out + classwise counts
+            classwise: dict[str, int] = {}
+            for row in tracks:
+                name = self.names.get(int(row[6]), str(int(row[6])))
+                classwise[name] = classwise.get(name, 0) + 1
+            res = SolutionResults(total_tracks=len(tracks), in_count=0,
+                                  out_count=0, classwise_count=classwise)
             img = result.orig_img.copy()
 
         if self.acc.max() > 0:

@@ -184,16 +184,87 @@ def test_security_alarm_triggers_once():
     assert fired == [2]  # only fires once
 
 
-def test_analytics_chart_renders():
-    from collections import defaultdict
-
+def _analytics(kind, update_every=1, max_points=45):
     from fce_yolo_tpu.solutions.analytics import Analytics
 
-    a = _Stub(Analytics, analytics_type="line", frames=[], history=defaultdict(list))
+    a = _Stub(Analytics, analytics_type=kind, update_every=update_every,
+              max_points=max_points, figsize=(4, 3), total_counts=0,
+              frame_idx=0, color_mapping={}, last_plot_im=None,
+              x_label="Classes" if kind in ("bar", "pie") else "Frame#",
+              y_label="Total Counts")
+    a.x_data = np.array([], float)
+    a.y_data = np.array([], float)
+    a.y_data_dict = {}
+    return a
+
+
+def test_analytics_chart_renders():
+    a = _analytics("line")
     tr = np.array([[0, 0, 10, 10, 1, 0.9, 0]], float)
     r = a.process(_result(), tr)
     assert r.plot_im.ndim == 3 and r.plot_im.shape[2] == 3
     assert r.classwise_count == {"a": 1}
+
+
+def test_analytics_line_total_counts_and_window():
+    """Reference semantics (analytics.py:117-122,160-166): line mode plots
+    the TOTAL detections per plotted frame (reset after), trimmed to the
+    last max_points."""
+    a = _analytics("line", update_every=1, max_points=3)
+    tr2 = np.array([[0, 0, 10, 10, 1, 0.9, 0]] * 2, float)
+    for t in range(5):
+        r = a.process(_result(), tr2)
+    assert list(a.y_data) == [2.0, 2.0, 2.0]  # window of 3, reset each frame
+    assert list(a.x_data) == [2.0, 3.0, 4.0]
+    assert r.total_tracks == 2
+
+
+def test_analytics_update_every_caches():
+    """Charts re-render only every update_every frames; the cached image is
+    returned (and the line still accumulates totals between renders)."""
+    a = _analytics("line", update_every=3)
+    tr = np.array([[0, 0, 10, 10, 1, 0.9, 0]], float)
+    r0 = a.process(_result(), tr)  # t=0: renders
+    im0 = r0.plot_im
+    r1 = a.process(_result(), tr)  # t=1: cached
+    assert r1.plot_im is im0
+    a.process(_result(), tr)  # t=2: cached
+    r3 = a.process(_result(), tr)  # t=3: renders again
+    assert r3.plot_im is not im0
+    # total_counts resets EVERY frame (reference analytics.py:122), so the
+    # plotted value at t=3 is that frame's count only
+    assert a.y_data[-1] == 1.0
+
+
+def test_analytics_area_pads_new_classes():
+    a = _analytics("area", update_every=1)
+    a.names = {0: "a", 1: "b"}
+    tr_a = np.array([[0, 0, 10, 10, 1, 0.9, 0]], float)
+    tr_ab = np.array([[0, 0, 10, 10, 1, 0.9, 0], [0, 0, 9, 9, 2, 0.9, 1]], float)
+    a.process(_result(), tr_a)
+    r = a.process(_result(), tr_ab)
+    # class b appears late: zero-padded to the shared x axis
+    assert list(a.y_data_dict["a"]) == [1.0, 1.0]
+    assert list(a.y_data_dict["b"]) == [0.0, 1.0]
+    # class a disappears: its series continues with 0
+    tr_b = np.array([[0, 0, 9, 9, 2, 0.9, 1]], float)
+    r = a.process(_result(), tr_b)
+    assert list(a.y_data_dict["a"]) == [1.0, 1.0, 0.0]
+    assert r.plot_im.shape[2] == 3
+
+
+def test_analytics_bar_pie_render_with_stable_colors():
+    a = _analytics("bar", update_every=1)
+    a.names = {0: "a", 1: "b"}
+    tr = np.array([[0, 0, 10, 10, 1, 0.9, 0], [0, 0, 9, 9, 2, 0.9, 1]], float)
+    a.process(_result(), tr)
+    c_first = dict(a.color_mapping)
+    a.process(_result(), tr)
+    assert a.color_mapping == c_first  # per-label colors are stable
+    p = _analytics("pie", update_every=1)
+    p.names = {0: "a", 1: "b"}
+    r = p.process(_result(), tr)
+    assert r.plot_im.ndim == 3
 
 
 def test_aigym_counts_reps():
