@@ -99,13 +99,13 @@ def _make_images(root):
     return paths
 
 
-def _build_torch_model(ref_pkg, img_paths):
+def _build_torch_model(ref_pkg, img_paths, scale="n"):
     import yaml as pyyaml
 
     from ultralytics.nn.tasks import DetectionModel
 
     d = pyyaml.safe_load(open(os.path.join(REF, "ultralytics/cfg/models/11/yolo11.yaml")))
-    d["scale"] = "n"
+    d["scale"] = scale
     d["nc"] = NC
     torch.manual_seed(3)
     with contextlib.redirect_stdout(io.StringIO()):
@@ -286,7 +286,8 @@ def _run_reference_val(tm, yaml_path, tmp_path):
     return stats
 
 
-def _run_our_val(tm, yaml_path, conf=0.001, rect=True, pre_nms_topk=4096):
+def _run_our_val(tm, yaml_path, conf=0.001, rect=True, pre_nms_topk=4096,
+                 scale="n"):
     import jax
 
     from fce_yolo_tpu.engine.validator import DetectionValidator
@@ -294,7 +295,7 @@ def _run_our_val(tm, yaml_path, conf=0.001, rect=True, pre_nms_topk=4096):
     from fce_yolo_tpu.nn.model import build_model
 
     cfg_dir = os.path.join(os.path.dirname(__file__), "..", "fce_yolo_tpu", "cfg", "models")
-    model, spec, strides = build_model(os.path.join(cfg_dir, "yolo11.yaml"), scale="n", nc=NC)
+    model, spec, strides = build_model(os.path.join(cfg_dir, "yolo11.yaml"), scale=scale, nc=NC)
     template = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
     )
@@ -339,6 +340,36 @@ def test_e2e_map_parity_detect(dataset_and_model, tmp_path):
     # negligible on this fixture set (computed above, before the fuse)
     tail = abs(float(ours_1024["metrics/mAP50-95(B)"]) - our_map5095)
     assert tail <= 0.02, f"pre_nms_topk=1024 tail shifted mAP by {tail}"
+
+
+@pytest.mark.slow
+def test_e2e_map_parity_detect_l(ref_pkg, tmp_path_factory, tmp_path):
+    """Big-scale parity (VERDICT r3 #5): yolo11l — 25 M params, the regime
+    where C3k2 runs c3k=True inner blocks and channel widths peak — through
+    the same import -> rect val -> mAP chain as the n-scale test."""
+    root = tmp_path_factory.mktemp("map_parity_l")
+    paths = _make_images(root)
+    tm = _build_torch_model(ref_pkg, paths, scale="l")
+    n_labels = _generate_labels(tm, paths, root)
+    assert n_labels >= 20, f"dataset degenerate: only {n_labels} GT boxes"
+    yaml_path = root / "data.yaml"
+    names = "\n".join(f"  {i}: c{i}" for i in range(NC))
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/val\nval: images/val\nnames:\n{names}\n"
+    )
+
+    ours = _run_our_val(tm, yaml_path, scale="l")
+    ref = _run_reference_val(tm, yaml_path, tmp_path)
+
+    ref_map5095 = float(ref["metrics/mAP50-95(B)"])
+    our_map5095 = float(ours["metrics/mAP50-95(B)"])
+    # random-init l-scale predictions are less self-consistent across rect
+    # bins than n-scale, so the self-labeled fixture tops out lower — the
+    # PARITY assertion (ours vs reference on identical weights/images) is
+    # what matters and is non-vacuous at any solidly non-zero mAP
+    assert float(ref["metrics/mAP50(B)"]) > 0.15
+    assert abs(our_map5095 - ref_map5095) <= 0.02, (our_map5095, ref_map5095)
+    assert abs(float(ours["metrics/mAP50(B)"]) - float(ref["metrics/mAP50(B)"])) <= 0.02
 
 
 # ---------------------------------------------------------------------------
