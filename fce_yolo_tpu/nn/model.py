@@ -257,9 +257,20 @@ class DetectionModel(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  txt_feats: jnp.ndarray | None = None,
                  dn: dict[str, jnp.ndarray] | None = None,
-                 visual_prompts: jnp.ndarray | None = None):
+                 visual_prompts: jnp.ndarray | None = None,
+                 start_layer: int = 0):
         saved: dict[int, jnp.ndarray] = {}
         out: Any = x
+        # start_layer > 0: x is already the output of layer start_layer-1
+        # (the Pallas fused stem, ops/pallas_stem.py, computes layers 0..2
+        # outside the flax graph at inference). Only valid when no skipped
+        # layer's output is consumed downstream.
+        if start_layer > 0:
+            assert not any(i in self.spec.save for i in range(start_layer - 1)), (
+                "start_layer skips layers whose outputs are consumed later"
+            )
+            if start_layer - 1 in self.spec.save:
+                saved[start_layer - 1] = x
         # open-vocab threading (reference WorldModel.predict, tasks.py:896-940):
         # C2fAttn consumes the running (possibly ImagePoolingAttn-enhanced)
         # embeddings; WorldDetect always sees the originals
@@ -270,6 +281,8 @@ class DetectionModel(nn.Module):
             txt_feats = jnp.zeros((1, self.spec.nc, 512), x.dtype)
         txt = txt0 = txt_feats
         for ls in self.spec.layers:
+            if ls.i < start_layer:
+                continue
             if ls.is_multi_input:
                 # negative indices are relative to the current layer
                 # (reference savelist normalization x % i, tasks.py:1738)

@@ -1,0 +1,120 @@
+"""Pallas fused narrow-conv stem (ops/pallas_stem.py): kernel math vs the
+f32 jnp reference (both inner-block forms, rectangular inputs, multi-repeat),
+full-model fused-vs-baseline forward parity, and the eligibility matcher.
+Runs in interpret mode on CPU; the real-chip numbers live in EVIDENCE.md."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fce_yolo_tpu.ops.pallas_stem import (
+    StemSpec,
+    fold_stem_params,
+    fused_stem,
+    stem_reference_jnp,
+    stem_spec_from_model,
+)
+
+
+def _rand_folded(rng, spec: StemSpec):
+    def rw(*s):
+        return jnp.asarray(rng.normal(0, 0.1, s), jnp.bfloat16)
+
+    ch, c_ = spec.ch, spec.ch // 2
+    out = [rw(27, spec.c0), rw(1, spec.c0),
+           rw(9 * spec.c0, spec.c1), rw(1, spec.c1),
+           rw(spec.c1, 2 * ch), rw(1, 2 * ch)]
+    for _ in range(spec.n):
+        if spec.c3k:
+            out += [rw(ch, c_), rw(1, c_), rw(ch, c_), rw(1, c_)]
+            for _ in range(2):
+                out += [rw(9 * c_, c_), rw(1, c_), rw(9 * c_, c_), rw(1, c_)]
+            out += [rw(2 * c_, ch), rw(1, ch)]
+        else:
+            out += [rw(9 * ch, c_), rw(1, c_), rw(9 * c_, ch), rw(1, ch)]
+    out += [rw((2 + spec.n) * ch, spec.c2), rw(1, spec.c2)]
+    return out
+
+
+@pytest.mark.parametrize(
+    "H,W,c3k,n,tile",
+    [(64, 64, False, 1, 16),  # single tile, bottleneck inner (n/s form)
+     (64, 64, True, 1, 16),  # single tile, C3k inner (m/l/x form)
+     (128, 128, False, 1, 16),  # multi-tile
+     (128, 192, False, 2, 8),  # rectangular + 2 repeats (l/x depth)
+     (128, 128, True, 2, 16)],  # C3k x2 (x-scale form; tile > halo=8)
+)
+def test_kernel_matches_reference(H, W, c3k, n, tile):
+    spec = StemSpec(H=H, W=W, c0=16, c1=32, c2=64, ch=16, n=n, c3k=c3k,
+                    tile_h=tile)
+    rng = np.random.RandomState(0)
+    folded = _rand_folded(rng, spec)
+    x = jnp.asarray(rng.randint(0, 255, (2, H, W, 3), np.uint8))
+    ref = np.asarray(stem_reference_jnp(x, folded, spec), np.float32)
+    out = np.asarray(fused_stem(x, folded, spec, interpret=True), np.float32)
+    scale = np.abs(ref).max()
+    d = np.abs(out - ref)
+    assert d.max() / scale < 0.02, d.max() / scale  # bf16 chain tolerance
+    # boundary structure: per-row error must be uniform (a halo/pad bug
+    # shows up as an edge or tile-boundary spike)
+    per_row = d.max(axis=(0, 2, 3)) / scale
+    assert per_row.max() < 3 * max(np.median(per_row), 1e-6)
+
+
+@pytest.mark.parametrize("scale", ["s", "m"])
+def test_full_model_fused_forward_parity(scale):
+    """apply_with_fused_stem == the plain bf16 forward, through the real
+    yolo11 graph (fold_stem_params consumes the actual flax variables)."""
+    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.ops import pallas_stem as PS
+
+    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml",
+                                       scale=scale)
+    ss = stem_spec_from_model(spec, (160, 160))
+    assert ss is not None
+    assert ss.c3k == (scale == "m")  # parser forces c3k at m/l/x
+    assert ss.c2 % 128 == 0
+    v = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
+    bf16 = jnp.bfloat16
+    v = {"params": jax.tree_util.tree_map(lambda x: x.astype(bf16), v["params"]),
+         "batch_stats": v["batch_stats"]}
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 255, (1, 160, 160, 3), np.uint8))
+    base = np.asarray(
+        model.apply(v, img.astype(bf16) / 255.0, train=False)["preds"], np.float32)
+
+    import functools
+
+    orig = PS.fused_stem
+    PS.fused_stem = functools.partial(orig, interpret=True)
+    try:
+        fused = np.asarray(
+            PS.apply_with_fused_stem(model, v, img, ss)["preds"], np.float32)
+    finally:
+        PS.fused_stem = orig
+    # the stem's bf16 rounding differences wash out through the remaining
+    # 20+ layers; decoded preds agree tightly
+    assert np.abs(base - fused).max() <= 0.02 * max(np.abs(base).max(), 1.0)
+    assert np.corrcoef(base.ravel(), fused.ravel())[0, 1] > 0.9999
+
+
+def test_stem_spec_matcher():
+    from fce_yolo_tpu.nn.model import build_model
+
+    # s and up match (n's c2=64 fails the 128-lane HBM alignment rule and
+    # n-scale infer already runs above the bytes roofline — no fusion)
+    for scale, c3k, n in [("s", False, 1), ("m", True, 1),
+                          ("l", True, 2), ("x", True, 2)]:
+        _, spec, _ = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale=scale)
+        ss = stem_spec_from_model(spec, (640, 640))
+        assert ss is not None and ss.c3k == c3k and ss.n == n, (scale, ss)
+    _, spec_n0, _ = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale="n")
+    assert stem_spec_from_model(spec_n0, (640, 640)) is None
+    # v8 (C2f stem) must NOT match
+    _, spec8, _ = build_model("fce_yolo_tpu/cfg/models/yolov8.yaml", scale="n")
+    assert stem_spec_from_model(spec8, (640, 640)) is None
+    # odd image size must not match
+    _, spec_n, _ = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale="n")
+    assert stem_spec_from_model(spec_n, (642, 640)) is None

@@ -150,6 +150,19 @@ def profile_infer(args):
     trace_and_report(args.trace_dir, args.top, run4)
 
 
+def _enable_compile_cache():
+    import jax
+
+    try:
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                             ".cache", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", default="n")
@@ -162,6 +175,7 @@ def main():
     ap.add_argument("--infer", action="store_true",
                     help="profile the e2e inference pipeline instead of the train step")
     args = ap.parse_args()
+    _enable_compile_cache()
 
     if args.infer:
         profile_infer(args)

@@ -27,13 +27,15 @@ V5E_HBM_BW = 819e9  # TPU v5e HBM bytes/s
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scales", nargs="+", default=["n", "s", "m"])
+    ap.add_argument("--scales", nargs="+", default=["n", "s", "m", "l", "x"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--imgsz", type=int, default=640)
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--cfg", default="fce_yolo_tpu/cfg/models/yolo11.yaml")
     ap.add_argument("--train", action="store_true",
                     help="also roofline the full train step per scale")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="skip the Pallas fused-stem pipeline row")
     args = ap.parse_args()
 
     import jax
@@ -41,6 +43,16 @@ def main():
 
     from fce_yolo_tpu.nn.model import build_model, init_variables
     from fce_yolo_tpu.ops.nms import batched_nms
+    from fce_yolo_tpu.ops.pallas_stem import apply_with_fused_stem, stem_spec_from_model
+
+    try:  # persistent compile cache — big-scale compiles dominate wall time
+        cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                             ".cache", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     tiny = jax.jit(lambda x: x + 1.0)
     _ = float(tiny(jnp.zeros(())))
@@ -52,7 +64,7 @@ def main():
     print(f"# peaks: {V5E_BF16_PEAK/1e12:.0f} TF/s bf16, {V5E_HBM_BW/1e9:.0f} GB/s HBM")
 
     for scale in args.scales:
-        batch = args.batch if scale == "n" else max(args.batch // 4, 16)
+        batch = {"n": args.batch, "x": 16}.get(scale, max(args.batch // 4, 16))
         model, spec, strides = build_model(args.cfg, scale=scale)
         variables = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
         bf16 = jnp.bfloat16
@@ -94,6 +106,34 @@ def main():
             f"{batch/best:7.0f} img/s"
         )
 
+        # fused-stem pipeline (ops/pallas_stem.py), judged against the SAME
+        # baseline-graph roofline so the % is comparable with round 3's
+        # numbers (the fused graph's own cost analysis no longer counts the
+        # stem's intermediate tensors it eliminated)
+        ss = None if args.no_fused else stem_spec_from_model(
+            spec, (args.imgsz, args.imgsz))
+        if ss is not None:
+            def predict_fused(variables, images_u8):
+                preds = apply_with_fused_stem(model, variables, images_u8, ss)["preds"]
+                out = batched_nms(preds, conf_thres=0.25, iou_thres=0.45,
+                                  max_det=300, multi_label=False)
+                return out["boxes"].sum() + out["scores"].sum() + out["valid"].sum()
+
+            fcomp = jax.jit(predict_fused).lower(variables, img).compile()
+            _ = float(fcomp(variables, img))
+            fbest = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                outs = [fcomp(variables, img) for _ in range(args.iters)]
+                _ = float(sum(outs))
+                fbest = min(fbest, max(time.perf_counter() - t0 - rt, 1e-9) / args.iters)
+            print(
+                f"yolo11{scale} b{batch} FUSED-STEM: {fbest*1e3:7.2f} ms measured | "
+                f"vs baseline graph roofline: {sol/fbest*100:5.1f}% of "
+                f"speed-of-light | {batch/fbest:7.0f} img/s "
+                f"({best/fbest:4.2f}x vs unfused)"
+            )
+
         if not args.train:
             continue
 
@@ -101,7 +141,7 @@ def main():
         from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
         from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
 
-        tb = 128 if scale == "n" else 32
+        tb = {"n": 128, "l": 16, "x": 8}.get(scale, 32)  # bench.py's rows
         tmodel, _, _ = build_model(args.cfg, scale=scale, nc=80)
         tvars = jax.jit(lambda k: init_variables(tmodel, k, imgsz=64))(jax.random.PRNGKey(0))
         tx = build_optimizer(OptimCfg(batch_size=tb, nbs=tb), tvars["params"])
