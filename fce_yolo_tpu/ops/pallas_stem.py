@@ -570,9 +570,17 @@ def apply_with_fused_stem(model, variables: dict, images_u8: jnp.ndarray,
     return model.apply(variables, y, train=False, start_layer=3, **apply_kw)
 
 
-def stem_spec_from_model(spec, imgsz: tuple[int, int]) -> StemSpec | None:
+def stem_spec_from_model(spec, imgsz: tuple[int, int],
+                         include_unprofitable: bool = False) -> StemSpec | None:
     """Return a StemSpec when the model's first three layers match the
-    fusable pattern (Conv k3 s2, Conv k3 s2, C3k2 e=0.25), else None.
+    fusable pattern (Conv k3 s2, Conv k3 s2, C3k2 e=0.25) AND the kernel
+    is measured profitable there, else None.
+
+    Measured on the real chip (EVIDENCE.md round 4): single-repeat stems
+    win e2e (s 1.74x, m 1.16x); the double-repeat C3k stems at l/x lose
+    (standalone stem 31.4 ms/b32 at l vs ~13 ms XLA stage share — the 8
+    stride-1 window builds dominate). ``include_unprofitable=True`` returns
+    the spec anyway (benchmarking/experiments).
 
     ``spec`` is the parser ModelSpec (args already scale-resolved).
     """
@@ -603,6 +611,8 @@ def stem_spec_from_model(spec, imgsz: tuple[int, int]) -> StemSpec | None:
         return None
     if c2_ % 128:  # output HBM blocks must be 128-lane aligned (s and up)
         return None
+    if n > 1 and not include_unprofitable:
+        return None  # measured loss at l/x (see docstring)
     h4 = h // 4
     halo = n * (4 if c3k else 2)
     # big halos (c3k x2 at l/x) blow up per-tile VMEM; prefer smaller tiles
