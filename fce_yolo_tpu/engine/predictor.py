@@ -152,10 +152,33 @@ class DetectionPredictor:
 
             return predict_backend
 
+        # Pallas fused stem (ops/pallas_stem.py): on TPU, eligible graphs
+        # (s scale and up) run layers 0..2 in one VMEM-resident kernel —
+        # measured e2e 1.74x at s, 1.16x at m (EVIDENCE.md round 4).
+        # FY_NO_FUSED_STEM=1 opts out; CPU always uses the plain path.
+        ss = None
+        import os as _os
+
+        if not _os.environ.get("FY_NO_FUSED_STEM") and getattr(
+                model, "spec", None) is not None:
+            try:
+                if any("TPU" in str(getattr(d, "device_kind", ""))
+                       for d in jax.devices()):
+                    from fce_yolo_tpu.ops.pallas_stem import stem_spec_from_model
+
+                    ss = stem_spec_from_model(model.spec, (imgsz, imgsz))
+            except Exception:
+                ss = None
+
         @jax.jit
         def predict(variables, img_u8):
-            x = img_u8.astype(jnp.float32) / 255.0
-            out = model.apply(variables, x, train=False)
+            if ss is not None:
+                from fce_yolo_tpu.ops.pallas_stem import apply_with_fused_stem
+
+                out = apply_with_fused_stem(model, variables, img_u8, ss)
+            else:
+                x = img_u8.astype(jnp.float32) / 255.0
+                out = model.apply(variables, x, train=False)
             # predict is single-label per box (reference nms.py:19 default);
             # the validator uses multi_label=True for mAP parity
             if task == "rtdetr":

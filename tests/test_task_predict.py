@@ -81,17 +81,29 @@ def test_pose_predict_facade():
         assert (r.keypoints.conf >= 0).all() and (r.keypoints.conf <= 1).all()
 
 
-def test_predict_classes_filter_and_verbose(capfd):
+def test_predict_classes_filter_and_verbose():
     """classes= keeps only the named ids and matches a manual post-filter
-    (reference predictor classes arg); verbose= emits the summary line."""
+    (reference predictor classes arg); verbose= emits the summary line.
+    The log line is asserted via a handler attached directly to LOGGER —
+    fd-level capture is order-dependent when earlier tests touch the
+    stream the handler bound at import time."""
+    import io
+    import logging
+
+    from fce_yolo_tpu.utils import LOGGER
+
     m = YOLO("yolo11n.yaml")
     img = np.random.RandomState(3).randint(0, 255, (120, 160, 3), np.uint8)
     r_all = m.predict(img, imgsz=96, conf=0.0001)[0]
-    capfd.readouterr()
-    r_f = m.predict(img, imgsz=96, conf=0.0001, classes=[0, 2], verbose=True)[0]
-    err = capfd.readouterr().err
+    buf = io.StringIO()
+    h = logging.StreamHandler(buf)
+    LOGGER.addHandler(h)
+    try:
+        r_f = m.predict(img, imgsz=96, conf=0.0001, classes=[0, 2], verbose=True)[0]
+    finally:
+        LOGGER.removeHandler(h)
     got = r_f.boxes.cls.astype(int)
     assert set(got.tolist()) <= {0, 2}
     want = np.isin(r_all.boxes.cls.astype(int), [0, 2]).sum()
     assert len(r_f) == want
-    assert "image 1" in err
+    assert "image 1" in buf.getvalue()
