@@ -192,3 +192,16 @@ def tiny_cls_dataset(tmp_path_factory):
                 img[..., 2 if ci == 0 else 0] += 120  # strong red / blue tint
                 cv2.imwrite(str(d / f"{i}.jpg"), img)
     return str(root)
+
+
+# Cache transformers' optional-dependency availability flags against the
+# REAL environment before any test installs a torchvision module shim (the
+# reference-parity fixtures shim torchvision + importlib.metadata.version).
+# transformers computes `_torchvision_available` ONCE at import; if that
+# first import happens after a shim exists, it believes torchvision is
+# installed and later explodes importing torchvision.transforms/io —
+# an order-dependent failure (seen in the round-4 full tier).
+try:
+    import transformers.utils.import_utils  # noqa: F401
+except Exception:
+    pass

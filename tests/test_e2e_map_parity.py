@@ -59,6 +59,8 @@ def ref_pkg():
     # pipeline's keep-sets identical to a real torchvision install.
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        import importlib.machinery as _ilm
+        tv.__spec__ = _ilm.ModuleSpec("torchvision", None)
         tv.__version__ = "0.23.0"
         tv_ops = types.ModuleType("torchvision.ops")
 

@@ -51,6 +51,8 @@ class TestRTDETRParity:
         md.version = fake_version
         if "torchvision" not in sys.modules:  # ultralytics.models pulls SAM
             tv = types.ModuleType("torchvision")
+            import importlib.machinery as _ilm
+            tv.__spec__ = _ilm.ModuleSpec("torchvision", None)
             tv.__version__ = "0.23.0"
             tv.ops = types.ModuleType("torchvision.ops")
             sys.modules["torchvision"] = tv
@@ -224,6 +226,8 @@ def test_detr_loss_golden():
     md.version = _try
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        import importlib.machinery as _ilm
+        tv.__spec__ = _ilm.ModuleSpec("torchvision", None)
         tv.__version__ = "0.23.0"
         tv.ops = types.ModuleType("torchvision.ops")
         sys.modules["torchvision"] = tv

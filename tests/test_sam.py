@@ -42,6 +42,8 @@ def ref_sam():
     md.version = fake_version
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        import importlib.machinery as _ilm
+        tv.__spec__ = _ilm.ModuleSpec("torchvision", None)
         tv.__version__ = "0.23.0"
         tv_ops = types.ModuleType("torchvision.ops")
         tv_roi = types.ModuleType("torchvision.ops.roi_align")

@@ -151,6 +151,8 @@ class TestSAM2Parity:
         md.version = fake_version
         if "torchvision" not in sys.modules:
             tv = types.ModuleType("torchvision")
+            import importlib.machinery as _ilm
+            tv.__spec__ = _ilm.ModuleSpec("torchvision", None)
             tv.__version__ = "0.23.0"
             tv.ops = types.ModuleType("torchvision.ops")
             sys.modules["torchvision"] = tv

@@ -142,6 +142,8 @@ def ref_pkg():
     tv = sys.modules.get("torchvision")
     if tv is None:
         tv = types.ModuleType("torchvision")
+        import importlib.machinery as _ilm
+        tv.__spec__ = _ilm.ModuleSpec("torchvision", None)
         tv.__version__ = "0.23.0"
         tv.ops = types.ModuleType("torchvision.ops")
         tv.ops.nms = None
