@@ -65,7 +65,9 @@ def bench_infer(cfg: str, scale: str = "n", batch: int = 128, imgsz: int = 640,
     model, spec, strides = build_model(cfg, scale=scale)
     if fused_stem is None:
         fused_stem = not os.environ.get("FY_NO_FUSED_STEM")
-    ss = stem_spec_from_model(spec, (imgsz, imgsz)) if fused_stem else None
+    # mirror the predictor's backend gate: Mosaic kernels only compile on TPU
+    on_tpu = any("TPU" in str(getattr(d, "device_kind", "")) for d in jax.devices())
+    ss = stem_spec_from_model(spec, (imgsz, imgsz)) if (fused_stem and on_tpu) else None
     variables = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
     bf16 = jnp.bfloat16
     params = jax.tree_util.tree_map(lambda x: x.astype(bf16), variables["params"])

@@ -156,6 +156,10 @@ class DetectionPredictor:
         # (s scale and up) run layers 0..2 in one VMEM-resident kernel —
         # measured e2e 1.74x at s, 1.16x at m (EVIDENCE.md round 4).
         # FY_NO_FUSED_STEM=1 opts out; CPU always uses the plain path.
+        # Precision: the kernel folds stem weights to bf16, so it is only
+        # taken when the checkpoint params are already bf16 (the production
+        # serving dtype) — f32 variables keep the documented f32 normalize
+        # path bit-for-bit unless FY_FORCE_FUSED_STEM=1 opts in.
         ss = None
         import os as _os
 
@@ -169,10 +173,16 @@ class DetectionPredictor:
                     ss = stem_spec_from_model(model.spec, (imgsz, imgsz))
             except Exception:
                 ss = None
+        force_fused = bool(_os.environ.get("FY_FORCE_FUSED_STEM"))
 
         @jax.jit
         def predict(variables, img_u8):
-            if ss is not None:
+            # trace-time dtype gate (see precision note above)
+            leaves = jax.tree_util.tree_leaves(variables.get("params", variables))
+            params_bf16 = bool(leaves) and all(
+                l.dtype == jnp.bfloat16 for l in leaves
+                if jnp.issubdtype(l.dtype, jnp.floating))
+            if ss is not None and (params_bf16 or force_fused):
                 from fce_yolo_tpu.ops.pallas_stem import apply_with_fused_stem
 
                 out = apply_with_fused_stem(model, variables, img_u8, ss)

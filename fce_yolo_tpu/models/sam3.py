@@ -402,7 +402,14 @@ class SAM3VideoSemanticPredictor:
             if (s is not None and s["t0"] > hotstart_diff
                     and len(frames) >= self.hotstart_dup_thresh):
                 removed.add(oid)
-        return [s for s in slots if s["id"] not in removed], is_new_det
+        kept = [s for s in slots if s["id"] not in removed]
+        # prune pairs whose masklet is dead/removed — otherwise frame lists
+        # grow and get linearly re-scanned for the whole stream (the
+        # reference skips these via removed_obj_ids)
+        live = {s["id"] for s in kept}
+        self._overlap_pairs = {
+            k: v for k, v in self._overlap_pairs.items() if k[1] in live}
+        return kept, is_new_det
 
     def track(self, frames, text: str, num_frames: int | None = None):
         """Yields per frame SimpleNamespace(obj_ids, masks (N, H, W) bool,

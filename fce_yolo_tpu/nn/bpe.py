@@ -204,10 +204,16 @@ class CLIPBPETokenizer:
         text = _whitespace_clean(_basic_clean(text)).lower()
         for token in self.pat.findall(text):
             unit = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            ids.extend(
-                self.encoder.get(sub, self.eot_id)
-                for sub in self.bpe(unit).split(" ")
-            )
+            for sub in self.bpe(unit).split(" "):
+                try:
+                    ids.append(self.encoder[sub])
+                except KeyError:
+                    # match the reference tokenizer's KeyError (simple_tokenizer
+                    # raises on OOV); a silent EOT here would corrupt CLIP's
+                    # argmax EOT-position pooling. Only reachable with an
+                    # incomplete vocab.json.
+                    raise KeyError(
+                        f"subword {sub!r} not in BPE vocab (incomplete vocab.json?)")
         return ids
 
     def decode(self, ids) -> str:
