@@ -272,6 +272,11 @@ def load_model_yaml(path: str | Path, scale: str | None = None) -> ModelSpec:
     reference ``yaml_model_load``/``guess_model_scale`` (tasks.py:1746-1783).
     """
     path = Path(path)
+    models_dir = Path(__file__).resolve().parent.parent / "cfg" / "models"
+    if not path.exists() and (models_dir / path.name).exists():
+        # exact packaged name first: per-scale families (yolov9c, yolov10b)
+        # ship as real files with no scale letter to strip
+        path = models_dir / path.name
     if not path.exists() and scale is None:
         # e.g. "yolo11n-seg.yaml" -> "yolo11-seg.yaml" with scale "n"
         import re
@@ -280,10 +285,8 @@ def load_model_yaml(path: str | Path, scale: str | None = None) -> ModelSpec:
         if m:
             scale = m.group(2)
             path = path.with_name(m.group(1) + (m.group(3) or "") + path.suffix)
-    if not path.exists():
-        builtin = Path(__file__).resolve().parent.parent / "cfg" / "models" / path.name
-        if builtin.exists():
-            path = builtin
+    if not path.exists() and (models_dir / path.name).exists():
+        path = models_dir / path.name
     with open(path) as fh:
         d = yaml.safe_load(fh)
     return parse_model_yaml(d, ch=3, scale=scale)
