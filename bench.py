@@ -97,6 +97,23 @@ def bench_infer(cfg: str, scale: str = "n", batch: int = 128, imgsz: int = 640,
     return batch / best_dt
 
 
+def lfce_cfg_512_16_8() -> dict:
+    """BASELINE configs[4]: yolo11l-fce with BiCoordCrossAtt [512,16,8]
+    (explicit reduction=16 / heads=8 at both backbone attention sites)."""
+    import os
+
+    import yaml
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fce_yolo_tpu", "cfg", "models", "yolo11-fce.yaml")
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    for row in d["backbone"]:
+        if row[2] == "BiCoordCrossAtt":
+            row[3] = [512, 16, 8]
+    return d
+
+
 def bench_train(cfg: str, scale: str = "n", batch: int = 64, imgsz: int = 640,
                 iters: int = 16, rt: float | None = None) -> float:
     """Full train step (fwd+loss+TAL+bwd+opt+EMA, bf16) images/sec."""
@@ -181,6 +198,13 @@ def main() -> dict:
         infer_x = bench_infer(stock, scale="x", batch=16, iters=8, rt=rt)
         train_l = bench_train(stock, scale="l", batch=16, iters=6, rt=rt)
         train_x = bench_train(stock, scale="x", batch=8, iters=6, rt=rt)
+        # BASELINE config #5: yolo11l-fce (BiCoordCrossAtt [512,16,8]),
+        # streaming 1280px inference. b4 ~ video-stream batching; measured
+        # 97.4% of the HBM roofline round 5 (tools/bench_lfce_1280.py)
+        infer_lfce_1280 = bench_infer(
+            lfce_cfg_512_16_8(), scale="l", batch=4, imgsz=1280, iters=12, rt=rt)
+        scale_rows["yolo11l-fce[512,16,8] 1280px batch4 streaming e2e img/s"] = round(
+            infer_lfce_1280, 1)
         for s, b, v in [("s", 32, infer_s), ("m", 32, infer_m),
                         ("l", 32, infer_l), ("x", 16, infer_x)]:
             m_s, _, _ = build_model(stock, scale=s)
