@@ -58,7 +58,8 @@ def bench_infer(cfg: str, scale: str = "n", batch: int = 128, imgsz: int = 640,
     import jax
     import jax.numpy as jnp
 
-    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.nn.model import build_model, fold_conv_bn, init_variables
+    from fce_yolo_tpu.nn.modules import fused_bn_scope
     from fce_yolo_tpu.ops.nms import batched_nms
     from fce_yolo_tpu.ops.pallas_stem import apply_with_fused_stem, stem_spec_from_model
 
@@ -69,9 +70,16 @@ def bench_infer(cfg: str, scale: str = "n", batch: int = 128, imgsz: int = 640,
     on_tpu = any("TPU" in str(getattr(d, "device_kind", "")) for d in jax.devices())
     ss = stem_spec_from_model(spec, (imgsz, imgsz)) if (fused_stem and on_tpu) else None
     variables = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
+    # Conv+BN weight folding (reference Model.fuse; the production predictor
+    # default) — removes the standalone BN kernels + layout copies the
+    # round-5 traces surfaced. FY_NO_FOLD_BN=1 opts out.
+    fold = not os.environ.get("FY_NO_FOLD_BN")
+    if fold:
+        variables = fold_conv_bn(variables)
     bf16 = jnp.bfloat16
     params = jax.tree_util.tree_map(lambda x: x.astype(bf16), variables["params"])
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
+    scope = fused_bn_scope() if fold else None
 
     @jax.jit
     def predict(variables, images_u8):
@@ -86,7 +94,11 @@ def bench_infer(cfg: str, scale: str = "n", batch: int = 128, imgsz: int = 640,
     rt = rt if rt is not None else _roundtrip()
     rng = np.random.RandomState(0)
     imgs = [jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8)) for _ in range(4)]
-    _ = float(predict(variables, imgs[0]))  # compile + warmup
+    if scope is not None:
+        with scope:  # trace-time fused-BN flag
+            _ = float(predict(variables, imgs[0]))  # compile + warmup
+    else:
+        _ = float(predict(variables, imgs[0]))  # compile + warmup
 
     best_dt = float("inf")
     for _ in range(3):

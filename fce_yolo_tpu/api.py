@@ -615,6 +615,7 @@ class YOLO:
             epochs=epochs,
             steps_per_epoch=max(steps_per_epoch, 1),
             nc=d["nc"],
+            state_bf16=bool(hyp_overrides.get("state_bf16")),
             **optim_kw,
         )
         if lr0 is not None and optimizer == "auto":
@@ -629,7 +630,11 @@ class YOLO:
         from fce_yolo_tpu.train.optim import accumulate_steps
 
         accumulate = accumulate_steps(optim_cfg)
-        state = create_train_state(self.model, v, tx, accumulate=accumulate)
+        # reduced-precision averaged weights (bf16_ema=True): a memory-
+        # footprint option for very large models; see EMA docstring caveats
+        ema_dtype = jnp.bfloat16 if hyp_overrides.get("bf16_ema") else None
+        state = create_train_state(self.model, v, tx, accumulate=accumulate,
+                                   ema_dtype=ema_dtype)
         task_loss = None
         batch_hook = None  # optional host-side per-batch augmentation (rtdetr cdn)
         batch_keys = ["img", "cls", "bboxes", "mask"]

@@ -244,10 +244,37 @@ class DetectionPredictor:
 
         return predict
 
+    def _maybe_fold(self, variables: dict) -> tuple[dict, object]:
+        """Fold Conv+BN into weights for inference (reference Model.fuse) —
+        removes the standalone BN normalize kernels + layout copies the
+        round-5 l/x traces surfaced (EVIDENCE.md round 5). Memoized per
+        variables object; FY_NO_FOLD_BN=1 keeps the eval-BN graph. Returns
+        (variables, trace_scope)."""
+        import contextlib
+        import os
+
+        if os.environ.get("FY_NO_FOLD_BN") or self.infer_fn is not None:
+            return variables, contextlib.nullcontext()
+        cached = getattr(self, "_fold_cache", None)
+        if cached is not None and cached[0] is variables:
+            folded = cached[1]
+        else:
+            try:
+                from fce_yolo_tpu.nn.model import fold_conv_bn
+
+                folded = fold_conv_bn(variables)
+            except Exception:
+                return variables, contextlib.nullcontext()
+            self._fold_cache = (variables, folded)
+        from fce_yolo_tpu.nn.modules import fused_bn_scope
+
+        return folded, fused_bn_scope()
+
     def stream(self, variables: dict, source) -> Iterator[Results]:
         """Generator over Results, batching the source internally."""
         import jax
 
+        variables, scope = self._maybe_fold(variables)
         if self._predict is None:
             self._predict = self._build_predict()
 
@@ -264,7 +291,8 @@ class DetectionPredictor:
             batch = np.stack(imgs, 0)
             t_pre = time.perf_counter() - t0
             t0 = time.perf_counter()
-            out = jax.device_get(self._predict(variables, batch))
+            with scope:  # trace-time fused-BN flag (no-op post-compile)
+                out = jax.device_get(self._predict(variables, batch))
             t_inf = time.perf_counter() - t0
             t0 = time.perf_counter()
             for i in range(n):

@@ -414,3 +414,75 @@ def estimate_flops(model: DetectionModel, imgsz: int = 640, batch: int = 1) -> f
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
     return float(ca.get("flops", 0.0))
+
+
+def fold_conv_bn(variables: dict) -> dict:
+    """Fold every ConvBNAct's BatchNorm into its conv weights (reference
+    Model.fuse / fuse_conv_and_bn, nn/tasks.py): kernel' = kernel * g/std,
+    bias' = beta - mean * g/std, then drop the bn params/stats. The result
+    runs under ``modules.fused_bn_scope()`` — ConvBNAct traces as a biased
+    conv with no normalize op, eliminating the standalone BN kernels and
+    layout copies the round-5 l/x traces surfaced.
+
+    Only sibling ("conv", "bn") pairs are folded — exactly ConvBNAct /
+    DWConvBNAct scopes; RepConv's parallel-BN branches, head-internal BNs
+    and resnet BNs keep their eval-BN math (they are a negligible share of
+    inference time). Returns a NEW variables dict (f64-free, f32 fold math);
+    the fold is exact in f32 up to one reassociation rounding.
+    """
+    import numpy as np
+
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
+
+    def walk(p_node, s_node):
+        if not isinstance(p_node, dict):
+            return p_node, s_node
+        p_out, s_out = {}, {}
+        keys = set(p_node) | set(s_node if isinstance(s_node, dict) else {})
+        for k in keys:
+            pv = p_node.get(k)
+            sv = s_node.get(k) if isinstance(s_node, dict) else None
+            if (
+                isinstance(pv, dict)
+                # EXACTLY a ConvBNAct scope: {conv, bn} and nothing else.
+                # RepConv/RepVGGDW-style modules carry extra siblings
+                # (cv2/conv1/...) whose BN normalizes a SUM — never fold those.
+                and set(pv.keys()) == {"conv", "bn"}
+                and isinstance(pv.get("conv"), dict)
+                and isinstance(pv.get("bn"), dict)
+                and "kernel" in pv["conv"]
+                and "bias" not in pv["conv"]
+                and isinstance(sv, dict)
+                and isinstance(sv.get("bn"), dict)
+                and "mean" in sv["bn"]
+            ):
+                kern = np.asarray(pv["conv"]["kernel"], np.float32)
+                gamma = np.asarray(pv["bn"]["scale"], np.float32)
+                beta = np.asarray(pv["bn"]["bias"], np.float32)
+                mean = np.asarray(sv["bn"]["mean"], np.float32)
+                var = np.asarray(sv["bn"]["var"], np.float32)
+                g_std = gamma / np.sqrt(var + 1e-3)  # BN_EPS
+                p_out[k] = {"conv": {
+                    "kernel": (kern * g_std).astype(kern.dtype),
+                    "bias": (beta - mean * g_std).astype(kern.dtype),
+                }}
+            elif isinstance(pv, dict) or isinstance(sv, dict):
+                rp, rs = walk(pv if isinstance(pv, dict) else {},
+                              sv if isinstance(sv, dict) else {})
+                if rp or pv is not None:
+                    p_out[k] = rp if isinstance(pv, dict) else pv
+                if rs or (sv is not None and not isinstance(sv, dict)):
+                    s_out[k] = rs if isinstance(sv, dict) else sv
+            else:
+                if pv is not None:
+                    p_out[k] = pv
+                if sv is not None:
+                    s_out[k] = sv
+        return p_out, s_out
+
+    new_params, new_stats = walk(params, stats)
+    out = dict(variables)
+    out["params"] = new_params
+    out["batch_stats"] = new_stats
+    return out

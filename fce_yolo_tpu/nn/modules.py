@@ -33,6 +33,32 @@ from fce_yolo_tpu.ops.anchors import dfl_expectation, dist2bbox, make_anchors
 BN_MOMENTUM = 0.97
 BN_EPS = 1e-3
 
+# --- fused Conv+BN inference mode (reference Model.fuse, nn/tasks.py:
+# fuse_conv_and_bn). When active at TRACE time, ConvBNAct emits a biased
+# conv and no BatchNorm; the variables must have been transformed with
+# nn.model.fold_conv_bn first (kernel <- kernel*gamma/sqrt(var+eps),
+# bias <- beta - mean*gamma/sqrt(var+eps)). Round-5 motivation: kernel
+# traces showed standalone BN normalize kernels + layout copies surviving
+# XLA fusion at l/x scales — weight-level folding removes them entirely.
+_FUSED_BN_MODE = False
+
+
+class fused_bn_scope:
+    """Context manager: trace ConvBNAct as folded conv(+bias), no BN."""
+
+    def __enter__(self):
+        global _FUSED_BN_MODE
+        self._prev = _FUSED_BN_MODE
+        _FUSED_BN_MODE = True
+
+    def __exit__(self, *exc):
+        global _FUSED_BN_MODE
+        _FUSED_BN_MODE = self._prev
+
+
+def fused_bn_active() -> bool:
+    return _FUSED_BN_MODE
+
 
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     """'same'-shape padding for odd kernels (reference conv.py:30-36)."""
@@ -80,6 +106,21 @@ class ConvBNAct(nn.Module):
         kh, kw = _k2(self.k)
         ph = autopad(kh, self.p, self.d)
         pw = autopad(kw, self.p, self.d)
+        if _FUSED_BN_MODE and not train:
+            # folded-weights inference (fused_bn_scope + fold_conv_bn)
+            return apply_act(
+                nn.Conv(
+                    features=self.c2,
+                    kernel_size=(kh, kw),
+                    strides=(self.s, self.s),
+                    padding=[(ph, ph), (pw, pw)],
+                    feature_group_count=self.g,
+                    kernel_dilation=(self.d, self.d),
+                    use_bias=True,
+                    name="conv",
+                )(x),
+                self.act,
+            )
         x = nn.Conv(
             features=self.c2,
             kernel_size=(kh, kw),

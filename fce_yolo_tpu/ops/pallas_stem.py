@@ -112,13 +112,17 @@ def fold_conv_bn(params: dict, stats: dict, normalize: bool = False):
     jnp ops throughout so folding can run inside the predict jit (it is a
     handful of scalar-vector ops on weight-sized arrays — XLA CSEs it)."""
     k = jnp.asarray(params["conv"]["kernel"], jnp.float32)
-    g = jnp.asarray(params["bn"]["scale"], jnp.float32)
-    beta = jnp.asarray(params["bn"]["bias"], jnp.float32)
-    mean = jnp.asarray(stats["bn"]["mean"], jnp.float32)
-    var = jnp.asarray(stats["bn"]["var"], jnp.float32)
-    s = g * jax.lax.rsqrt(var + BN_EPS)
-    w = k * s  # broadcast over cout (last axis)
-    b = beta - mean * s
+    if "bias" in params["conv"]:
+        # variables already BN-folded (nn.model.fold_conv_bn) — pass through
+        w, b = k, jnp.asarray(params["conv"]["bias"], jnp.float32)
+    else:
+        g = jnp.asarray(params["bn"]["scale"], jnp.float32)
+        beta = jnp.asarray(params["bn"]["bias"], jnp.float32)
+        mean = jnp.asarray(stats["bn"]["mean"], jnp.float32)
+        var = jnp.asarray(stats["bn"]["var"], jnp.float32)
+        s = g * jax.lax.rsqrt(var + BN_EPS)
+        w = k * s  # broadcast over cout (last axis)
+        b = beta - mean * s
     if normalize:
         w = w / 255.0
     return w.reshape(-1, w.shape[-1]), b[None]  # matmul form, (dy,dx,cin) rows
@@ -134,26 +138,29 @@ def fold_stem_params(variables: dict, spec: StemSpec) -> list:
            {wbj1 (9c_, c_), bbj1, wbj2 (9c_, c_), bbj2} x2,
            wk3 (2c_, ch), bk3          (c_ = ch // 2)
     """
-    p, st = variables["params"], variables["batch_stats"]
+    p, st = variables["params"], variables.get("batch_stats", {})
+    # pre-folded variables (nn.model.fold_conv_bn) have no bn stats; the
+    # per-scope helper passes folded conv weights straight through
+    empty: dict = {}
     out = []
-    out += fold_conv_bn(p["layers_0"], st["layers_0"], normalize=True)
-    out += fold_conv_bn(p["layers_1"], st["layers_1"])
-    l2p, l2s = p["layers_2"], st["layers_2"]
-    out += fold_conv_bn(l2p["cv1"], l2s["cv1"])
+    out += fold_conv_bn(p["layers_0"], st.get("layers_0", empty), normalize=True)
+    out += fold_conv_bn(p["layers_1"], st.get("layers_1", empty))
+    l2p, l2s = p["layers_2"], st.get("layers_2", empty)
+    out += fold_conv_bn(l2p["cv1"], l2s.get("cv1", empty))
     for i in range(spec.n):
-        bp, bs = l2p[f"m_{i}"], l2s[f"m_{i}"]
+        bp, bs = l2p[f"m_{i}"], l2s.get(f"m_{i}", empty)
         if spec.c3k:
-            out += fold_conv_bn(bp["cv1"], bs["cv1"])
-            out += fold_conv_bn(bp["cv2"], bs["cv2"])
+            out += fold_conv_bn(bp["cv1"], bs.get("cv1", empty))
+            out += fold_conv_bn(bp["cv2"], bs.get("cv2", empty))
             for j in range(2):
-                ip, isd = bp[f"m_{j}"], bs[f"m_{j}"]
-                out += fold_conv_bn(ip["cv1"], isd["cv1"])
-                out += fold_conv_bn(ip["cv2"], isd["cv2"])
-            out += fold_conv_bn(bp["cv3"], bs["cv3"])
+                ip, isd = bp[f"m_{j}"], bs.get(f"m_{j}", empty)
+                out += fold_conv_bn(ip["cv1"], isd.get("cv1", empty))
+                out += fold_conv_bn(ip["cv2"], isd.get("cv2", empty))
+            out += fold_conv_bn(bp["cv3"], bs.get("cv3", empty))
         else:
-            out += fold_conv_bn(bp["cv1"], bs["cv1"])
-            out += fold_conv_bn(bp["cv2"], bs["cv2"])
-    out += fold_conv_bn(l2p["cv2"], l2s["cv2"])
+            out += fold_conv_bn(bp["cv1"], bs.get("cv1", empty))
+            out += fold_conv_bn(bp["cv2"], bs.get("cv2", empty))
+    out += fold_conv_bn(l2p["cv2"], l2s.get("cv2", empty))
     return [jnp.asarray(a, jnp.bfloat16) for a in out]
 
 

@@ -51,14 +51,15 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(
-    model, variables: dict, tx: optax.GradientTransformation, accumulate: int = 1
+    model, variables: dict, tx: optax.GradientTransformation, accumulate: int = 1,
+    ema_dtype=None,
 ) -> TrainState:
     params = variables["params"]
     return TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
-        ema=EMA.create(params),
+        ema=EMA.create(params, dtype=ema_dtype),
         loss_state=LossState.init(),
         step=jnp.int32(0),
         grad_accum=(

@@ -148,3 +148,58 @@ def test_remat_step_matches_plain():
     np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-6)
     for a, b in zip(outs[False][1], outs[True][1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_ema_and_state():
+    """Reduced-precision training state (VERDICT r4 weak #7 experiment):
+    bf16 EMA storage + bf16 Adam first moment. The step must run, preserve
+    the reduced dtypes across updates, and the bf16-EMA weights must track
+    the f32 EMA within bf16 quantization (~2^-8 relative)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.train.loss import DetectionLossCfg
+    from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
+    from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale="n", nc=3)
+    v = init_variables(model, jax.random.PRNGKey(0), imgsz=64)
+    rng = np.random.RandomState(1)
+    batch = {
+        "img": jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3), np.uint8)),
+        "cls": jnp.asarray(rng.randint(0, 3, (2, 4)).astype(np.float32)),
+        "bboxes": jnp.asarray(
+            np.concatenate([rng.uniform(0.4, 0.6, (2, 4, 2)),
+                            rng.uniform(0.1, 0.2, (2, 4, 2))], -1).astype(np.float32)
+        ),
+        "mask": jnp.ones((2, 4), bool),
+    }
+
+    states = {}
+    for reduced in (False, True):
+        cfg = OptimCfg(optimizer="AdamW", lr0=1e-3, warmup_epochs=0,
+                       batch_size=2, nbs=2, state_bf16=reduced)
+        tx = build_optimizer(cfg, v["params"])
+        state = create_train_state(
+            model, v, tx, ema_dtype=jnp.bfloat16 if reduced else None)
+        step = jax.jit(make_train_step(model, tx, DetectionLossCfg(nc=3)))
+        for _ in range(2):
+            state, mtr = step(state, batch)
+        assert np.isfinite(float(mtr["loss"]))
+        states[reduced] = state
+
+    ema_bf16 = jax.tree_util.tree_leaves(states[True].ema.params)
+    ema_f32 = jax.tree_util.tree_leaves(states[False].ema.params)
+    assert all(l.dtype == jnp.bfloat16 for l in ema_bf16)
+    assert all(l.dtype == jnp.float32 for l in ema_f32)
+    # params themselves stay f32 master weights in both modes
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(states[True].params))
+    for a, b in zip(ema_bf16, ema_f32):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
+                                   rtol=1.6e-2, atol=1e-4)
+    # Adam first moment is stored bf16 in reduced mode
+    mus = [l for l in jax.tree_util.tree_leaves(states[True].opt_state)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "expected bf16 first-moment leaves in reduced opt state"
