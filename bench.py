@@ -217,6 +217,27 @@ def main() -> dict:
             lfce_cfg_512_16_8(), scale="l", batch=4, imgsz=1280, iters=12, rt=rt)
         scale_rows["yolo11l-fce[512,16,8] 1280px batch4 streaming e2e img/s"] = round(
             infer_lfce_1280, 1)
+        # host-fed SYSTEM throughput (VERDICT r4 #2): jpeg bytes on disk ->
+        # threaded C++ decode+letterbox -> H2D -> e2e predict, double-
+        # buffered (tools/bench_system.py). Reported beside the chip number;
+        # this harness has ONE host core + a tunneled TPU, so the system
+        # rate is host/tunnel-bound here (quantified in the extras).
+        try:
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import tools.bench_system as _bs
+
+            _sys.argv = ["bench_system", "--n", "256"]
+            sysrep = _bs.main()
+            scale_rows["system jpeg->boxes img/s (n/640/b128, 1-core host)"] = (
+                sysrep["system_img_s"])
+            scale_rows["host decode img/s (C++ loader, 1 core)"] = (
+                sysrep["host_decode_img_s"])
+            scale_rows["tunnel H2D MB/s"] = sysrep["h2d_MB_s"]
+        except Exception as e:  # native lib absent etc. — keep bench green
+            scale_rows["system jpeg->boxes img/s (n/640/b128, 1-core host)"] = (
+                f"unavailable: {type(e).__name__}")
         for s, b, v in [("s", 32, infer_s), ("m", 32, infer_m),
                         ("l", 32, infer_l), ("x", 16, infer_x)]:
             m_s, _, _ = build_model(stock, scale=s)

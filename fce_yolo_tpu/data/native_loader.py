@@ -18,7 +18,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "NativeDataLoader", "native_letterbox"]
+__all__ = ["available", "NativeDataLoader", "native_letterbox",
+           "native_decode_batch"]
 
 _LIB_PATHS = [
     Path(__file__).resolve().parent.parent.parent / "native" / "build" / "libfy_loader.so",
@@ -55,6 +56,12 @@ def _load():
                 C.POINTER(C.c_uint8), C.POINTER(C.c_float), C.POINTER(C.c_float),
                 C.POINTER(C.c_float),
             ]
+            if hasattr(lib, "fy_decode_letterbox_batch"):  # round-5 rebuilds
+                lib.fy_decode_letterbox_batch.restype = C.c_int
+                lib.fy_decode_letterbox_batch.argtypes = [
+                    C.POINTER(C.c_char_p), C.c_int, C.c_int, C.c_int, C.c_int,
+                    C.POINTER(C.c_uint8), C.POINTER(C.c_float),
+                ]
             _lib = lib
             return lib
     return None
@@ -62,6 +69,36 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def native_decode_batch(paths, imgsz: int, scaleup: bool = False,
+                        workers: int = 4, out: np.ndarray | None = None):
+    """Threaded C++ JPEG decode + letterbox + RGB into one model-ready batch.
+
+    The system-throughput front end (image bytes on disk -> (N, imgsz,
+    imgsz, 3) uint8): reference predictor preprocess contract
+    (engine/predictor.py:277 / data/build.py:286) done off the interpreter.
+    Returns (batch, meta) where meta rows are [ratio, padw, padh, h0, w0].
+    ``out`` reuses a caller-owned buffer (double-buffered pipelines).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "fy_decode_letterbox_batch"):
+        raise RuntimeError("native loader not built (make native)")
+    n = len(paths)
+    arr = (C.c_char_p * n)(*[str(p).encode() for p in paths])
+    if out is None:
+        out = np.empty((n, imgsz, imgsz, 3), np.uint8)
+    meta = np.empty((n, 5), np.float32)
+    ok = lib.fy_decode_letterbox_batch(
+        arr, n, imgsz, int(scaleup), workers,
+        out.ctypes.data_as(C.POINTER(C.c_uint8)),
+        meta.ctypes.data_as(C.POINTER(C.c_float)),
+    )
+    if ok != n:
+        import warnings
+
+        warnings.warn(f"native_decode_batch: {n - ok}/{n} images failed to decode")
+    return out, meta
 
 
 def native_letterbox(img: np.ndarray, new_size: int, scaleup: bool = True):

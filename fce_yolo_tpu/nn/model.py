@@ -483,6 +483,8 @@ def fold_conv_bn(variables: dict) -> dict:
 
     new_params, new_stats = walk(params, stats)
     out = dict(variables)
-    out["params"] = new_params
-    out["batch_stats"] = new_stats
+    # back onto the device: leaving numpy leaves here would re-upload every
+    # weight on each dispatch (measured 8x slower through the axon tunnel)
+    out["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
+    out["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, new_stats)
     return out

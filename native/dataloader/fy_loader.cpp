@@ -486,4 +486,43 @@ void fy_letterbox(const uint8_t* img, int h, int w, int new_size, int scaleup,
   *padh = ph;
 }
 
+// predict-path batch: threaded JPEG-file decode + letterbox + RGB emit into
+// a contiguous (n, imgsz, imgsz, 3) uint8 batch (the system-throughput
+// front end: image bytes on disk -> model-ready batch; reference
+// engine/predictor.py:277 preprocess contract). meta rows: [ratio, padw,
+// padh, orig_h, orig_w]. Returns the number of successfully decoded images.
+int fy_decode_letterbox_batch(const char** paths, int n, int imgsz, int scaleup,
+                              int workers, uint8_t* out, float* meta) {
+  std::atomic<int> next{0}, ok{0};
+  const size_t stride = (size_t)imgsz * imgsz * 3;
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      cv::Mat im = cv::imread(paths[i], cv::IMREAD_COLOR);
+      if (im.empty()) {
+        std::memset(out + stride * i, 0, stride);
+        if (meta) std::memset(meta + 5 * i, 0, 5 * sizeof(float));
+        continue;
+      }
+      float r, pw, ph;
+      cv::Mat lb = letterbox(im, imgsz, r, pw, ph, scaleup != 0);
+      cv::cvtColor(lb, lb, cv::COLOR_BGR2RGB);
+      std::memcpy(out + stride * i, lb.data, stride);
+      if (meta) {
+        float* m = meta + 5 * i;
+        m[0] = r; m[1] = pw; m[2] = ph;
+        m[3] = (float)im.rows; m[4] = (float)im.cols;
+      }
+      ok.fetch_add(1);
+    }
+  };
+  int nw = workers < 1 ? 1 : workers;
+  std::vector<std::thread> ts;
+  for (int t = 1; t < nw; ++t) ts.emplace_back(work);
+  work();
+  for (auto& t : ts) t.join();
+  return ok.load();
+}
+
 }  // extern "C"

@@ -793,3 +793,69 @@ def test_obb_low_conf_nms_bridge(ref_pkg, tmp_path_factory):
         np.testing.assert_allclose(got_boxes, ref[:, :4], atol=1e-3)
         np.testing.assert_array_equal(got_cls, ref[:, 5].astype(np.int32))
         np.testing.assert_allclose(got_angle, ref[:, 6], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_e2e_map_parity_obb_golden_lowconf(ref_pkg, tmp_path_factory, tmp_path):
+    """OBB validator parity at the REFERENCE settings (conf=0.001) — the
+    golden run VERDICT r4 weak #3 asked for, removing the conf=0.15 bridge
+    asterisk. The reference's sequential rotated NMS self-truncates under
+    its 2.2 s/batch time limit at conf=0.001 candidate counts (corrupting
+    its own mAP), so its time limit is raised for this one-off golden run
+    (max_time_img=60, the same lift the NMS-primitive bridge test uses);
+    everything else runs the reference's own OBBValidator end to end."""
+    import functools
+
+    root = tmp_path_factory.mktemp("map_parity_obb_lc")
+    paths = _make_images(root)
+    tm = _build_torch_task_model(ref_pkg, paths, "yolo11-obb.yaml", "OBBModel", 13)
+    n = _generate_obb_labels(tm, paths, root)
+    assert n >= 15, f"degenerate obb dataset: {n}"
+    yaml_path = root / "data.yaml"
+    names = "\n".join(f"  {i}: c{i}" for i in range(NC))
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/val\nval: images/val\nnames:\n{names}\n"
+    )
+
+    import jax
+
+    from fce_yolo_tpu.engine.task_validators import OBBValidator
+    from fce_yolo_tpu.nn.import_torch import state_dict_to_variables
+    from fce_yolo_tpu.nn.model import build_model
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "fce_yolo_tpu", "cfg", "models")
+    model, spec, strides = build_model(os.path.join(cfg_dir, "yolo11-obb.yaml"), scale="n", nc=NC)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32), train=True)
+    )
+    variables = state_dict_to_variables(tm.state_dict(), template=template)
+
+    val = OBBValidator(
+        model, names={i: f"c{i}" for i in range(NC)}, imgsz=IMGSZ,
+        conf=0.001, iou=0.7, max_det=300, batch_size=4, workers=0,
+        pre_nms_topk=8192,
+    )
+    ours = val(variables, data=str(yaml_path), verbose=False)
+
+    from ultralytics.models.yolo.obb import OBBValidator as RefValidator
+    from ultralytics.utils import nms as ref_nms
+
+    args = dict(
+        model=None, data=str(yaml_path), imgsz=IMGSZ, batch=4, conf=0.001,
+        iou=0.7, max_det=300, rect=False, plots=False, save_json=False,
+        device="cpu", half=False, workers=0, verbose=False, mode="val",
+        task="obb", project=str(tmp_path / "refval_lc"), exist_ok=True,
+    )
+    v = RefValidator(args=args)
+    orig_nms = ref_nms.non_max_suppression
+    ref_nms.non_max_suppression = functools.partial(orig_nms, max_time_img=60.0)
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            ref = v(model=tm.float())
+    finally:
+        ref_nms.non_max_suppression = orig_nms
+
+    for key in ("metrics/mAP50(B)", "metrics/mAP50-95(B)"):
+        r, o = float(ref[key]), float(ours[key])
+        assert abs(o - r) <= 0.1, (key, o, r)
+    assert float(ref["metrics/mAP50(B)"]) > 0.3, "degenerate reference obb mAP"

@@ -69,3 +69,37 @@ def test_native_train_loader_augments(tiny_dataset):
     dl.set_epoch(99, close_mosaic_at=10, total_epochs=100)
     e2 = list(dl)
     assert e2[0]["img"].shape == (4, 96, 96, 3)
+
+
+def test_native_decode_batch_matches_python(tmp_path):
+    """fy_decode_letterbox_batch == cv2 decode + python letterbox + RGB flip
+    (the predict-path front end; reference predictor preprocess contract)."""
+    import cv2
+    import numpy as np
+
+    from fce_yolo_tpu.data.augment import letterbox
+    from fce_yolo_tpu.data.native_loader import available, native_decode_batch
+
+    if not available():
+        import pytest
+
+        pytest.skip("native loader not built")
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for i, (h, w) in enumerate([(480, 640), (640, 480), (333, 517)]):
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        p = tmp_path / f"{i}.jpg"
+        cv2.imwrite(str(p), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(str(p))
+
+    batch, meta = native_decode_batch(paths, 320, scaleup=False, workers=2)
+    assert batch.shape == (3, 320, 320, 3)
+    for i, p in enumerate(paths):
+        im = cv2.imread(p)  # BGR
+        ref, r, (pw, ph) = letterbox(
+            np.ascontiguousarray(im[..., ::-1]), 320, scaleup=False)
+        np.testing.assert_array_equal(batch[i], ref)
+        assert abs(meta[i, 0] - r) < 1e-6
+        assert abs(meta[i, 1] - pw) < 1e-3 and abs(meta[i, 2] - ph) < 1e-3
+        assert meta[i, 3] == im.shape[0] and meta[i, 4] == im.shape[1]

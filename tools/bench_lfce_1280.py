@@ -120,6 +120,8 @@ def profile_fce_share(compiled, variables, img, trace_dir: str, hlo_path: str):
     from tools.join_trace_hlo import load_hlo_metadata, load_kernel_durations
 
     dur, _n = load_kernel_durations(trace_dir)
+    # drop the whole-program envelope event — it double-counts device time
+    dur = {k: v for k, v in dur.items() if not k.startswith("jit_")}
     meta = load_hlo_metadata(hlo_path)
     by_layer: dict = {}
     fce_ms = total_ms = 0.0

@@ -30,9 +30,17 @@ def build_predict(scale: str, batch: int, imgsz: int):
     from fce_yolo_tpu.nn.model import build_model, init_variables
     from fce_yolo_tpu.ops.nms import batched_nms
 
+    import os as _os
+
+    from fce_yolo_tpu.nn.model import fold_conv_bn
+    from fce_yolo_tpu.nn.modules import fused_bn_scope
+
     model, spec, strides = build_model(
         "fce_yolo_tpu/cfg/models/yolo11.yaml", scale=scale)
     variables = jax.jit(lambda k: init_variables(model, k, imgsz=64))(jax.random.PRNGKey(0))
+    fold = not _os.environ.get("FY_NO_FOLD_BN")
+    if fold:
+        variables = fold_conv_bn(variables)  # production predictor default
     bf16 = jnp.bfloat16
     params = jax.tree_util.tree_map(lambda x: x.astype(bf16), variables["params"])
     variables = {"params": params, "batch_stats": variables["batch_stats"]}
@@ -46,7 +54,10 @@ def build_predict(scale: str, batch: int, imgsz: int):
 
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), np.uint8))
-    compiled = jax.jit(predict).lower(variables, img).compile()
+    import contextlib
+
+    with fused_bn_scope() if fold else contextlib.nullcontext():
+        compiled = jax.jit(predict).lower(variables, img).compile()
     return compiled, variables, img
 
 
@@ -94,6 +105,9 @@ def main():
         wall = (time.perf_counter() - t0) / args.steps
 
         dur, _n = load_kernel_durations(trace_dir)
+        # drop the whole-program envelope event ("jit_predict(...)") — it
+        # spans every kernel and would double-count device time
+        dur = {k: v for k, v in dur.items() if not k.startswith("jit_")}
         meta = load_hlo_metadata(hlo_path)
         lines = hlo_lines(hlo_path)
         total = sum(dur.values())
