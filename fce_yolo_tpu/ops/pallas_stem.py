@@ -621,10 +621,16 @@ def stem_spec_from_model(spec, imgsz: tuple[int, int],
     if n > 1 and not include_unprofitable:
         return None  # measured loss at l/x (see docstring)
     h4 = h // 4
+    w4 = w // 4
     halo = n * (4 if c3k else 2)
     # big halos (c3k x2 at l/x) blow up per-tile VMEM; prefer smaller tiles
     prefs = (20, 16, 10, 8, 5, 4, 2, 1) if halo <= 4 else (10, 8, 16, 5, 4, 2, 1)
-    tile = next((t for t in prefs if h4 % t == 0), None)
+    # per-tile VMEM scales with (tile + 2*halo) * w4: at 1280px (w4=320) the
+    # 640px tile sizes blow the 16M scoped-vmem limit (measured: tile 20 at
+    # s/1280 asks 29.25M). Cap total tile rows by width, anchored at the
+    # proven 640px budget (24 rows x 160 lanes-width).
+    max_rows = max(1, (24 * 160) // w4 - 2 * halo) if w4 > 160 else 10**9
+    tile = next((t for t in prefs if h4 % t == 0 and t <= max_rows), None)
     if tile is None:
         return None
     return StemSpec(H=h, W=w, c0=c0, c1=c1_, c2=c2_, ch=ch, n=n, c3k=c3k,

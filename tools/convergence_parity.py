@@ -79,8 +79,12 @@ NO_AUG = dict(mosaic=0.0, mixup=0.0, copy_paste=0.0, hsv_h=0.0, hsv_s=0.0,
 
 @contextlib.contextmanager
 def ref_path():
-    """Reference import context with the torchvision-metadata shim."""
+    """Reference import context: importlib-metadata shim + the torchvision
+    stub the parity tests use (ultralytics.models imports SAM which imports
+    torchvision, absent here; TorchNMS.nms is its documented exact match)."""
+    import importlib.machinery as ilm
     import importlib.metadata as md
+    import types
 
     orig = md.version
 
@@ -91,6 +95,31 @@ def ref_path():
             return "0.23.0"
 
     md.version = fake_version
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__spec__ = ilm.ModuleSpec("torchvision", None)
+        tv.__version__ = "0.23.0"
+        tv_ops = types.ModuleType("torchvision.ops")
+
+        def _nms(boxes, scores, iou_threshold):
+            from ultralytics.utils.nms import TorchNMS
+
+            return TorchNMS.nms(boxes, scores, iou_threshold)
+
+        tv_ops.nms = _nms
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+    if "polars" not in sys.modules:
+        # trainer.save_model reads results.csv via polars (absent here) —
+        # its read is try/excepted, so a raising stub degrades gracefully
+        pl = types.ModuleType("polars")
+
+        def _read_csv(*a, **k):
+            raise RuntimeError("polars stub (absent in env)")
+
+        pl.read_csv = _read_csv
+        sys.modules["polars"] = pl
     sys.path.insert(0, REF)
     try:
         yield
@@ -119,22 +148,30 @@ def train_reference(data_yaml: str, init_sd_out: str, out_dir: str,
     import torch
 
     with ref_path():
-        from ultralytics import YOLO as TorchYOLO
+        # import the detect trainer directly — the top-level facade pulls
+        # SAM3 which imports torchvision (absent in this env)
+        from ultralytics.models.yolo.detect.train import DetectionTrainer
+        from ultralytics.nn.tasks import DetectionModel
 
-        with contextlib.redirect_stdout(io.StringIO()):
-            m = TorchYOLO("yolo11n.yaml")
         torch.manual_seed(0)
+        with contextlib.redirect_stdout(io.StringIO()):
+            tm = DetectionModel("yolo11n.yaml", nc=3, verbose=False)
         # snapshot the INIT weights so the jax run starts from the same point
-        torch.save({k: v.clone() for k, v in m.model.state_dict().items()},
+        torch.save({k: v.clone() for k, v in tm.state_dict().items()},
                    init_sd_out)
-        m.train(
+        overrides = dict(
+            model="yolo11n.yaml", task="detect",
             data=data_yaml, epochs=epochs, batch=batch, imgsz=imgsz,
             device="cpu", workers=0, amp=False, plots=False, verbose=False,
             deterministic=True, seed=0, patience=10 * epochs, val=True,
             close_mosaic=0, project=out_dir, name="ref", exist_ok=True,
             **RECIPE, **NO_AUG,
         )
-        res = read_results_csv(os.path.join(out_dir, "ref", "results.csv"))
+        tr = DetectionTrainer(overrides=overrides)
+        tr.model = tm  # preset module: setup_model() keeps it (trainer.py:666)
+        with contextlib.redirect_stdout(io.StringIO()):
+            tr.train()
+        res = read_results_csv(os.path.join(str(tr.save_dir), "results.csv"))
     return res
 
 
