@@ -217,6 +217,12 @@ def main() -> dict:
             lfce_cfg_512_16_8(), scale="l", batch=4, imgsz=1280, iters=12, rt=rt)
         scale_rows["yolo11l-fce[512,16,8] 1280px batch4 streaming e2e img/s"] = round(
             infer_lfce_1280, 1)
+        # s-scale 1280px streaming: rides the width-aware Pallas fused stem
+        # (round-5 A/B: 1.161x vs plain at this config)
+        infer_s_1280 = bench_infer(stock, scale="s", batch=8, imgsz=1280,
+                                   iters=12, rt=rt)
+        scale_rows["yolo11s 1280px batch8 e2e infer img/s (fused stem)"] = round(
+            infer_s_1280, 1)
         # host-fed SYSTEM throughput (VERDICT r4 #2): jpeg bytes on disk ->
         # threaded C++ decode+letterbox -> H2D -> e2e predict, double-
         # buffered (tools/bench_system.py). Reported beside the chip number;

@@ -620,6 +620,10 @@ def stem_spec_from_model(spec, imgsz: tuple[int, int],
         return None
     if n > 1 and not include_unprofitable:
         return None  # measured loss at l/x (see docstring)
+    if w // 4 > 160 and c3k and not include_unprofitable:
+        # 1280px A/B (round 5): s (plain Bottleneck, halo 2) wins 1.161x;
+        # m (C3k, halo 4 -> tile 4 under the vmem cap) loses 0.914x
+        return None
     h4 = h // 4
     w4 = w // 4
     halo = n * (4 if c3k else 2)

@@ -227,7 +227,8 @@ def overlay(ref: dict, ours: dict, out_png: str):
 
 def run(epochs: int, out: str, n_imgs: int = 32, batch: int = 8,
         imgsz: int = 64, bf16_ema: bool = False) -> dict:
-    os.makedirs(out, exist_ok=True)
+    out = os.path.abspath(out)  # both frameworks resolve relative dataset
+    os.makedirs(out, exist_ok=True)  # paths against their own roots
     data_yaml = make_dataset(os.path.join(out, "dataset"), n=n_imgs)
     init_sd = os.path.join(out, "init_state_dict.pt")
     ref = train_reference(data_yaml, init_sd, out, epochs, batch, imgsz)
