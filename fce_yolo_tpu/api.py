@@ -624,12 +624,17 @@ class YOLO:
         # class-logit count is the static text slot count, not the data nc
         loss_nc = getattr(train_ds, "max_samples", None) or d["nc"]
         loss_cfg = DetectionLossCfg(nc=loss_nc, strides=tuple(self.strides), iou_type=iou_type)
-        tx = build_optimizer(optim_cfg, v["params"], freeze=freeze)
-        # true gradient accumulation to the nominal batch (reference
-        # trainer.py:342-344: accumulate = round(nbs / batch))
-        from fce_yolo_tpu.train.optim import accumulate_steps
+        # true gradient accumulation to the nominal batch with the
+        # reference's warmup accumulate RAMP (trainer.py:342-344,405-437:
+        # updates every batch early, every nbs/batch after warmup) — the
+        # fire pattern + ni-exact LR positions are precomputed static arrays
+        from fce_yolo_tpu.train.optim import accumulate_steps, boundary_schedule
 
         accumulate = accumulate_steps(optim_cfg)
+        bounds = ni_map = None
+        if accumulate > 1:
+            bounds, ni_map = boundary_schedule(optim_cfg)
+        tx = build_optimizer(optim_cfg, v["params"], freeze=freeze, ni_map=ni_map)
         # reduced-precision averaged weights (bf16_ema=True): a memory-
         # footprint option for very large models; see EMA docstring caveats
         ema_dtype = jnp.bfloat16 if hyp_overrides.get("bf16_ema") else None
@@ -683,7 +688,7 @@ class YOLO:
             bf16 = jax.default_backend() == "tpu"
         step_fn = make_train_step(
             self.model, tx, loss_cfg, task_loss=task_loss, bf16=bf16,
-            accumulate=accumulate, remat=remat,
+            accumulate=accumulate, remat=remat, boundaries=bounds,
         )
 
         start_epoch = 0

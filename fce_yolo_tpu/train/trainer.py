@@ -78,6 +78,7 @@ def make_train_step(
     accumulate: int = 1,
     remat: bool | str = False,
     frozen_bn: bool = False,
+    boundaries=None,
 ) -> Callable:
     """Build the jittable train step: forward -> loss -> grad -> update ->
     EMA, with NaN-rollback (reference _handle_nan_recovery analog).
@@ -166,9 +167,18 @@ def make_train_step(
         )(state.params, state.batch_stats, batch, state.loss_state)
 
         if accumulate > 1:
-            # summed-gradient accumulation; optimizer fires on boundaries
+            # summed-gradient accumulation; optimizer fires on boundaries.
+            # With `boundaries` (train/optim.boundary_schedule) the fire
+            # pattern follows the reference's warmup accumulate RAMP
+            # (trainer.py:368,405-437: every batch early, every nbs/batch
+            # batches after warmup); the static modulo is the fallback.
             acc = jax.tree_util.tree_map(jnp.add, state.grad_accum, grads)
-            boundary = (state.step + 1) % accumulate == 0
+            if boundaries is not None:
+                _b = jnp.asarray(boundaries, bool)
+                boundary = jnp.take(
+                    _b, jnp.clip(state.step, 0, _b.shape[0] - 1))
+            else:
+                boundary = (state.step + 1) % accumulate == 0
             updates, opt_cand = tx.update(acc, state.opt_state, state.params)
             params_cand = optax.apply_updates(state.params, updates)
             sel = lambda new, old: jax.tree_util.tree_map(

@@ -203,3 +203,69 @@ def test_bf16_ema_and_state():
     mus = [l for l in jax.tree_util.tree_leaves(states[True].opt_state)
            if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
     assert mus, "expected bf16 first-moment leaves in reduced opt state"
+
+
+def test_boundary_schedule_matches_reference_ramp():
+    """boundary_schedule reproduces the reference's warmup accumulate ramp
+    (trainer.py:368,405-437): fire when ni - last_opt >= accumulate, with
+    accumulate interpolated 1 -> nbs/batch over the warmup span."""
+    from fce_yolo_tpu.train.optim import OptimCfg, boundary_schedule
+
+    cfg = OptimCfg(optimizer="AdamW", warmup_epochs=3.0, batch_size=8,
+                   nbs=64, epochs=40, steps_per_epoch=4)
+    bounds, ni_map = boundary_schedule(cfg)
+    # simulate the reference loop
+    nb, total = 4, 160
+    nw = max(round(3.0 * nb), 100)
+    last, fires = -1, []
+    for ni in range(total):
+        acc = max(1, int(round(np.interp(ni, [0, nw], [1, 8]))))
+        if ni - last >= acc:
+            fires.append(ni)
+            last = ni
+    assert list(np.nonzero(bounds)[0]) == fires
+    assert list(ni_map[:len(fires)]) == fires
+    # early training fires every batch; post-warmup every 8
+    assert fires[:3] == [0, 1, 2]
+    tail = np.diff([f for f in fires if f > nw])
+    assert (tail == 8).all()
+    # ~2x the optimizer steps of the static modulo on this short run
+    assert len(fires) >= total // 8 * 19 // 10
+
+
+def test_train_step_boundary_array():
+    """make_train_step honors a boundaries array: params move exactly on
+    the scheduled micro-steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from fce_yolo_tpu.nn.model import build_model, init_variables
+    from fce_yolo_tpu.train.loss import DetectionLossCfg
+    from fce_yolo_tpu.train.optim import OptimCfg, build_optimizer
+    from fce_yolo_tpu.train.trainer import create_train_state, make_train_step
+
+    model, spec, strides = build_model("fce_yolo_tpu/cfg/models/yolo11.yaml", scale="n", nc=3)
+    v = init_variables(model, jax.random.PRNGKey(0), imgsz=64)
+    cfg = OptimCfg(optimizer="SGD", warmup_epochs=0, batch_size=2, nbs=8,
+                   epochs=1, steps_per_epoch=6)
+    tx = build_optimizer(cfg, v["params"])
+    bounds = np.array([True, False, True, False, False, True])
+    state = create_train_state(model, v, tx, accumulate=4)
+    step = jax.jit(make_train_step(model, tx, DetectionLossCfg(nc=3),
+                                   accumulate=4, boundaries=bounds))
+    rng = np.random.RandomState(1)
+    batch = {
+        "img": jnp.asarray(rng.randint(0, 255, (2, 64, 64, 3), np.uint8)),
+        "cls": jnp.asarray(rng.randint(0, 3, (2, 4)).astype(np.float32)),
+        "bboxes": jnp.asarray(
+            np.concatenate([rng.uniform(0.4, 0.6, (2, 4, 2)),
+                            rng.uniform(0.1, 0.2, (2, 4, 2))], -1).astype(np.float32)),
+        "mask": jnp.ones((2, 4), bool),
+    }
+    ref_leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    for i, b in enumerate(bounds):
+        state, _ = step(state, batch)
+        leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        moved = not np.array_equal(leaf, ref_leaf)
+        assert moved == bool(b), f"step {i}: moved={moved} expected {b}"
+        ref_leaf = leaf
