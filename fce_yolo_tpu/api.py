@@ -172,9 +172,22 @@ class YOLO:
         return self
 
     def fuse(self) -> "YOLO":
-        """No-op for API parity (reference Model.fuse folds Conv+BN for
-        speed; here XLA folds inference BatchNorm into the convolution
-        epilogue at compile time — see nn/modules.py ConvBNAct)."""
+        """Fold Conv+BN into conv weights (reference Model.fuse).
+
+        The streaming predictor already folds lazily on first predict
+        (engine/predictor.py _maybe_fold; measured l 1.163x, EVIDENCE r5);
+        calling fuse() does it eagerly on the facade's variables so
+        subsequent saves/exports carry fused weights. Idempotent."""
+        if self.variables and "params" in self.variables:
+            import jax.tree_util as tu
+
+            already = not any(
+                "'bn'" in str(p)
+                for p, _ in tu.tree_leaves_with_path(self.variables["params"]))
+            if not already:
+                from fce_yolo_tpu.nn.model import fold_conv_bn
+
+                self.variables = fold_conv_bn(self.variables)
         return self
 
     def reset_weights(self, seed: int = 0) -> "YOLO":

@@ -106,8 +106,15 @@ class ConvBNAct(nn.Module):
         kh, kw = _k2(self.k)
         ph = autopad(kh, self.p, self.d)
         pw = autopad(kw, self.p, self.d)
-        if _FUSED_BN_MODE and not train:
-            # folded-weights inference (fused_bn_scope + fold_conv_bn)
+        # folded-weights inference: taken under fused_bn_scope, or AUTO-
+        # detected from the variables themselves (fold_conv_bn leaves a
+        # conv subtree and no bn — has_variable sees the provided tree at
+        # trace time, so validators/exporters handle fused checkpoints with
+        # no scope plumbing; at init both probes are False -> unfused path)
+        folded_vars = (not self.is_initializing()
+                       and self.has_variable("params", "conv")
+                       and not self.has_variable("params", "bn"))
+        if (_FUSED_BN_MODE or folded_vars) and not train:
             return apply_act(
                 nn.Conv(
                     features=self.c2,
