@@ -28,12 +28,25 @@ def _build_and_run(yaml_name, scale="n", nc=None, imgsz=64):
     return model, spec, strides, out
 
 
+CURATED = [
+    # one concrete init+forward per task/family (the round-4 packaged set);
+    # since round 5 the packaged zoo is 57 files — the FULL set is covered
+    # abstractly every run (tests/test_yaml_sweep.py::test_packaged_yaml_traces)
+    # and concretely in the slow sweep tier; 57 concrete CPU jits here would
+    # cost ~40 min of fast-tier wall
+    "rtdetr-l.yaml", "yolo11-bifpn.yaml", "yolo11-cls.yaml", "yolo11-fce.yaml",
+    "yolo11-obb.yaml", "yolo11-pose.yaml", "yolo11-seg.yaml", "yolo11.yaml",
+    "yoloe-11-seg.yaml", "yoloe-11.yaml", "yolov8-seg.yaml",
+    "yolov8-world.yaml", "yolov8.yaml",
+]
+
+
 def test_all_model_yamls_build():
-    """Every packaged YAML must parse, init, and run eval forward."""
+    """Curated packaged YAMLs parse, init, and run a concrete eval forward."""
     import yaml as pyyaml
 
-    yamls = sorted(glob.glob("fce_yolo_tpu/cfg/models/*.yaml"))
-    assert len(yamls) >= 7
+    yamls = [f"fce_yolo_tpu/cfg/models/{n}" for n in CURATED]
+    assert all(glob.glob(y) for y in yamls)
     for y in yamls:
         name = y.split("/")[-1]
         scales = pyyaml.safe_load(open(y)).get("scales") or {"n": None}
