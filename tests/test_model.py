@@ -177,7 +177,6 @@ def test_facade_load_fuse_device(tmp_path):
     a = jax.tree_util.tree_leaves(y.variables["params"])[0]
     b = jax.tree_util.tree_leaves(y2.variables["params"])[0]
     assert (np.asarray(a) == np.asarray(b)).all()
-    assert y2.fuse() is y2
     assert y2.device in ("cpu", "tpu", "axon")
     flat_before = {"/".join(k.key for k in p): np.asarray(v).copy()
                    for p, v in jax.tree_util.tree_flatten_with_path(
@@ -190,6 +189,15 @@ def test_facade_load_fuse_device(tmp_path):
     some_kernel = next(k for k in flat_before if k.endswith("kernel"))
     assert flat_before[some_kernel].shape == flat_after[some_kernel].shape
     assert (flat_before[some_kernel] != flat_after[some_kernel]).any()
+    # fuse(): round 5 made it REAL Conv+BN weight folding (reference
+    # Model.fuse) — bn params disappear, conv gains a bias; idempotent
+    assert y2.fuse() is y2
+    folded = {"/".join(k.key for k in p)
+              for p, _ in jax.tree_util.tree_flatten_with_path(
+                  y2.variables["params"])[0]}
+    assert not any("/bn/" in k for k in folded)
+    assert any(k.endswith("conv/bias") for k in folded)
+    assert y2.fuse() is y2  # second call is a no-op
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
